@@ -1,0 +1,187 @@
+"""Typed configuration tree with the reference's five dotted namespaces.
+
+The reference declares ROS 2 parameters per node and flattens them into plain
+dicts handed to library code (``cslam/loop_closure_detection_node.py:20-95``,
+``src/back_end/pose_graph_manager_node.cpp:18-32``, ``cslam/lidar_handler_node.py:208-224``,
+``config/cslam/example.yaml``). Here a single dataclass tree covers all nodes;
+``flatten()`` produces the same dotted-key dict the library layer consumes, and
+``from_dict()/from_yaml()`` accept dotted or nested overrides.
+
+Namespaces: ``frontend.*``, ``backend.*``, ``neighbor_management.*``,
+``evaluation.*``, ``visualization.*`` plus top-level ``robot_id`` /
+``max_nb_robots``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+@dataclass
+class FrontendConfig:
+    # --- detection (reference loop_closure_detection_node.py:20-46) ---
+    similarity_threshold: float = 0.9
+    global_descriptor_technique: str = "cosplace"
+    nn_checkpoint: str = "disable"
+    netvlad_pca_checkpoint: str = ""
+    inter_robot_loop_closure_budget: int = 5
+    inter_robot_detection_period_sec: float = 5.0
+    nb_best_matches: int = 10
+    image_crop_size: int = 376
+    intra_loop_min_inbetween_keyframes: int = 10
+    detection_publication_period_sec: float = 1.0
+    detection_publication_max_elems_per_msg: int = 10
+    enable_intra_robot_loop_closures: bool = False
+    global_descriptors_topic: str = "global_descriptors"
+    inter_robot_matches_topic: str = "inter_robot_matches"
+    enable_sparsification: bool = True
+    use_vertex_cover_selection: bool = True
+    cosplace_descriptor_dim: int = 64
+    cosplace_backbone: str = "resnet18"
+    sensor_type: str = "stereo"
+    # --- sensor handlers (rgbd_handler.cpp:19-26, lidar_handler_node.py:208-224) ---
+    pointcloud_topic: str = "pointcloud"
+    odom_topic: str = "odom"
+    map_manager_process_period_ms: int = 100
+    voxel_size: float = 0.5
+    registration_min_inliers: int = 60
+    keyframe_generation_ratio_distance: float = 0.5
+    keyframe_generation_ratio_threshold: float = 1.0
+    pointcloud_odom_approx_time_sync_s: float = 0.1
+    max_queue_size: int = 10
+    pnp_min_inliers: int = 6
+    # --- TPU-native extras ---
+    descriptor_dim: int = 64          # used by the 'disable' random-descriptor mode
+    bank_initial_capacity: int = 1024  # padded bank tier start (doubles on growth)
+    query_batch_size: int = 8          # batched descriptor-bank queries per dispatch
+
+
+@dataclass
+class BackendConfig:
+    # reference pose_graph_manager_node.cpp:18-32, example.yaml:34-38
+    pose_graph_optimization_start_period_ms: int = 500
+    pose_graph_optimization_loop_period_ms: int = 100
+    max_waiting_time_sec: float = 60.0
+    enable_broadcast_tf_frames: bool = True
+    # --- solver (replaces GTSAM GncOptimizer defaults, decentralized_pgo.cpp:805-808) ---
+    gnc_max_outer_iterations: int = 10
+    gnc_mu_step: float = 1.4
+    gnc_barc_sq: float = 1.0          # TLS inlier threshold (chi2)
+    lm_max_iterations: int = 50
+    lm_init_lambda: float = 1e-4
+    cg_max_iterations: int = 200
+    cg_tol: float = 1e-8
+    rotation_default_noise_std: float = 0.01   # decentralized_pgo.cpp:64-70
+    translation_default_noise_std: float = 0.1
+    # --- distributed (TPU mesh) mode ---
+    enable_distributed_pgo: bool = False
+    distributed_gauss_seidel_iterations: int = 10
+
+
+@dataclass
+class NeighborManagementConfig:
+    enable_neighbor_monitoring: bool = False
+    init_delay_sec: float = 5.0
+    max_heartbeat_delay_sec: float = 5.0
+    heartbeat_period_sec: float = 0.5
+
+
+@dataclass
+class EvaluationConfig:
+    enable_logs: bool = False
+    log_folder: str = ""
+    enable_gps_recording: bool = False
+    gps_topic: str = "gps/fix"
+    enable_simulated_rendezvous: bool = False
+    rendezvous_schedule_file: str = ""
+    enable_pose_timestamps_recording: bool = False
+    enable_sparsification_comparison: bool = False
+
+
+@dataclass
+class VisualizationConfig:
+    enable: bool = False
+    publishing_period_ms: int = 1000
+
+
+@dataclass
+class CslamConfig:
+    robot_id: int = 0
+    max_nb_robots: int = 10
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    backend: BackendConfig = field(default_factory=BackendConfig)
+    neighbor_management: NeighborManagementConfig = field(
+        default_factory=NeighborManagementConfig)
+    evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
+    visualization: VisualizationConfig = field(
+        default_factory=VisualizationConfig)
+
+    # -- dotted-dict interop (library layer consumes plain dicts, like the
+    #    reference's flattened ROS params) --
+
+    _NS_ALIASES = {
+        "frontend.cosplace.descriptor_dim": "frontend.cosplace_descriptor_dim",
+        "frontend.cosplace.backbone": "frontend.cosplace_backbone",
+        "frontend.netvlad.pca_checkpoint": "frontend.netvlad_pca_checkpoint",
+    }
+
+    def flatten(self) -> Dict[str, Any]:
+        out: Dict[str, Any] = {
+            "robot_id": self.robot_id,
+            "max_nb_robots": self.max_nb_robots,
+        }
+        for ns in ("frontend", "backend", "neighbor_management", "evaluation",
+                   "visualization"):
+            sub = getattr(self, ns)
+            for f in dataclasses.fields(sub):
+                out[f"{ns}.{f.name}"] = getattr(sub, f.name)
+        # also expose the reference's exact dotted spellings
+        out["frontend.cosplace.descriptor_dim"] = self.frontend.cosplace_descriptor_dim
+        out["frontend.cosplace.backbone"] = self.frontend.cosplace_backbone
+        out["frontend.netvlad.pca_checkpoint"] = self.frontend.netvlad_pca_checkpoint
+        return out
+
+    def set_dotted(self, key: str, value: Any) -> None:
+        key = self._NS_ALIASES.get(key, key)
+        if "." not in key:
+            setattr(self, key, value)
+            return
+        ns, name = key.split(".", 1)
+        name = name.replace(".", "_")
+        sub = getattr(self, ns)
+        if not hasattr(sub, name):
+            raise KeyError(f"unknown config key: {key}")
+        cur = getattr(sub, name)
+        if cur is not None and value is not None and not isinstance(value, type(cur)):
+            value = type(cur)(value)  # coerce e.g. int -> float
+        setattr(sub, name, value)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any],
+                  base: Optional["CslamConfig"] = None) -> "CslamConfig":
+        cfg = base if base is not None else cls()
+        for k, v in _flatten_nested(d).items():
+            cfg.set_dotted(k, v)
+        return cfg
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "CslamConfig":
+        import yaml
+        with open(path) as f:
+            data = yaml.safe_load(f)
+        # accept the reference's ROS layout (`/**: ros__parameters: {...}`)
+        if isinstance(data, dict) and "/**" in data:
+            data = data["/**"].get("ros__parameters", {})
+        return cls.from_dict(data)
+
+
+def _flatten_nested(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_nested(v, f"{key}."))
+        else:
+            out[key] = v
+    return out

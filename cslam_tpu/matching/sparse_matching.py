@@ -1,0 +1,97 @@
+"""Sparse inter-robot loop-closure matching over descriptor banks.
+
+Equivalent of the reference ``cslam/loop_closure_sparse_matching.py``: one
+local descriptor bank plus one bank per other robot; every new descriptor is
+searched against the other side's banks and similarity hits above the
+threshold become candidate edges for the budgeted selector.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from cslam_tpu.matching.nns_bank import DescriptorBank
+from cslam_tpu.selection.acm import AlgebraicConnectivityMaximization
+from cslam_tpu.types import EdgeInterRobot
+
+
+def _make_bank(params: dict):
+    if params.get("frontend.sensor_type") == "lidar":
+        from cslam_tpu.matching.scancontext_bank import ScanContextBank
+        return ScanContextBank()
+    return DescriptorBank()
+
+
+class LoopClosureSparseMatching:
+    """Matches global descriptors into budget-selected loop-closure candidates."""
+
+    def __init__(self, params: dict):
+        self.params = params
+        self.local_nnsm = _make_bank(params)
+        self.other_robots_nnsm: Dict[int, Any] = {}
+        for i in range(params["max_nb_robots"]):
+            if i != params["robot_id"]:
+                self.other_robots_nnsm[i] = _make_bank(params)
+        self.candidate_selector = AlgebraicConnectivityMaximization(
+            params["robot_id"], params["max_nb_robots"], extra_params=params)
+
+    def add_local_global_descriptor(self, embedding: np.ndarray,
+                                    keyframe_id: int) -> List[EdgeInterRobot]:
+        """Store a local keyframe descriptor and match it against every other
+        robot's bank (reference lcsm.py:36-54)."""
+        matches = []
+        self.local_nnsm.add_item(embedding, keyframe_id)
+        for rid, bank in self.other_robots_nnsm.items():
+            kf, similarity = bank.search_best(embedding)
+            if kf is None:
+                continue
+            if similarity >= self.params["frontend.similarity_threshold"]:
+                match = EdgeInterRobot(self.params["robot_id"], keyframe_id,
+                                       rid, kf, similarity)
+                self.candidate_selector.add_match(match)
+                matches.append(match)
+        return matches
+
+    def add_other_robot_global_descriptor(self, msg) -> Optional[EdgeInterRobot]:
+        """Intake a gossiped descriptor from another robot and match it
+        against the local bank (reference lcsm.py:56-72)."""
+        self.other_robots_nnsm[msg.robot_id].add_item(
+            np.asarray(msg.descriptor), msg.keyframe_id)
+        kf, similarity = self.local_nnsm.search_best(np.asarray(msg.descriptor))
+        if kf is None:
+            return None
+        if similarity < self.params["frontend.similarity_threshold"]:
+            return None
+        match = EdgeInterRobot(self.params["robot_id"], kf, msg.robot_id,
+                               msg.keyframe_id, similarity)
+        self.candidate_selector.add_match(match)
+        return match
+
+    def match_local_loop_closures(
+            self, descriptor: np.ndarray,
+            kf_id: int) -> Tuple[Optional[int], Optional[List[int]]]:
+        """Best intra-robot loop-closure match with a minimum keyframe gap
+        (reference lcsm.py:74-92)."""
+        kfs, similarities = self.local_nnsm.search(
+            descriptor, k=self.params["frontend.nb_best_matches"])
+        if len(kfs) > 0 and kfs[0] == kf_id:
+            kfs, similarities = kfs[1:], similarities[1:]
+        if len(kfs) == 0 or kfs[0] is None:
+            return None, None
+        gap = self.params["frontend.intra_loop_min_inbetween_keyframes"]
+        for kf, similarity in zip(kfs, similarities):
+            if abs(kf - kf_id) < gap:
+                continue
+            if similarity < self.params["frontend.similarity_threshold"]:
+                continue
+            return kf, kfs
+        return None, None
+
+    def select_candidates(self, number_of_candidates: int,
+                          is_neighbor_in_range: Dict[int, bool],
+                          greedy_initialization: bool = True
+                          ) -> List[EdgeInterRobot]:
+        """Budgeted selection delegated to the ACM/MAC stack."""
+        return self.candidate_selector.select_candidates(
+            number_of_candidates, is_neighbor_in_range, greedy_initialization)

@@ -1,0 +1,353 @@
+"""Algebraic-connectivity-maximization candidate bookkeeping and selection.
+
+Host-side orchestration with the same behavior contract as the reference
+``cslam/algebraic_connectivity_maximization.py``: it maintains fixed /
+candidate inter-robot edges, rekeys the multi-robot (robot, keyframe) id
+space into one contiguous node index space, infers odometry chain edges for
+free, and runs the budgeted MAC selection (``cslam_tpu.selection.mac``,
+whose Fiedler eigensolves run jitted on the TPU).
+
+Graph bookkeeping stays on the host on purpose: it is tiny, dynamic, and
+gossip-driven; only the numeric core (Frank-Wolfe + eigensolve) is device
+code.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from cslam_tpu.selection.mac import MAC
+from cslam_tpu.types import Edge, EdgeInterRobot
+
+_DEFAULT_PARAMS = {
+    "frontend.enable_sparsification": True,
+    "evaluation.enable_sparsification_comparison": False,
+}
+
+
+class AlgebraicConnectivityMaximization:
+    """Budget-constrained inter-robot loop-closure candidate selector."""
+
+    def __init__(self, robot_id: int = 0, max_nb_robots: int = 1,
+                 max_iters: int = 20, fixed_weight: float = 1.0,
+                 extra_params: Optional[dict] = None):
+        self.fixed_weight = fixed_weight
+        self.params = dict(_DEFAULT_PARAMS)
+        if extra_params:
+            self.params.update(extra_params)
+        self.max_iters = max_iters
+        self.robot_id = robot_id
+        self.max_nb_robots = max_nb_robots
+
+        self.fixed_edges: List[EdgeInterRobot] = []
+        self.candidate_edges: Dict[Tuple[int, int, int, int],
+                                   EdgeInterRobot] = {}
+        self.already_considered_matches: Set[Tuple[int, int, int, int]] = set()
+
+        self.total_nb_poses = 0
+        self.nb_poses: Dict[int, int] = {i: 0 for i in range(max_nb_robots)}
+        self.initial_fixed_edge_exists: Dict[int, bool] = {
+            i: False for i in range(max_nb_robots)}
+        self.offsets: Dict[int, int] = {i: 0 for i in range(max_nb_robots)}
+
+        # side-by-side greedy-vs-MAC logging (reference acm.py:526-557)
+        self.log_greedy_edges: List[EdgeInterRobot] = []
+        self.log_mac_edges: List[EdgeInterRobot] = []
+
+    # ------------------------------------------------------------------
+    # Edge bookkeeping
+    # ------------------------------------------------------------------
+
+    def edge_key(self, edge: EdgeInterRobot) -> Tuple[int, int, int, int]:
+        """Canonical direction-independent key (reference acm.py:76-90)."""
+        return edge.key()
+
+    def replace_weight(self, edge, weight: float):
+        if isinstance(edge, EdgeInterRobot):
+            return edge._replace(weight=weight)
+        return Edge(edge.i, edge.j, weight)
+
+    def _track_poses(self, edge: EdgeInterRobot) -> None:
+        """Pose counts are the max keyframe id seen per robot (acm.py:110-119)."""
+        self.nb_poses[edge.robot0_id] = max(self.nb_poses[edge.robot0_id],
+                                            edge.robot0_keyframe_id + 1)
+        self.nb_poses[edge.robot1_id] = max(self.nb_poses[edge.robot1_id],
+                                            edge.robot1_keyframe_id + 1)
+
+    def _track_fixed_link(self, edge: EdgeInterRobot) -> None:
+        """Remember robots that own at least one verified inter-robot edge
+        (acm.py:121-130) — required before MAC can run safely."""
+        if edge.robot0_id != edge.robot1_id:
+            self.initial_fixed_edge_exists[edge.robot0_id] = True
+            self.initial_fixed_edge_exists[edge.robot1_id] = True
+
+    def set_graph(self, fixed_edges: List[EdgeInterRobot],
+                  candidate_edges: Iterable[EdgeInterRobot]) -> None:
+        self.fixed_edges = list(fixed_edges)
+        for e in self.fixed_edges:
+            self._track_poses(e)
+            self._track_fixed_link(e)
+        for e in candidate_edges:
+            self._track_poses(e)
+            self.candidate_edges[self.edge_key(e)] = e
+
+    def add_fixed_edge(self, edge: EdgeInterRobot) -> None:
+        self.fixed_edges.append(edge)
+        self._track_poses(edge)
+        self._track_fixed_link(edge)
+
+    def add_candidate_edge(self, edge: EdgeInterRobot) -> None:
+        """Add unless it was already verified or permanently demoted
+        (``already_considered_matches``, acm.py:163-176)."""
+        if self.edge_key(edge) in self.already_considered_matches:
+            return
+        self.candidate_edges[self.edge_key(edge)] = edge
+        self._track_poses(edge)
+
+    def add_match(self, match: EdgeInterRobot) -> None:
+        """Keep the max-weight observation of a repeated match (acm.py:559-572)."""
+        key = self.edge_key(match)
+        existing = self.candidate_edges.get(key)
+        if existing is None or match.weight > existing.weight:
+            self.add_candidate_edge(match)
+
+    def remove_candidate_edges(self, edges: Sequence[EdgeInterRobot],
+                               failed: bool = False) -> None:
+        for edge in edges:
+            self.candidate_edges.pop(self.edge_key(edge), None)
+            self.already_considered_matches.add(self.edge_key(edge))
+
+    def candidate_edges_to_fixed(self, edges: List[EdgeInterRobot]) -> None:
+        """Promote verified candidates to fixed measurements (acm.py:192-203)."""
+        promoted = [self.replace_weight(e, self.fixed_weight) for e in edges]
+        for e in promoted:
+            self._track_fixed_link(e)
+        self.fixed_edges.extend(promoted)
+        self.remove_candidate_edges(edges)
+
+    # ------------------------------------------------------------------
+    # Rekeying: (robot, keyframe) ids <-> one contiguous node index space
+    # ------------------------------------------------------------------
+
+    def check_graph_disconnections(
+            self, is_other_robot_considered: Dict[int, bool]) -> Dict[int, bool]:
+        """Which robots appear in the match graph at all (acm.py:391-417)."""
+        included = {i: i == self.robot_id for i in range(self.max_nb_robots)}
+        for edge in list(self.fixed_edges) + list(self.candidate_edges.values()):
+            for rid in (edge.robot0_id, edge.robot1_id):
+                if is_other_robot_considered.get(rid, False):
+                    included[rid] = True
+        return included
+
+    def compute_offsets(self, is_robot_included: Dict[int, bool]) -> None:
+        """Prefix-sum node offsets over included robots (acm.py:291-310)."""
+        self.offsets = {i: 0 for i in range(self.max_nb_robots)}
+        cursor = 0
+        for rid in range(self.max_nb_robots):
+            if is_robot_included.get(rid, False):
+                self.offsets[rid] = cursor
+                cursor += self.nb_poses[rid]
+
+    def rekey_edges(self, edges: Iterable[EdgeInterRobot],
+                    is_robot_included: Dict[int, bool]) -> List[Edge]:
+        out = []
+        for e in edges:
+            if (is_robot_included.get(e.robot0_id, False)
+                    and is_robot_included.get(e.robot1_id, False)):
+                out.append(Edge(self.offsets[e.robot0_id] + e.robot0_keyframe_id,
+                                self.offsets[e.robot1_id] + e.robot1_keyframe_id,
+                                e.weight))
+        return out
+
+    def get_included_edges(self, edges: Iterable[EdgeInterRobot],
+                           is_robot_included: Dict[int, bool]
+                           ) -> List[EdgeInterRobot]:
+        return [e for e in edges
+                if is_robot_included.get(e.robot0_id, False)
+                and is_robot_included.get(e.robot1_id, False)]
+
+    def fill_odometry(self) -> List[Edge]:
+        """Odometry chain edges inferred from pose counts, no comms needed
+        (acm.py:348-362)."""
+        odom = []
+        for rid in range(self.max_nb_robots):
+            base = self.offsets[rid]
+            for k in range(self.nb_poses[rid] - 1):
+                odom.append(Edge(base + k, base + k + 1, self.fixed_weight))
+        return odom
+
+    def _owner_of_node(self, node_id: int,
+                       is_robot_included: Dict[int, bool]) -> int:
+        """Inverse of rekeying: the included robot whose offset range holds
+        ``node_id`` (largest included robot id with offset <= node_id,
+        matching reference acm.py:364-389 iteration semantics)."""
+        owner = 0
+        for rid in range(self.max_nb_robots):
+            if is_robot_included.get(rid, False) and self.offsets[rid] <= node_id:
+                owner = rid
+        return owner
+
+    def recover_inter_robot_edges(self, edges: Sequence[Edge],
+                                  is_robot_included: Dict[int, bool]
+                                  ) -> List[EdgeInterRobot]:
+        recovered = []
+        for e in edges:
+            r0 = self._owner_of_node(e.i, is_robot_included)
+            r1 = self._owner_of_node(e.j, is_robot_included)
+            recovered.append(EdgeInterRobot(r0, e.i - self.offsets[r0],
+                                            r1, e.j - self.offsets[r1],
+                                            e.weight))
+        return recovered
+
+    # ------------------------------------------------------------------
+    # Initial guesses (reference acm.py:205-289)
+    # ------------------------------------------------------------------
+
+    def greedy_initialization(self, nb_to_choose: int,
+                              edges: Sequence[Edge]) -> np.ndarray:
+        """One-hot selection of the top-weight edges."""
+        w = np.zeros(len(edges))
+        if nb_to_choose <= 0 or not edges:
+            return w
+        weights = np.array([e.weight for e in edges])
+        top = np.argsort(weights)[-nb_to_choose:]
+        w[top] = 1.0
+        return w
+
+    def pseudo_greedy_initialization(self, nb_to_choose: int, nb_random: int,
+                                     edges: Sequence[Edge]) -> np.ndarray:
+        """Greedy for the first (k - nb_random), then random extras."""
+        w = self.greedy_initialization(nb_to_choose - nb_random, edges)
+        chosen, trials = 0, 0
+        max_trials = 2 * nb_random
+        while chosen < nb_random and trials < max_trials:
+            j = int(np.random.rand() * len(edges))
+            if w[j] < 0.5:
+                w[j] = 1.0
+                chosen += 1
+            trials += 1
+        if trials >= max_trials:
+            return self.greedy_initialization(nb_to_choose, edges)
+        return w
+
+    def random_initialization(self, nb_to_choose: int,
+                              edges: List[Edge]) -> np.ndarray:
+        randomized = [self.replace_weight(e, float(np.random.rand()))
+                      for e in edges]
+        return self.greedy_initialization(nb_to_choose, randomized)
+
+    def connection_biased_greedy_selection(
+            self, nb_to_choose: int, edges: List[EdgeInterRobot],
+            is_robot_included: Dict[int, bool]) -> np.ndarray:
+        """Greedy selection that first connects robots with no verified link
+        yet (reference acm.py:257-289) — used until MAC has a connected base
+        graph to work with."""
+        edges_copy = list(edges)
+        forced: List[int] = []
+        for rid, included in is_robot_included.items():
+            if not included or self.initial_fixed_edge_exists[rid]:
+                continue
+            best_idx, best_w = None, -1.0
+            for i, e in enumerate(edges_copy):
+                if rid in (e.robot0_id, e.robot1_id) and e.weight > best_w:
+                    best_idx, best_w = i, e.weight
+            if best_idx is not None:
+                forced.append(best_idx)
+                edges_copy[best_idx] = self.replace_weight(
+                    edges_copy[best_idx], 0.0)
+        w = np.zeros(len(edges))
+        remaining = nb_to_choose - len(forced)
+        if remaining > 0:
+            w = self.greedy_initialization(
+                remaining, self.rekey_edges(edges_copy, is_robot_included))
+            if len(w) < len(edges):  # some edges excluded by rekeying
+                w = np.pad(w, (0, len(edges) - len(w)))
+        for i in forced:
+            w[i] = 1.0
+        return w
+
+    def check_initial_fixed_measurements_exists(
+            self, is_robot_included: Dict[int, bool]) -> bool:
+        return all(self.initial_fixed_edge_exists[rid]
+                   for rid, inc in is_robot_included.items() if inc)
+
+    # ------------------------------------------------------------------
+    # Selection pipeline (reference acm.py:436-543)
+    # ------------------------------------------------------------------
+
+    def run_mac_solver(self, fixed_edges: List[Edge],
+                       candidate_edges: List[Edge], w_init: np.ndarray,
+                       nb_to_choose: int) -> np.ndarray:
+        mac = MAC(fixed_edges, candidate_edges, self.total_nb_poses)
+        try:
+            result, _, _ = mac.fw_subset(w_init, nb_to_choose,
+                                         max_iters=self.max_iters)
+            return result
+        except Exception:
+            # The dense deflated eigensolver cannot hit the reference's LU
+            # singular-matrix failure mode (acm.py:449-465); any unexpected
+            # numeric failure falls back to the initial guess.
+            return w_init.copy()
+
+    def select_candidates(self, nb_candidates_to_choose: int,
+                          is_other_robot_considered: Dict[int, bool],
+                          greedy_initialization: bool = True
+                          ) -> List[EdgeInterRobot]:
+        """Select up to the budget of candidate edges, remove them from the
+        candidate pool, and return them (reference acm.py:468-543)."""
+        is_robot_included = self.check_graph_disconnections(
+            is_other_robot_considered)
+        self.compute_offsets(is_robot_included)
+        rekeyed_fixed = self.rekey_edges(self.fixed_edges, is_robot_included)
+        rekeyed_fixed.extend(self.fill_odometry())
+        rekeyed_candidates = self.rekey_edges(self.candidate_edges.values(),
+                                              is_robot_included)
+
+        nb_to_choose = min(nb_candidates_to_choose, len(rekeyed_candidates))
+        if not rekeyed_candidates:
+            return []
+
+        self.total_nb_poses = sum(self.nb_poses[r]
+                                  for r in range(self.max_nb_robots))
+
+        if greedy_initialization:
+            w_init = self.greedy_initialization(nb_to_choose,
+                                                rekeyed_candidates)
+        else:
+            w_init = self.random_initialization(nb_to_choose,
+                                                rekeyed_candidates)
+
+        if (self.params["frontend.enable_sparsification"]
+                and self.check_initial_fixed_measurements_exists(
+                    is_robot_included)):
+            result = self.run_mac_solver(rekeyed_fixed, rekeyed_candidates,
+                                         w_init, nb_to_choose)
+        else:
+            result = self.connection_biased_greedy_selection(
+                nb_to_choose,
+                self.get_included_edges(self.candidate_edges.values(),
+                                        is_robot_included),
+                is_robot_included)
+
+        if self.params.get("evaluation.enable_sparsification_comparison",
+                           False):
+            self._log_sparsification_comparison(rekeyed_candidates,
+                                                is_robot_included, w_init,
+                                                result)
+
+        selected = [rekeyed_candidates[i]
+                    for i in np.nonzero(result.astype(int))[0]]
+        inter_robot_edges = self.recover_inter_robot_edges(
+            selected, is_robot_included)
+        self.remove_candidate_edges(inter_robot_edges)
+        return inter_robot_edges
+
+    def _log_sparsification_comparison(self, rekeyed_candidates, included,
+                                       greedy_result, mac_result) -> None:
+        self.log_greedy_edges = self.recover_inter_robot_edges(
+            [rekeyed_candidates[i]
+             for i in np.nonzero(greedy_result.astype(int))[0]], included)
+        self.log_mac_edges = self.recover_inter_robot_edges(
+            [rekeyed_candidates[i]
+             for i in np.nonzero(mac_result.astype(int))[0]], included)

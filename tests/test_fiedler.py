@@ -1,0 +1,77 @@
+"""On-device Fiedler eigensolver vs. ground truth."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cslam_tpu.ops.fiedler import (algebraic_connectivity, fiedler_pair,
+                                   laplacian_from_edges)
+
+
+def dense_lambda2(L, p):
+    """Ground truth second-smallest eigenvalue via numpy on the active block."""
+    vals = np.linalg.eigvalsh(np.asarray(L)[:p, :p])
+    return vals[1]
+
+
+def make_graph(edges, p, pad_to):
+    idx_i = np.array([e[0] for e in edges], np.int32)
+    idx_j = np.array([e[1] for e in edges], np.int32)
+    w = np.array([e[2] for e in edges], np.float32)
+    active = np.zeros(pad_to, np.float32)
+    active[:p] = 1.0
+    L = laplacian_from_edges(jnp.asarray(idx_i), jnp.asarray(idx_j),
+                             jnp.asarray(w), pad_to)
+    return L, jnp.asarray(active)
+
+
+def test_path_graph():
+    # path on 4 nodes: lambda_2 = 2 - sqrt(2)
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)]
+    L, active = make_graph(edges, 4, 8)
+    lam2, v = fiedler_pair(L, active)
+    assert float(lam2) == pytest.approx(2 - np.sqrt(2), abs=1e-5)
+    # eigenvector supported on active nodes only
+    np.testing.assert_allclose(np.asarray(v)[4:], 0.0, atol=1e-5)
+
+
+def test_complete_graph():
+    # K4: lambda_2 = 4
+    edges = [(i, j, 1.0) for i in range(4) for j in range(i + 1, 4)]
+    L, active = make_graph(edges, 4, 16)
+    lam2, _ = fiedler_pair(L, active)
+    assert float(lam2) == pytest.approx(4.0, abs=1e-4)
+
+
+def test_disconnected_graph_gives_zero():
+    edges = [(0, 1, 1.0), (2, 3, 1.0)]
+    L, active = make_graph(edges, 4, 8)
+    lam2, _ = fiedler_pair(L, active)
+    assert float(lam2) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_random_weighted_graph_matches_numpy():
+    rng = np.random.default_rng(0)
+    p = 30
+    edges = []
+    for i in range(p - 1):
+        edges.append((i, i + 1, float(rng.random()) + 0.1))
+    for _ in range(40):
+        i, j = rng.integers(0, p, 2)
+        if i != j:
+            edges.append((int(i), int(j), float(rng.random())))
+    L, active = make_graph(edges, p, 64)
+    lam2 = algebraic_connectivity(
+        jnp.asarray(np.array([e[0] for e in edges], np.int32)),
+        jnp.asarray(np.array([e[1] for e in edges], np.int32)),
+        jnp.asarray(np.array([e[2] for e in edges], np.float32)),
+        active)
+    assert float(lam2) == pytest.approx(dense_lambda2(L, p), abs=1e-4)
+
+
+def test_fiedler_vector_orthogonal_to_ones():
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)]
+    L, active = make_graph(edges, 4, 8)
+    lam2, v = fiedler_pair(L, active)
+    v = np.asarray(v)
+    assert abs(v[:4].sum()) < 1e-4
+    assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-4)

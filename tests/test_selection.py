@@ -1,0 +1,313 @@
+"""Selection-stack tests: ACM bookkeeping + MAC solver semantics.
+
+Covers the same invariants as the reference suite
+(reference tests/test_algebraic_connectivity.py): selection cardinality,
+greedy init = top-k weights, incremental add/fix/remove, connectivity
+detection with excluded robots, offset/rekey/recover round-trips, and
+max-weight dedup in add_match.
+"""
+import random
+
+import numpy as np
+import pytest
+
+from cslam_tpu.selection.acm import AlgebraicConnectivityMaximization
+from cslam_tpu.types import Edge, EdgeInterRobot
+
+from helpers import all_considered, multi_robot_graph, simple_graph
+
+
+def make_acm(robot_id=0, nb_robots=1):
+    return AlgebraicConnectivityMaximization(robot_id=robot_id,
+                                             max_nb_robots=nb_robots)
+
+
+class TestSingleRobotSelection:
+
+    def test_selection_cardinality(self):
+        fixed, candidates = simple_graph(100, 50, seed=1)
+        ac = make_acm()
+        ac.set_graph(fixed, candidates)
+        selection = ac.select_candidates(10, all_considered(1),
+                                         greedy_initialization=False)
+        assert len(selection) == 10
+
+    def test_budget_larger_than_pool(self):
+        fixed, candidates = simple_graph(50, 5, seed=2)
+        ac = make_acm()
+        ac.set_graph(fixed, candidates)
+        selection = ac.select_candidates(10, all_considered(1),
+                                         greedy_initialization=False)
+        assert len(selection) == 5
+
+    def test_greedy_initialization_is_topk(self):
+        fixed, candidates = simple_graph(100, 50, seed=3)
+        weights = np.random.default_rng(3).random(50)
+        candidates = [e._replace(weight=float(w))
+                      for e, w in zip(candidates, weights)]
+        ac = make_acm()
+        ac.set_graph(fixed, candidates)
+        included = ac.check_graph_disconnections(all_considered(1))
+        ac.compute_offsets(included)
+        edges = ac.rekey_edges(ac.candidate_edges.values(), included)
+        w_init = ac.greedy_initialization(10, edges)
+        edge_weights = np.array([e.weight for e in edges])
+        assert np.isclose(np.sum(edge_weights[w_init.astype(bool)]),
+                          np.sum(np.sort(edge_weights)[-10:]))
+
+    def test_incremental_additions(self):
+        fixed, candidates = simple_graph(100, 50, seed=4)
+        ac = make_acm()
+        ac.set_graph(fixed, candidates)
+        considered = all_considered(1)
+        assert len(ac.select_candidates(10, considered, False)) == 10
+        rng = random.Random(4)
+        for _ in range(10):
+            ac.add_candidate_edge(EdgeInterRobot(
+                0, rng.randrange(100), 0, rng.randrange(100), 1.0))
+        assert len(ac.select_candidates(10, considered, False)) == 10
+        assert len(ac.select_candidates(12, considered, False)) == 12
+        for _ in range(10):
+            ac.add_candidate_edge(EdgeInterRobot(
+                0, rng.randrange(100), 0, rng.randrange(100), 1.0))
+        assert len(ac.select_candidates(12, considered, False)) == 12
+
+    def test_fixed_edges_do_not_change_budget(self):
+        fixed, candidates = simple_graph(100, 50, seed=5)
+        ac = make_acm()
+        ac.set_graph(fixed, candidates)
+        considered = all_considered(1)
+        assert len(ac.select_candidates(10, considered, False)) == 10
+        rng = random.Random(5)
+        for _ in range(10):
+            ac.add_fixed_edge(EdgeInterRobot(
+                0, rng.randrange(100), 0, rng.randrange(100), 1.0))
+        assert len(ac.select_candidates(10, considered, False)) == 10
+
+    def test_selection_comes_from_pool_no_duplicates(self):
+        fixed, candidates = simple_graph(100, 50, seed=6)
+        ac = make_acm()
+        ac.set_graph(fixed, candidates)
+        pool_before = list(ac.candidate_edges.values())
+        selection = ac.select_candidates(10, all_considered(1), False)
+        assert len(selection) == 10
+        seen = set()
+        for e in selection:
+            assert e in pool_before
+            seen.add(e)
+        assert len(seen) == 10
+
+    def test_remove_candidates(self):
+        fixed, candidates = simple_graph(100, 50, seed=7)
+        ac = make_acm()
+        ac.set_graph(fixed, candidates)
+        n0 = len(ac.candidate_edges)
+        ac.remove_candidate_edges(list(ac.candidate_edges.values())[:10])
+        assert len(ac.candidate_edges) == n0 - 10
+        # removing a non-existent edge is a no-op for the pool
+        ac.remove_candidate_edges([EdgeInterRobot(0, 1, 4, 1, 1.0)])
+        assert len(ac.candidate_edges) == n0 - 10
+
+    def test_removed_candidates_never_return(self):
+        ac = make_acm()
+        e = EdgeInterRobot(0, 1, 0, 30, 0.5)
+        ac.add_candidate_edge(e)
+        ac.remove_candidate_edges([e], failed=True)
+        ac.add_candidate_edge(e)  # demoted permanently
+        assert len(ac.candidate_edges) == 0
+
+    def test_candidate_to_fixed_promotion(self):
+        fixed, candidates = simple_graph(100, 50, seed=8)
+        ac = make_acm()
+        ac.set_graph(fixed, candidates)
+        pool_before = dict(ac.candidate_edges)
+        considered = all_considered(1)
+        selection0 = ac.select_candidates(10, considered, False)
+        ac.candidate_edges_to_fixed(selection0)
+        for e in selection0:
+            assert e not in list(ac.candidate_edges.values())
+        selection1 = ac.select_candidates(10, considered, False)
+        for e in selection1:
+            assert e in list(pool_before.values())
+        for e0 in selection0:
+            for e1 in selection1:
+                assert not (e0.robot0_keyframe_id == e1.robot0_keyframe_id
+                            and e0.robot1_keyframe_id == e1.robot1_keyframe_id)
+
+
+class TestMultiRobot:
+
+    def test_remove_candidate_multi(self):
+        fixed, candidates = multi_robot_graph(10, 10, 3, seed=10)
+        ac = make_acm(0, 3)
+        ac.set_graph(fixed, candidates)
+        pool_before = dict(ac.candidate_edges)
+        selection = ac.select_candidates(3, all_considered(3), False)
+        assert len(selection) == 3
+        for e in selection:
+            assert e in list(pool_before.values())
+        n0 = len(ac.candidate_edges)
+        ac.remove_candidate_edges([list(ac.candidate_edges.values())[0]])
+        assert len(ac.candidate_edges) == n0 - 1
+        ac.remove_candidate_edges([EdgeInterRobot(0, 1, 4, 1, 1.0)])
+        assert len(ac.candidate_edges) == n0 - 1
+
+    def test_graph_disconnections(self):
+        fixed, candidates = multi_robot_graph(10, 10, 3, seed=11)
+        ac = make_acm(0, 3)
+        ac.set_graph(fixed, candidates)
+        included = ac.check_graph_disconnections(all_considered(3))
+        assert all(included.values())
+
+        considered = all_considered(3)
+        considered[1] = False
+        included = ac.check_graph_disconnections(considered)
+        assert included[0] and included[2] and not included[1]
+
+    def test_graph_disconnections_robot_absent(self):
+        fixed, candidates = multi_robot_graph(10, 10, 3, seed=12)
+        fixed = [e for e in fixed if 0 not in (e.robot0_id, e.robot1_id)]
+        candidates = [e for e in candidates
+                      if 0 not in (e.robot0_id, e.robot1_id)]
+        ac = make_acm(1, 3)
+        ac.set_graph(fixed, candidates)
+        included = ac.check_graph_disconnections(all_considered(3))
+        assert not included[0]
+        assert included[1] and included[2]
+
+    def test_compute_offsets(self):
+        fixed, candidates = multi_robot_graph(10, 10, 5, seed=13)
+        ac = make_acm(1, 5)
+        ac.set_graph(fixed, candidates)
+        included = ac.check_graph_disconnections(all_considered(5))
+        ac.compute_offsets(included)
+        nb = ac.nb_poses
+        assert ac.offsets[0] == 0
+        for r in range(1, 5):
+            assert ac.offsets[r] == ac.offsets[r - 1] + nb[r - 1]
+
+    def test_compute_offsets_with_excluded_robots(self):
+        fixed, candidates = multi_robot_graph(10, 10, 5, seed=14)
+        nb = {r: 10 for r in range(5)}
+
+        def drop(robot, edges):
+            return [e for e in edges if robot not in (e.robot0_id, e.robot1_id)]
+
+        # robot 0 absent from the graph
+        fixed1, cand1 = drop(0, fixed), drop(0, candidates)
+        ac = make_acm(1, 5)
+        ac.set_graph(fixed1, cand1)
+        included = ac.check_graph_disconnections(all_considered(5))
+        ac.compute_offsets(included)
+        assert ac.offsets[0] == 0 and ac.offsets[1] == 0
+        assert ac.offsets[2] == ac.offsets[1] + nb[1]
+        assert ac.offsets[3] == ac.offsets[2] + nb[2]
+        assert ac.offsets[4] == ac.offsets[3] + nb[3]
+
+        # robots 0 and 3 absent; 1-4 linked to keep connectivity
+        fixed2, cand2 = drop(3, fixed1), drop(3, cand1)
+        fixed2.append(EdgeInterRobot(1, 1, 4, 1, 1.0))
+        ac = make_acm(1, 5)
+        ac.set_graph(fixed2, cand2)
+        included = ac.check_graph_disconnections(all_considered(5))
+        ac.compute_offsets(included)
+        assert ac.offsets[0] == 0 and ac.offsets[1] == 0
+        assert ac.offsets[2] == ac.offsets[1] + nb[1]
+        assert ac.offsets[3] == 0
+        assert ac.offsets[4] == ac.offsets[2] + nb[2]
+
+    def test_rekey_recover_roundtrip(self):
+        nb_poses = 10
+        fixed, candidates = multi_robot_graph(nb_poses, 10, 3, seed=15)
+        ac = make_acm(0, 3)
+        ac.set_graph(fixed, candidates)
+        included = ac.check_graph_disconnections(all_considered(3))
+        ac.compute_offsets(included)
+
+        rekeyed_fixed = ac.rekey_edges(ac.fixed_edges, included)
+        assert len(ac.fixed_edges) == 2
+        rekeyed_fixed.extend(ac.fill_odometry())
+        assert len(rekeyed_fixed) == 3 * (nb_poses - 1) + 2
+
+        rekeyed = ac.rekey_edges(ac.candidate_edges.values(), included)
+        values = list(ac.candidate_edges.values())
+        for e, r in zip(values, rekeyed):
+            assert r.i == e.robot0_keyframe_id + e.robot0_id * nb_poses
+            assert r.j == e.robot1_keyframe_id + e.robot1_id * nb_poses
+
+        recovered = ac.recover_inter_robot_edges(rekeyed, included)
+        for e, r in zip(values, recovered):
+            assert r.robot0_keyframe_id == e.robot0_keyframe_id
+            assert r.robot1_keyframe_id == e.robot1_keyframe_id
+
+    @pytest.mark.parametrize("robot_id", [0, 1])
+    def test_multi_robot_selection(self, robot_id):
+        fixed, candidates = multi_robot_graph(100, 100, 3, seed=16 + robot_id)
+        ac = make_acm(robot_id, 3)
+        ac.set_graph(fixed, candidates)
+        selection = ac.select_candidates(10, all_considered(3), False)
+        assert len(selection) == 10
+        for s in selection:
+            assert 0 <= s.robot0_keyframe_id < 100
+            assert 0 <= s.robot1_keyframe_id < 100
+            assert 0 <= s.robot0_id < 3
+            assert 0 <= s.robot1_id < 3
+
+    def test_add_match_max_weight_dedup(self):
+        ac = make_acm(0, 3)
+        ac.add_match(EdgeInterRobot(0, 1, 1, 3, 0.1))
+        assert len(ac.candidate_edges) == 1
+        ac.add_match(EdgeInterRobot(0, 2, 2, 4, 0.1))
+        assert len(ac.candidate_edges) == 2
+        ac.add_match(EdgeInterRobot(0, 1, 1, 3, 0.2))
+        assert len(ac.candidate_edges) == 2
+        assert ac.candidate_edges[(0, 1, 1, 3)].weight == pytest.approx(0.2)
+        # lower-weight re-observation does not downgrade
+        ac.add_match(EdgeInterRobot(0, 1, 1, 3, 0.05))
+        assert ac.candidate_edges[(0, 1, 1, 3)].weight == pytest.approx(0.2)
+
+    def test_symmetric_edge_equality(self):
+        a = EdgeInterRobot(0, 1, 1, 3, 0.1)
+        b = EdgeInterRobot(1, 3, 0, 1, 0.9)
+        assert a == b
+        assert hash(a) == hash(b)
+        assert a != EdgeInterRobot(0, 1, 1, 4, 0.1)
+
+
+class TestMacSolver:
+
+    def test_mac_improves_connectivity_over_greedy(self):
+        """MAC should pick a selection whose lambda_2 is at least as good as
+        greedy's on a graph where weights mislead greedy."""
+        from cslam_tpu.selection.mac import MAC
+        rng = np.random.default_rng(0)
+        n = 40
+        # chain graph (odometry)
+        fixed = [Edge(i, i + 1, 1.0) for i in range(n - 1)]
+        # candidates: many short-range edges with high weight, a few
+        # long-range with low weight
+        candidates = []
+        for i in range(0, n - 2, 2):
+            candidates.append(Edge(i, i + 2, 1.0))
+        candidates.append(Edge(0, n - 1, 0.5))
+        candidates.append(Edge(5, n - 5, 0.5))
+        mac = MAC(fixed, candidates, n)
+
+        k = 2
+        weights = np.array([c.weight for c in candidates])
+        greedy = np.zeros(len(candidates))
+        greedy[np.argsort(weights)[-k:]] = 1.0
+        rounded, _, _ = mac.fw_subset(greedy, k, max_iters=20)
+        assert rounded.sum() == k
+        assert (mac.evaluate_objective(rounded)
+                >= mac.evaluate_objective(greedy) - 1e-6)
+
+    def test_disconnected_graph_does_not_raise(self):
+        """Where the reference's LU eigensolver throws on disconnected graphs
+        (reference acm.py:449-465), ours returns lambda_2 = 0 gracefully."""
+        from cslam_tpu.selection.mac import MAC
+        fixed = [Edge(0, 1, 1.0), Edge(2, 3, 1.0)]  # two components
+        candidates = [Edge(1, 2, 1.0), Edge(0, 3, 0.9)]
+        mac = MAC(fixed, candidates, 4)
+        rounded, _, _ = mac.fw_subset(np.zeros(2), 1, max_iters=5)
+        assert rounded.sum() == 1

@@ -1,0 +1,163 @@
+"""Sparse-matching + descriptor-bank tests.
+
+Covers the same numeric contract as the reference suite
+(reference tests/test_sparse_matching.py), in particular the key property for
+a TPU NNS kernel: cosine-similarity ordering == euclidean-distance ordering
+for L2-normalized vectors.
+"""
+from collections import namedtuple
+
+import numpy as np
+import pytest
+
+from cslam_tpu.matching.nns_bank import DescriptorBank
+from cslam_tpu.matching.sparse_matching import LoopClosureSparseMatching
+
+from helpers import matching_params, unit_vectors
+
+GlobalDescriptor = namedtuple("GlobalDescriptor",
+                              ["keyframe_id", "robot_id", "descriptor"])
+
+
+class TestDescriptorBank:
+
+    def test_insertion_fidelity(self):
+        bank = DescriptorBank()
+        rng = np.random.default_rng(0)
+        d = rng.random(10).astype(np.float32)
+        bank.add_item(d, 1)
+        np.testing.assert_allclose(bank.data[0], d, rtol=1e-6)
+        assert bank.items[0] == 1
+
+    def test_empty_bank(self):
+        bank = DescriptorBank()
+        assert bank.search_best(np.ones(4)) == (None, None)
+        items, sims = bank.search(np.ones(4), 5)
+        assert items == [] and len(sims) == 0
+
+    def test_growth_beyond_capacity(self):
+        bank = DescriptorBank(capacity=8)
+        vecs = unit_vectors(40, 16)
+        for i, v in enumerate(vecs):
+            bank.add_item(v, i)
+        assert bank.n == 40
+        # exact self-retrieval after growth
+        items, sims = bank.search(vecs[37], 1)
+        assert items[0] == 37
+        assert sims[0] == pytest.approx(1.0, abs=1e-5)
+
+    def test_cosine_order_matches_euclidean_for_unit_vectors(self):
+        rng = np.random.default_rng(1)
+        bank = DescriptorBank()
+        vecs = unit_vectors(100, 100, rng)
+        for i, v in enumerate(vecs):
+            bank.add_item(v, i)
+        k = 100
+        for _ in range(20):
+            q = rng.random(100)
+            q = q / np.linalg.norm(q)
+            dists = np.linalg.norm(q[None, :] - vecs, axis=1)
+            order_by_dist = np.argsort(dists)[:k]
+            items, sims = bank.search(q, k)
+            assert np.all(sims[:-1] >= sims[1:])  # sorted descending
+            for j in range(k):
+                if order_by_dist[j] != items[j]:
+                    # ties may be ordered arbitrarily
+                    a, b = order_by_dist[j], items[j]
+                    assert (abs(sims[a] - sims[b]) < 1e-6
+                            or abs(dists[a] - dists[b]) < 1e-6)
+            best_item, _ = bank.search_best(q)
+            assert best_item == order_by_dist[0]
+
+    def test_batched_search_agrees_with_single(self):
+        rng = np.random.default_rng(2)
+        bank = DescriptorBank()
+        bank.add_items(unit_vectors(200, 32, rng), list(range(200)))
+        queries = unit_vectors(16, 32, rng)
+        sims_b, idx_b = bank.search_batch(queries, 5)
+        for qi in range(16):
+            items, sims = bank.search(queries[qi], 5)
+            assert [bank.items[int(i)] for i in idx_b[qi]] == items
+            np.testing.assert_allclose(sims_b[qi], sims, rtol=1e-5)
+
+    def test_mask_excludes_padding(self):
+        bank = DescriptorBank(capacity=64)
+        bank.add_item(np.ones(8, np.float32), 0)
+        items, sims = bank.search(np.ones(8, np.float32), 5)
+        assert items == [0]
+        assert len(sims) == 1
+
+
+class TestSparseMatching:
+
+    def test_add_local_descriptor_stored(self):
+        lcsm = LoopClosureSparseMatching(matching_params())
+        d = unit_vectors(1, 10)[0]
+        lcsm.add_local_global_descriptor(d, 1)
+        np.testing.assert_allclose(lcsm.local_nnsm.data[0], d, rtol=1e-6)
+
+    def test_add_other_robot_descriptor_stored(self):
+        lcsm = LoopClosureSparseMatching(matching_params())
+        d = unit_vectors(1, 10)[0]
+        lcsm.add_other_robot_global_descriptor(
+            GlobalDescriptor(0, 1, d.tolist()))
+        np.testing.assert_allclose(lcsm.other_robots_nnsm[1].data[0], d,
+                                   rtol=1e-6)
+
+    def test_cross_robot_match_formation(self):
+        lcsm = LoopClosureSparseMatching(matching_params())
+        rng = np.random.default_rng(3)
+        d0 = rng.random(10)
+        d0 = d0 / np.linalg.norm(d0)
+        lcsm.add_local_global_descriptor(d0.copy(), 2)
+
+        d1 = 1 - d0
+        d1 = d1 / np.linalg.norm(d1)
+        lcsm.add_other_robot_global_descriptor(
+            GlobalDescriptor(3, 1, d1.tolist()))
+
+        d2 = d0.copy()
+        d2[0] = d2[1] = 0.0
+        d2 = d2 / np.linalg.norm(d2)
+        lcsm.add_other_robot_global_descriptor(
+            GlobalDescriptor(4, 1, d2.tolist()))
+
+        # the near-copy of d0 must be the registered candidate (0,2)-(1,4)
+        edge = lcsm.candidate_selector.candidate_edges[(0, 2, 1, 4)]
+        assert edge.robot1_id == 1
+
+    def test_intra_robot_matching_respects_gap(self):
+        params = matching_params()
+        params["frontend.intra_loop_min_inbetween_keyframes"] = 5
+        lcsm = LoopClosureSparseMatching(params)
+        base = unit_vectors(1, 16)[0]
+        rng = np.random.default_rng(4)
+        for i in range(10):
+            noise = rng.normal(scale=0.01, size=16)
+            v = base + noise
+            lcsm.add_local_global_descriptor(v / np.linalg.norm(v), i)
+        kf, _ = lcsm.match_local_loop_closures(base, 9)
+        assert kf is not None
+        assert abs(kf - 9) >= 5
+
+    @pytest.mark.parametrize("max_robots,robot_id,other_ids", [
+        (3, 0, (1, 2)),
+        (4, 0, (2, 3)),   # robot 1 never appears
+        (4, 1, (2, 3)),   # robot 0 never appears
+    ])
+    def test_select_candidates_cardinality(self, max_robots, robot_id,
+                                           other_ids):
+        params = matching_params(robot_id=robot_id, max_nb_robots=max_robots)
+        lcsm = LoopClosureSparseMatching(params)
+        rng = np.random.default_rng(5)
+        for i in range(100):
+            v = unit_vectors(1, 10, rng)[0]
+            lcsm.add_local_global_descriptor(v, i)
+        for rid in other_ids:
+            for i in range(100):
+                v = unit_vectors(1, 10, rng)[0]
+                lcsm.add_other_robot_global_descriptor(
+                    GlobalDescriptor(i, rid, v.tolist()))
+        selection = lcsm.select_candidates(
+            20, {i: True for i in range(max_robots)})
+        assert len(selection) == 20
