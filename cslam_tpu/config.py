@@ -65,9 +65,9 @@ class BackendConfig:
     max_waiting_time_sec: float = 60.0
     enable_broadcast_tf_frames: bool = True
     # --- solver (replaces GTSAM GncOptimizer defaults, decentralized_pgo.cpp:805-808) ---
-    gnc_max_outer_iterations: int = 10
+    gnc_max_outer_iterations: int = 100
     gnc_mu_step: float = 1.4
-    gnc_barc_sq: float = 1.0          # TLS inlier threshold (chi2)
+    gnc_barc_sq: float = 16.81        # TLS inlier threshold (chi2(6) 99% quantile)
     lm_max_iterations: int = 50
     lm_init_lambda: float = 1e-4
     cg_max_iterations: int = 200

@@ -1,0 +1,193 @@
+"""Pose-graph optimizer tests: convergence, gauge handling, outlier rejection.
+
+The fidelity contract mirrors what the reference gets from GTSAM GNC(LM)
+(``src/back_end/decentralized_pgo.cpp:796-856``): noisy odometry + loop
+closures converge near ground truth; gross outlier loop closures are
+rejected by GNC instead of corrupting the estimate.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cslam_tpu.ops import se3
+from cslam_tpu.pgo import FactorGraph, gnc_optimize, lm_optimize
+
+ROT_STD, TRANS_STD = 0.01, 0.1  # reference default noise (dpgo.cpp:64-70)
+SIGMAS = np.array([ROT_STD] * 3 + [TRANS_STD] * 3)
+
+
+def circle_trajectory(n, radius=10.0, robot=0):
+    """Ground-truth poses around a circle (a loop, so closures exist)."""
+    poses = {}
+    for k in range(n):
+        a = 2 * np.pi * k / n
+        xi = np.array([0, 0, a, radius * np.cos(a), radius * np.sin(a), 0.0])
+        # build pose directly: z-rotation by a, translation on circle
+        T = np.eye(4)
+        T[:3, :3] = np.array([[np.cos(a), -np.sin(a), 0],
+                              [np.sin(a), np.cos(a), 0],
+                              [0, 0, 1.0]])
+        T[:3, 3] = [radius * np.cos(a), radius * np.sin(a), 0.0]
+        poses[(robot, k)] = T
+    return poses
+
+
+def noisy_between(Ta, Tb, rng, rot_std=ROT_STD, trans_std=TRANS_STD):
+    z = np.asarray(se3.between(jnp.asarray(Ta), jnp.asarray(Tb)))
+    noise = np.concatenate([rng.normal(scale=rot_std, size=3),
+                            rng.normal(scale=trans_std, size=3)])
+    return np.asarray(se3.compose(jnp.asarray(z), se3.exp(jnp.asarray(noise))))
+
+
+def ate(estimates, ground_truth, keys):
+    errs = [np.linalg.norm(estimates[k][:3, 3] - ground_truth[k][:3, 3])
+            for k in keys]
+    return float(np.sqrt(np.mean(np.square(errs))))
+
+
+def build_graph(gt, rng, odom_noise=True, loops=(), outliers=(),
+                drift_init=True):
+    """Factor graph with noisy odometry chain initialization (dead-reckoned)."""
+    graph = FactorGraph()
+    keys = sorted(gt.keys())
+    by_robot = {}
+    for r, k in keys:
+        by_robot.setdefault(r, []).append((r, k))
+
+    odometry = {}
+    for r, ks in by_robot.items():
+        for a, b in zip(ks[:-1], ks[1:]):
+            z = (noisy_between(gt[a], gt[b], rng) if odom_noise
+                 else np.asarray(se3.between(jnp.asarray(gt[a]),
+                                             jnp.asarray(gt[b]))))
+            odometry[(a, b)] = z
+
+    # dead-reckoned initial values (what odometry_pose_estimates_ holds)
+    for r, ks in by_robot.items():
+        current = gt[ks[0]]
+        graph.add_variable(ks[0], current)
+        for a, b in zip(ks[:-1], ks[1:]):
+            if drift_init:
+                current = np.asarray(se3.compose(jnp.asarray(current),
+                                                 jnp.asarray(odometry[(a, b)])))
+            else:
+                current = gt[b]
+            graph.add_variable(b, current)
+
+    for (a, b), z in odometry.items():
+        graph.add_between(a, b, z, SIGMAS, robust=False)
+
+    for a, b in loops:
+        z = (noisy_between(gt[a], gt[b], rng) if odom_noise
+             else np.asarray(se3.between(jnp.asarray(gt[a]),
+                                         jnp.asarray(gt[b]))))
+        graph.add_between(a, b, z, SIGMAS, robust=True)
+    for a, b in outliers:
+        bad = np.asarray(se3.exp(jnp.asarray(
+            np.concatenate([rng.uniform(-2, 2, 3), rng.uniform(-20, 20, 3)]))))
+        graph.add_between(a, b, bad, SIGMAS, robust=True)
+
+    anchor = keys[0]
+    graph.add_prior(anchor, graph.get_pose(anchor), SIGMAS)
+    return graph
+
+
+def extract(graph, poses):
+    return {tuple(v.key.as_tuple()): v.pose
+            for v in graph.values_from_arrays(poses)}
+
+
+class TestLM:
+
+    def test_perfect_graph_stays_put(self):
+        gt = circle_trajectory(20)
+        rng = np.random.default_rng(0)
+        graph = build_graph(gt, rng, odom_noise=False, drift_init=False,
+                            loops=[((0, 0), (0, 10))])
+        arrays = graph.to_arrays()
+        res = lm_optimize(arrays, jnp.ones(arrays.num_edges))
+        assert ate(extract(graph, res.poses), gt, list(gt)) < 1e-3
+
+    def test_noisy_loop_graph_converges(self):
+        gt = circle_trajectory(40)
+        rng = np.random.default_rng(1)
+        loops = [((0, 0), (0, 20)), ((0, 5), (0, 35)), ((0, 10), (0, 30)),
+                 ((0, 0), (0, 39))]
+        graph = build_graph(gt, rng, loops=loops)
+        arrays = graph.to_arrays()
+        init_ate = ate(extract(graph, arrays.poses), gt, list(gt))
+        res = lm_optimize(arrays, jnp.ones(arrays.num_edges))
+        final_ate = ate(extract(graph, res.poses), gt, list(gt))
+        assert res.final_cost < 1e3
+        assert final_ate < init_ate * 0.8
+        assert final_ate < 0.5
+
+    def test_anchor_holds_gauge(self):
+        gt = circle_trajectory(15)
+        rng = np.random.default_rng(2)
+        graph = build_graph(gt, rng, loops=[((0, 0), (0, 7))])
+        arrays = graph.to_arrays()
+        res = lm_optimize(arrays, jnp.ones(arrays.num_edges))
+        est = extract(graph, res.poses)
+        # anchored first pose must stay at its prior
+        assert np.linalg.norm(est[(0, 0)][:3, 3] - gt[(0, 0)][:3, 3]) < 0.2
+
+
+class TestMultiRobot:
+
+    def test_two_robot_graph(self):
+        gt = {}
+        gt.update(circle_trajectory(25, radius=10.0, robot=0))
+        # robot 1 drives the same circle shifted slightly
+        for (r, k), T in circle_trajectory(25, radius=10.5, robot=1).items():
+            gt[(r, k)] = T
+        rng = np.random.default_rng(3)
+        loops = [((0, k), (1, k)) for k in range(0, 25, 5)]
+        graph = build_graph(gt, rng, loops=loops)
+        arrays = graph.to_arrays()
+        res = lm_optimize(arrays, jnp.ones(arrays.num_edges))
+        final_ate = ate(extract(graph, res.poses), gt, list(gt))
+        assert final_ate < 0.6
+
+
+class TestGNC:
+
+    def test_all_inliers_matches_lm(self):
+        gt = circle_trajectory(30)
+        rng = np.random.default_rng(4)
+        loops = [((0, 0), (0, 15)), ((0, 5), (0, 25))]
+        graph = build_graph(gt, rng, loops=loops)
+        arrays = graph.to_arrays()
+        res_lm = lm_optimize(arrays, jnp.ones(arrays.num_edges))
+        res_gnc = gnc_optimize(arrays)
+        ate_lm = ate(extract(graph, res_lm.poses), gt, list(gt))
+        ate_gnc = ate(extract(graph, res_gnc.poses), gt, list(gt))
+        assert ate_gnc < ate_lm + 0.1
+
+    def test_outliers_rejected(self):
+        gt = circle_trajectory(40)
+        rng = np.random.default_rng(5)
+        loops = [((0, 0), (0, 20)), ((0, 5), (0, 35)), ((0, 10), (0, 30))]
+        outliers = [((0, 3), (0, 22)), ((0, 8), (0, 33))]
+        graph = build_graph(gt, rng, loops=loops, outliers=outliers)
+        arrays = graph.to_arrays()
+
+        res_plain = lm_optimize(arrays, jnp.ones(arrays.num_edges))
+        res_gnc = gnc_optimize(arrays)
+        ate_plain = ate(extract(graph, res_plain.poses), gt, list(gt))
+        ate_gnc = ate(extract(graph, res_gnc.poses), gt, list(gt))
+
+        # GNC must beat plain LS in the presence of gross outliers...
+        assert ate_gnc < ate_plain
+        assert ate_gnc < 0.5
+        # ...by driving the outlier weights to ~0 while keeping inliers
+        w = np.asarray(res_gnc.weights)
+        edge_lookup = {}
+        valid = np.asarray(arrays.edge_valid) > 0
+        robust = np.asarray(arrays.robust) > 0
+        # the two outlier edges are the last two robust edges inserted
+        robust_idx = np.nonzero(valid & robust)[0]
+        outlier_w = w[robust_idx[-2:]]
+        inlier_w = w[robust_idx[:-2]]
+        assert np.all(outlier_w < 0.1)
+        assert np.all(inlier_w > 0.5)
