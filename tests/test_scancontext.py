@@ -1,0 +1,197 @@
+"""Scan Context ops + bank: differential tests against a straightforward
+numpy re-derivation of the published algorithm, plus retrieval behavior.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cslam_tpu.matching.scancontext_bank import ScanContextBank
+from cslam_tpu.ops import scancontext as sc_ops
+
+
+# -- independent numpy model of the published Scan Context semantics --
+
+def np_scancontext(points, num_ring=20, num_sector=60, max_length=80.0):
+    grid = np.zeros((num_ring, num_sector))
+    for p in points:
+        if not np.all(np.isfinite(p)):
+            continue
+        x, y, z = p
+        r = np.hypot(x, y)
+        theta = np.degrees(np.arctan2(y, x)) % 360.0
+        ring = min(int(r / (max_length / num_ring)), num_ring - 1)
+        sector = min(int(theta / (360.0 / num_sector)), num_sector - 1)
+        grid[ring, sector] = max(grid[ring, sector], z + 2.0)
+    return grid
+
+
+def np_distance(candidate, query):
+    S = candidate.shape[1]
+    sims = np.zeros(S)
+    cand = candidate.copy()
+    for i in range(S):
+        cand = np.roll(cand, 1, axis=1)
+        total, engaged = 0.0, 0
+        for j in range(S):
+            c1, c2 = cand[:, j], query[:, j]
+            if not np.any(c1) or not np.any(c2):
+                continue
+            total += c1 @ c2 / (np.linalg.norm(c1) * np.linalg.norm(c2))
+            engaged += 1
+        sims[i] = total / engaged if engaged else 0.0
+    return 1.0 - sims.max(), int(np.argmax(sims)) + 1
+
+
+def random_cloud(rng, n=500, radius=60.0):
+    r = rng.uniform(0, radius, n)
+    theta = rng.uniform(0, 2 * np.pi, n)
+    z = rng.uniform(-1.5, 3.0, n)
+    return np.stack([r * np.cos(theta), r * np.sin(theta), z], axis=1)
+
+
+class TestDescriptor:
+
+    def test_matches_numpy_model(self):
+        rng = np.random.default_rng(0)
+        pts = random_cloud(rng)
+        ours = np.asarray(sc_ops.points_to_scancontext(jnp.asarray(pts)))
+        theirs = np_scancontext(pts)
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def test_nan_points_ignored(self):
+        rng = np.random.default_rng(1)
+        pts = random_cloud(rng, 100)
+        with_nans = np.concatenate(
+            [pts, np.full((20, 3), np.nan)], axis=0)
+        a = np.asarray(sc_ops.points_to_scancontext(jnp.asarray(pts)))
+        b = np.asarray(sc_ops.points_to_scancontext(jnp.asarray(with_nans)))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_far_points_clamped_to_outer_ring(self):
+        pts = np.array([[500.0, 0.0, 1.0]])
+        sc = np.asarray(sc_ops.points_to_scancontext(jnp.asarray(pts)))
+        assert sc[19, 0] == pytest.approx(3.0)
+
+    def test_ring_key(self):
+        rng = np.random.default_rng(2)
+        sc = rng.random((20, 60)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(sc_ops.ring_key(sc)),
+                                   sc.mean(axis=1), rtol=1e-6)
+
+
+class TestDistance:
+
+    def test_matches_numpy_model(self):
+        rng = np.random.default_rng(3)
+        a = rng.random((20, 60)).astype(np.float32)
+        b = rng.random((20, 60)).astype(np.float32)
+        # sprinkle zero columns to exercise the engaged-column mask
+        a[:, 5] = 0.0
+        b[:, 17] = 0.0
+        d_ours, y_ours = sc_ops.scancontext_distance(jnp.asarray(a),
+                                                     jnp.asarray(b))
+        d_np, y_np = np_distance(a, b)
+        assert float(d_ours) == pytest.approx(d_np, abs=1e-5)
+        assert int(y_ours) == y_np
+
+    def test_rotation_invariance(self):
+        """A rotated copy of the same scene must have ~zero distance and the
+        right yaw shift."""
+        rng = np.random.default_rng(4)
+        pts = random_cloud(rng)
+        sc = np.asarray(sc_ops.points_to_scancontext(jnp.asarray(pts)))
+        shift = 13
+        rotated = np.roll(sc, shift, axis=1)
+        d, yaw = sc_ops.scancontext_distance(jnp.asarray(rotated),
+                                             jnp.asarray(sc))
+        assert float(d) == pytest.approx(0.0, abs=1e-5)
+        # rolling the candidate by (60 - shift) more aligns it back
+        assert int(yaw) % 60 == (60 - shift) % 60
+
+    def test_batch_agrees_with_single(self):
+        rng = np.random.default_rng(5)
+        cands = rng.random((7, 20, 60)).astype(np.float32)
+        q = rng.random((20, 60)).astype(np.float32)
+        d_b, y_b = sc_ops.scancontext_distances_batch(jnp.asarray(cands),
+                                                      jnp.asarray(q))
+        for i in range(7):
+            d, y = sc_ops.scancontext_distance(jnp.asarray(cands[i]),
+                                               jnp.asarray(q))
+            assert float(d_b[i]) == pytest.approx(float(d), abs=1e-6)
+            assert int(y_b[i]) == int(y)
+
+
+class TestBank:
+
+    def test_empty(self):
+        bank = ScanContextBank()
+        assert bank.search_best(np.zeros(1200)) == (None, None)
+
+    def test_self_retrieval(self):
+        rng = np.random.default_rng(6)
+        bank = ScanContextBank()
+        clouds = [random_cloud(rng) for _ in range(30)]
+        scs = [np.asarray(sc_ops.points_to_scancontext(jnp.asarray(c)))
+               for c in clouds]
+        for i, s in enumerate(scs):
+            bank.add_item(s.reshape(-1), i)
+        for probe in (0, 13, 29):
+            item, sim = bank.search_best(scs[probe].reshape(-1))
+            assert item == probe
+            assert sim == pytest.approx(1.0, abs=1e-4)
+
+    def test_rotated_retrieval(self):
+        """Same place seen at a different heading is still retrieved."""
+        rng = np.random.default_rng(7)
+        bank = ScanContextBank()
+        scs = []
+        for i in range(20):
+            sc = np.asarray(sc_ops.points_to_scancontext(
+                jnp.asarray(random_cloud(rng))))
+            scs.append(sc)
+            bank.add_item(sc.reshape(-1), i)
+        probe = np.roll(scs[7], 21, axis=1)
+        item, sim = bank.search_best(probe.reshape(-1))
+        assert item == 7
+        assert sim > 0.99
+
+    def test_growth(self):
+        rng = np.random.default_rng(8)
+        bank = ScanContextBank(capacity=4)
+        for i in range(20):
+            bank.add_item(rng.random(1200).astype(np.float32), i)
+        assert bank.nb_items == 20
+        probe = bank.scancontexts[15].reshape(-1)
+        item, _ = bank.search_best(probe)
+        assert item == 15
+
+
+class TestLidarSparseMatching:
+
+    def test_lidar_sensor_type_uses_scancontext_banks(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from helpers import matching_params
+        from cslam_tpu.matching.sparse_matching import LoopClosureSparseMatching
+        params = matching_params(max_nb_robots=2, sensor_type="lidar",
+                                 similarity_threshold=0.5)
+        lcsm = LoopClosureSparseMatching(params)
+        assert isinstance(lcsm.local_nnsm, ScanContextBank)
+
+        rng = np.random.default_rng(9)
+        clouds = [random_cloud(rng) for _ in range(10)]
+        scs = [np.asarray(sc_ops.points_to_scancontext(jnp.asarray(c)))
+               for c in clouds]
+        for i, s in enumerate(scs):
+            lcsm.add_local_global_descriptor(s.reshape(-1), i)
+
+        class GD:
+            def __init__(s, kf, rid, d):
+                s.keyframe_id, s.robot_id, s.descriptor = kf, rid, d
+
+        # robot 1 revisits place 4 (rotated)
+        probe = np.roll(scs[4], 30, axis=1).reshape(-1)
+        match = lcsm.add_other_robot_global_descriptor(GD(0, 1, probe))
+        assert match is not None
+        assert match.robot0_keyframe_id == 4
+        assert match.weight > 0.99
