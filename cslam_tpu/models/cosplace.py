@@ -1,0 +1,97 @@
+"""CosPlace global descriptor (the reference's default technique) in JAX.
+
+Architecture parity with ``cslam/vpr/cosplace_utils/network.py:19-35``:
+backbone trunk -> L2Norm(channel) -> GeM pooling -> Linear(features, dim) ->
+L2Norm. Inference is jitted and batched; checkpoints are converted from the
+reference's torch state_dicts (``cslam_tpu.models.convert``); the
+``nn_checkpoint: 'disable'`` mode returns random descriptors for testing,
+matching ``cosplace.py:102-105``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cslam_tpu.models import preprocess
+from cslam_tpu.models.backbones import make_backbone
+
+
+def gem(x: jax.Array, p: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Generalized-mean pooling over spatial dims (reference ``layers.py:8-9``)."""
+    x = jnp.clip(x, eps, None) ** p
+    return jnp.mean(x, axis=(1, 2)) ** (1.0 / p)
+
+
+class GeoLocalizationNet(nn.Module):
+    """Backbone + CosPlace aggregation head."""
+
+    backbone: str = "resnet18"
+    fc_output_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        trunk, _ = make_backbone(self.backbone)
+        x = trunk(x)                                    # [B, h, w, C]
+        x = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        p = self.param("gem_p", nn.initializers.constant(3.0), (1,))
+        x = gem(x, p[0])                                # [B, C]
+        x = nn.Dense(self.fc_output_dim, name="fc")(x)
+        return x / jnp.maximum(
+            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+class CosPlace:
+    """CosPlace matcher with the reference's duck-typed interface."""
+
+    def __init__(self, params: dict,
+                 torch_state_dict: Optional[dict] = None):
+        self.params = params
+        self.descriptor_dim = params.get("frontend.cosplace.descriptor_dim",
+                                         64)
+        self.crop = params.get("frontend.image_crop_size", 376)
+        self.enable = str(params.get("frontend.nn_checkpoint",
+                                     "disable")).lower() != "disable"
+        self._rng = np.random.default_rng(params.get("robot_id", 0))
+        if not self.enable:
+            return
+
+        self.model = GeoLocalizationNet(
+            backbone=params.get("frontend.cosplace.backbone", "resnet18"),
+            fc_output_dim=self.descriptor_dim)
+        ckpt = params.get("frontend.nn_checkpoint", "")
+        if torch_state_dict is None and ckpt and ckpt.lower() != "random":
+            import torch
+            torch_state_dict = torch.load(ckpt, map_location="cpu")
+        if torch_state_dict is not None:
+            from cslam_tpu.models.convert import convert_cosplace
+            self.variables = convert_cosplace(
+                torch_state_dict,
+                backbone=params.get("frontend.cosplace.backbone", "resnet18"),
+                fc_output_dim=self.descriptor_dim)
+        else:
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+        self._forward = jax.jit(
+            lambda v, x: self.model.apply(v, x))
+
+    # ------------------------------------------------------------------
+
+    def compute_embedding(self, keyframe: np.ndarray) -> np.ndarray:
+        """Global image descriptor of one image (reference ``cosplace.py:81-105``)."""
+        if not self.enable:
+            return self._rng.random(self.descriptor_dim)
+        return self.compute_embeddings(keyframe[None])[0]
+
+    def compute_embeddings(self, images: np.ndarray) -> np.ndarray:
+        """Batched descriptors: ``[B, H, W, 3] -> [B, dim]`` (throughput path;
+        the reference runs one image at a time)."""
+        if not self.enable:
+            return self._rng.random((images.shape[0], self.descriptor_dim))
+        x = preprocess.preprocess(images, self.crop)
+        return np.asarray(self._forward(self.variables, x))
