@@ -1,0 +1,173 @@
+"""Robust point-cloud registration in JAX (lidar geometric verification).
+
+Functional replacement for the reference's TEASER++ GNC-TLS + ICP pipeline
+(``cslam/lidar_pr/icp_utils.py:68-139``): candidate loop closures are
+verified by estimating a relative SE(3) transform between two downsampled
+clouds and thresholding the inlier count
+(``registration_min_inliers``, reference ``icp_utils.py:121``).
+
+TPU-native design (instead of translating TEASER's max-clique solver, which
+is an inherently combinatorial host algorithm):
+- correspondences by nearest neighbor through one big distance matmul,
+- Welsch/TLS-style graduated reweighting of correspondences (GNC),
+- weighted Kabsch (SVD) closed-form pose update,
+- **batched multi-start over yaw hypotheses** (vmapped) for global
+  convergence without features — the SLAM-relevant ambiguity is heading;
+  the best hypothesis by final inlier count wins.
+
+Everything is fixed-shape (clouds padded to tiers, masks for validity) and
+runs as one jitted dispatch per verification.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
+    """Host-side voxel-grid downsampling (centroid per voxel), replacing
+    Open3D's ``voxel_down_sample`` (reference ``icp_utils.py:93-100``)."""
+    points = np.asarray(points, np.float64)
+    points = points[np.all(np.isfinite(points), axis=1)]
+    if len(points) == 0:
+        return points.astype(np.float32)
+    keys = np.floor(points / voxel_size).astype(np.int64)
+    # pack voxel coords into one key (22 bits each, offset to positive)
+    packed = ((keys[:, 0] + (1 << 20)) << 42 | (keys[:, 1] + (1 << 20)) << 21
+              | (keys[:, 2] + (1 << 20)))
+    order = np.argsort(packed, kind="stable")
+    packed, points = packed[order], points[order]
+    uniq, start, counts = np.unique(packed, return_index=True,
+                                    return_counts=True)
+    sums = np.add.reduceat(points, start, axis=0)
+    return (sums / counts[:, None]).astype(np.float32)
+
+
+def pad_cloud(points: np.ndarray, size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad/truncate to a fixed tier; returns (points [size,3], mask [size])."""
+    points = np.asarray(points, np.float32)
+    n = min(len(points), size)
+    out = np.zeros((size, 3), np.float32)
+    mask = np.zeros(size, np.float32)
+    if n:
+        idx = (np.arange(n) if len(points) <= size else
+               np.linspace(0, len(points) - 1, size).astype(int))
+        out[:n] = points[idx][:n]
+        mask[:n] = 1.0
+    return out, mask
+
+
+def _yaw_matrix(angle: jax.Array) -> jax.Array:
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    zero, one = jnp.zeros_like(c), jnp.ones_like(c)
+    return jnp.stack([jnp.stack([c, -s, zero]),
+                      jnp.stack([s, c, zero]),
+                      jnp.stack([zero, zero, one])])
+
+
+def _weighted_kabsch(src: jax.Array, dst: jax.Array,
+                     w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Closed-form weighted rigid alignment src -> dst: returns (R, t)."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-6)
+    cs = jnp.sum(src * w[:, None], axis=0) / wsum
+    cd = jnp.sum(dst * w[:, None], axis=0) / wsum
+    H = ((src - cs) * w[:, None]).T @ (dst - cd)
+    U, _, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    D = jnp.diag(jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d]))
+    R = Vt.T @ D @ U.T
+    t = cd - R @ cs
+    return R, t
+
+
+def _icp_once(src: jax.Array, src_mask: jax.Array, dst: jax.Array,
+              dst_mask: jax.Array, R: jax.Array, t: jax.Array,
+              scale_sq: jax.Array):
+    """One robust ICP step: correspond, reweight (Welsch/GNC), realign."""
+    moved = src @ R.T + t
+    # pairwise squared distances via the matmul identity
+    d2 = (jnp.sum(moved * moved, axis=1)[:, None]
+          - 2.0 * moved @ dst.T
+          + jnp.sum(dst * dst, axis=1)[None, :])
+    d2 = jnp.where(dst_mask[None, :] > 0, d2, jnp.inf)
+    nn = jnp.argmin(d2, axis=1)
+    nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
+    matched = dst[nn]
+    w = jnp.exp(-nn_d2 / jnp.maximum(scale_sq, 1e-12)) * src_mask
+    R_new, t_new = _weighted_kabsch(src, matched, w)
+    return R_new, t_new, nn_d2
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _robust_icp_single(src, src_mask, dst, dst_mask, R0, t0,
+                       corr_dist: jax.Array, iters: int):
+    """Graduated robust ICP from one initial pose. Returns (R, t, inliers)."""
+    # anneal the robust kernel scale from coarse to the inlier threshold
+    def body(i, state):
+        R, t = state
+        frac = i.astype(jnp.float32) / max(iters - 1, 1)
+        scale = corr_dist * (8.0 * (1.0 - frac) + 1.0)
+        R, t, _ = _icp_once(src, src_mask, dst, dst_mask, R, t,
+                            scale * scale)
+        return (R, t)
+
+    R, t = jax.lax.fori_loop(0, iters, body, (R0, t0))
+    moved = src @ R.T + t
+    d2 = (jnp.sum(moved * moved, axis=1)[:, None]
+          - 2.0 * moved @ dst.T + jnp.sum(dst * dst, axis=1)[None, :])
+    d2 = jnp.where(dst_mask[None, :] > 0, d2, jnp.inf)
+    nn_d2 = jnp.min(d2, axis=1)
+    inliers = jnp.sum((nn_d2 < corr_dist * corr_dist) * src_mask)
+    return R, t, inliers
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "num_yaw_hypotheses"))
+def robust_registration(src: jax.Array, src_mask: jax.Array, dst: jax.Array,
+                        dst_mask: jax.Array, corr_dist: float,
+                        iters: int = 24, num_yaw_hypotheses: int = 8):
+    """Multi-start robust ICP: src -> dst transform.
+
+    Returns (T [4,4], inlier count) of the best yaw hypothesis. The
+    convention matches the reference's use: the returned transform maps
+    src-frame coordinates into dst frame.
+    """
+    yaws = jnp.arange(num_yaw_hypotheses) * (2 * jnp.pi / num_yaw_hypotheses)
+    # center-of-mass initial translation per hypothesis
+    ws, wd = (jnp.maximum(jnp.sum(src_mask), 1.0),
+              jnp.maximum(jnp.sum(dst_mask), 1.0))
+    cs = jnp.sum(src * src_mask[:, None], axis=0) / ws
+    cd = jnp.sum(dst * dst_mask[:, None], axis=0) / wd
+
+    def run(yaw):
+        R0 = _yaw_matrix(yaw)
+        t0 = cd - R0 @ cs
+        return _robust_icp_single(src, src_mask, dst, dst_mask, R0, t0,
+                                  jnp.float32(corr_dist), iters)
+
+    Rs, ts, inliers = jax.vmap(run)(yaws)
+    best = jnp.argmax(inliers)
+    R, t = Rs[best], ts[best]
+    T = jnp.eye(4, dtype=jnp.float32)
+    T = T.at[:3, :3].set(R).at[:3, 3].set(t)
+    return T, inliers[best]
+
+
+def compute_transform(src_points: np.ndarray, dst_points: np.ndarray,
+                      voxel_size: float, min_inliers: int,
+                      pad_size: int = 1024) -> Tuple[np.ndarray, bool]:
+    """Verify a candidate loop closure between two clouds.
+
+    Same contract as reference ``icp_utils.compute_transform``
+    (``icp_utils.py:178-196``): returns (transform, success) with success =
+    enough inlier correspondences.
+    """
+    src, src_mask = pad_cloud(src_points, pad_size)
+    dst, dst_mask = pad_cloud(dst_points, pad_size)
+    T, inliers = robust_registration(
+        jnp.asarray(src), jnp.asarray(src_mask), jnp.asarray(dst),
+        jnp.asarray(dst_mask), corr_dist=float(voxel_size) * 1.5)
+    return np.asarray(T, np.float64), bool(int(inliers) > min_inliers)

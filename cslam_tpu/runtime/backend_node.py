@@ -1,0 +1,475 @@
+"""Decentralized pose-graph-optimization back end (per-robot node).
+
+State-machine parity with the reference ``src/back_end/decentralized_pgo.cpp``:
+
+    IDLE -> WAITING_FOR_NEIGHBORS_INFO -> POSEGRAPH_COLLECTION
+         -> WAITING_FOR_NEIGHBORS_POSEGRAPHS -> START_OPTIMIZATION
+         -> OPTIMIZATION -> IDLE
+
+The lowest (origin_id, robot_id) among current neighbors is elected optimizer
+(cpp:347-368); it gathers neighbors' pose graphs (request/response topic pair,
+cpp:370-462), BFS-filters to the connected subset (cpp:464-508), aggregates
+with loop-closure dedup (cpp:555-634), anchors its own first pose (cpp:836-845),
+runs the robust optimizer off-thread (cpp:796-856 used GTSAM GNC in
+std::async; here it is the jitted GNC-TLS solver in a worker thread), and
+redistributes per-robot slices of the solution (cpp:665-681). Waiting states
+time out back to IDLE (cpp:515-542). Heartbeats are gated by the simulated
+rendezvous schedule when enabled (cpp:683-694).
+"""
+from __future__ import annotations
+
+import enum
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from cslam_tpu.pgo import FactorGraph
+from cslam_tpu.pgo.solver import gnc_optimize
+from cslam_tpu.runtime.rendezvous import SimulatedRendezVous
+from cslam_tpu.types import (Heartbeat, InterRobotLoopClosure,
+                             IntraRobotLoopClosure, KeyframeOdom,
+                             OptimizationResult, PoseGraph, PoseGraphEdge,
+                             PoseGraphValue, PoseKey, ReferenceFrames,
+                             RobotIds, RobotIdsAndOrigin)
+
+
+class OptimizerState(enum.IntEnum):
+    IDLE = 0
+    WAITING_FOR_NEIGHBORS_INFO = 1
+    POSEGRAPH_COLLECTION = 2
+    WAITING_FOR_NEIGHBORS_POSEGRAPHS = 3
+    START_OPTIMIZATION = 4
+    OPTIMIZATION = 5
+
+
+class DecentralizedPGO:
+    """Back-end node: odometry/loop-closure intake + decentralized PGO."""
+
+    def __init__(self, ctx, logger=None, synchronous_optimization: bool = False):
+        self.ctx = ctx
+        p = ctx.params
+        self.params = p
+        self.robot_id = p["robot_id"]
+        self.max_nb_robots = p["max_nb_robots"]
+        self.origin_robot_id = self.robot_id
+        self.logger = logger
+        self.synchronous = synchronous_optimization
+
+        self.default_sigmas = np.array(
+            [p.get("backend.rotation_default_noise_std", 0.01)] * 3
+            + [p.get("backend.translation_default_noise_std", 0.1)] * 3)
+
+        # local state (mirrors cpp members)
+        self.odometry_pose_estimates: Dict[Tuple[int, int], np.ndarray] = {}
+        self.current_pose_estimates: Dict[Tuple[int, int], np.ndarray] = {}
+        self.local_factors: List[PoseGraphEdge] = []   # odometry + intra LC
+        self.inter_robot_loop_closures: Dict[Tuple[int, int],
+                                             List[PoseGraphEdge]] = {}
+        for i in range(self.max_nb_robots):
+            for j in range(i + 1, self.max_nb_robots):
+                self.inter_robot_loop_closures[(i, j)] = []
+        self.connected_robots: Set[int] = set()
+        self.latest_local_key: Optional[Tuple[int, int]] = None
+        self.latest_local_pose = np.eye(4)
+        self.origin_to_first_pose = np.eye(4)
+        self.latest_optimized_pose = np.eye(4)
+        self.local_pose_at_latest_optimization = np.eye(4)
+        self._tentative_local_pose_at_latest_optimization = np.eye(4)
+        self.gps_data: Dict[int, object] = {}
+
+        # optimizer machinery
+        self.optimizer_state = OptimizerState.IDLE
+        self.optimization_count = 0
+        self.is_waiting = False
+        self.start_waiting_time = 0.0
+        self.max_waiting_time_sec = p.get("backend.max_waiting_time_sec", 60.0)
+        self.current_neighbors = RobotIdsAndOrigin()
+        self.received_pose_graphs: Dict[int, bool] = {}
+        self.other_robots_graphs: Dict[int, PoseGraph] = {}
+        self.received_connectivity: Dict[int, List[int]] = {}
+        self._executor = ThreadPoolExecutor(max_workers=1)
+        self._optimization_future: Optional[Future] = None
+        self._aggregate: Optional[FactorGraph] = None
+
+        # comms
+        ctx.create_subscription("cslam/keyframe_odom", self.odometry_callback)
+        ctx.create_subscription("cslam/intra_robot_loop_closure",
+                                self.intra_robot_loop_closure_callback)
+        ctx.create_subscription("/cslam/inter_robot_loop_closure",
+                                self.inter_robot_loop_closure_callback)
+        self.get_current_neighbors_publisher = ctx.create_publisher(
+            "cslam/get_current_neighbors")
+        ctx.create_subscription("cslam/current_neighbors",
+                                self.current_neighbors_callback)
+        self.get_pose_graph_publishers = {
+            i: ctx.create_publisher(f"/r{i}/cslam/get_pose_graph")
+            for i in range(self.max_nb_robots)}
+        ctx.create_subscription("cslam/get_pose_graph",
+                                self.get_pose_graph_callback)
+        self.pose_graph_publisher = ctx.create_publisher("/cslam/pose_graph")
+        ctx.create_subscription("/cslam/pose_graph", self.pose_graph_callback)
+        self.optimized_estimates_publishers = {
+            i: ctx.create_publisher(f"/r{i}/cslam/optimized_estimates")
+            for i in range(self.max_nb_robots)}
+        ctx.create_subscription("cslam/optimized_estimates",
+                                self.optimized_estimates_callback)
+        self.heartbeat_publisher = ctx.create_publisher("cslam/heartbeat")
+        self.reference_frames_publisher = ctx.create_publisher(
+            "cslam/reference_frames")
+        self.current_pose_publisher = ctx.create_publisher(
+            f"/r{self.robot_id}/cslam/current_pose_estimate")
+        self.viz_pose_graph_publisher = ctx.create_publisher(
+            "/cslam/viz/pose_graph")
+
+        # timers (reference cpp:76-82, 183-192)
+        ctx.create_timer(
+            p.get("backend.pose_graph_optimization_start_period_ms", 500)
+            / 1000.0, self.optimization_callback)
+        ctx.create_timer(
+            p.get("backend.pose_graph_optimization_loop_period_ms", 100)
+            / 1000.0, self.optimization_loop_callback)
+        ctx.create_timer(
+            p.get("neighbor_management.heartbeat_period_sec", 0.5),
+            self.heartbeat_timer_callback)
+
+        self.sim_rendezvous: Optional[SimulatedRendezVous] = None
+        if p.get("evaluation.enable_simulated_rendezvous", False):
+            sched = p.get("evaluation.rendezvous_schedule_file", "")
+            if sched:
+                self.sim_rendezvous = SimulatedRendezVous.from_schedule_file(
+                    ctx.clock, sched, self.robot_id)
+
+    # ------------------------------------------------------------------
+    # Intake (cpp:233-320)
+    # ------------------------------------------------------------------
+
+    def odometry_callback(self, msg: KeyframeOdom) -> None:
+        pose = np.asarray(msg.odom.pose, np.float64)
+        key = (self.robot_id, msg.id)
+        self.odometry_pose_estimates[key] = pose
+        if msg.id == 0:
+            self.current_pose_estimates[key] = pose
+        if self.latest_local_key is not None:
+            odom_diff = np.linalg.inv(self.latest_local_pose) @ pose
+            self.local_factors.append(PoseGraphEdge(
+                key_from=PoseKey(*self.latest_local_key),
+                key_to=PoseKey(*key), measurement=odom_diff,
+                noise_sigmas=self.default_sigmas))
+        if msg.gps is not None:
+            self.gps_data[msg.id] = msg.gps
+        self.latest_local_pose = pose
+        self.latest_local_key = key
+        if self.logger is not None:
+            self.logger.log_pose_timestamp(key, msg.odom.stamp)
+
+    def intra_robot_loop_closure_callback(self,
+                                          msg: IntraRobotLoopClosure) -> None:
+        if not msg.success:
+            return
+        self.local_factors.append(PoseGraphEdge(
+            key_from=PoseKey(self.robot_id, msg.keyframe0_id),
+            key_to=PoseKey(self.robot_id, msg.keyframe1_id),
+            measurement=np.asarray(msg.transform),
+            noise_sigmas=self.default_sigmas))
+
+    def inter_robot_loop_closure_callback(self,
+                                          msg: InterRobotLoopClosure) -> None:
+        if not msg.success:
+            return
+        pair = (min(msg.robot0_id, msg.robot1_id),
+                max(msg.robot0_id, msg.robot1_id))
+        self.inter_robot_loop_closures[pair].append(PoseGraphEdge(
+            key_from=PoseKey(msg.robot0_id, msg.robot0_keyframe_id),
+            key_to=PoseKey(msg.robot1_id, msg.robot1_keyframe_id),
+            measurement=np.asarray(msg.transform),
+            noise_sigmas=self.default_sigmas))
+        if msg.robot0_id == self.robot_id:
+            self.connected_robots.add(msg.robot1_id)
+        elif msg.robot1_id == self.robot_id:
+            self.connected_robots.add(msg.robot0_id)
+
+    # ------------------------------------------------------------------
+    # Election + waiting (cpp:332-368, 515-542)
+    # ------------------------------------------------------------------
+
+    def current_neighbors_callback(self, msg: RobotIdsAndOrigin) -> None:
+        self.current_neighbors = msg
+        self.end_waiting()
+        self.optimizer_state = (OptimizerState.POSEGRAPH_COLLECTION
+                                if self.is_optimizer()
+                                else OptimizerState.IDLE)
+
+    def is_optimizer(self) -> bool:
+        """Lowest (origin, id) among neighbors runs the optimization."""
+        if not self.odometry_pose_estimates:
+            return False
+        for origin, rid in zip(self.current_neighbors.origins.ids,
+                               self.current_neighbors.robots.ids):
+            if self.origin_robot_id > origin:
+                return False
+            if self.origin_robot_id == origin and self.robot_id > rid:
+                return False
+        return True
+
+    def start_waiting(self) -> None:
+        if self.optimizer_state == OptimizerState.IDLE:
+            self.optimizer_state = OptimizerState.WAITING_FOR_NEIGHBORS_INFO
+        elif self.optimizer_state == OptimizerState.POSEGRAPH_COLLECTION:
+            self.optimizer_state = \
+                OptimizerState.WAITING_FOR_NEIGHBORS_POSEGRAPHS
+        self.is_waiting = True
+        self.start_waiting_time = self.ctx.clock.now()
+
+    def end_waiting(self) -> None:
+        self.is_waiting = False
+
+    def check_waiting_timeout(self) -> None:
+        if (self.ctx.clock.now() - self.start_waiting_time
+                > self.max_waiting_time_sec):
+            self.end_waiting()
+            self.optimizer_state = OptimizerState.IDLE
+
+    # ------------------------------------------------------------------
+    # Pose-graph exchange (cpp:370-462)
+    # ------------------------------------------------------------------
+
+    def fill_pose_graph_msg(self, for_robots: Optional[List[int]] = None
+                            ) -> PoseGraph:
+        ids = (for_robots if for_robots is not None
+               else list(self.current_neighbors.robots.ids) + [self.robot_id])
+        msg = PoseGraph(robot_id=self.robot_id,
+                        origin_robot_id=self.origin_robot_id)
+        msg.values = [PoseGraphValue(key=PoseKey(*k), pose=v)
+                      for k, v in self.odometry_pose_estimates.items()]
+        msg.edges = list(self.local_factors)
+        connected = set()
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                lo, hi = min(ids[a], ids[b]), max(ids[a], ids[b])
+                factors = self.inter_robot_loop_closures.get((lo, hi), [])
+                if factors and self.robot_id in (lo, hi):
+                    connected.update((lo, hi))
+                    if lo == self.robot_id:
+                        msg.edges = msg.edges + factors
+        msg.connected_robots = [i for i in sorted(connected)
+                                if i != self.robot_id]
+        if self.gps_data:
+            msg.gps_values_idx = sorted(self.gps_data)
+            msg.gps_values = [self.gps_data[i] for i in msg.gps_values_idx]
+        if self.logger is not None:
+            self.logger.fill_msg(msg)
+        return msg
+
+    def get_pose_graph_callback(self, msg: RobotIds) -> None:
+        self.pose_graph_publisher.publish(self.fill_pose_graph_msg(msg.ids))
+        self._tentative_local_pose_at_latest_optimization = \
+            self.latest_local_pose
+
+    def pose_graph_callback(self, msg: PoseGraph) -> None:
+        if self.optimizer_state != \
+                OptimizerState.WAITING_FOR_NEIGHBORS_POSEGRAPHS:
+            return
+        self.other_robots_graphs[msg.robot_id] = msg
+        self.received_pose_graphs[msg.robot_id] = True
+        self.received_connectivity[msg.robot_id] = list(msg.connected_robots)
+        if self.logger is not None:
+            self.logger.add_pose_graph_log_info(msg)
+        if all(self.received_pose_graphs.get(i, False)
+               for i in self.current_neighbors.robots.ids):
+            self.end_waiting()
+            self.optimizer_state = OptimizerState.START_OPTIMIZATION
+            if self.logger is not None:
+                self.logger.add_pose_graph_log_info(self.fill_pose_graph_msg())
+
+    # ------------------------------------------------------------------
+    # Aggregation (cpp:464-634)
+    # ------------------------------------------------------------------
+
+    def connected_robot_pose_graph(self) -> Dict[int, bool]:
+        """BFS over received connectivity from the local robot."""
+        adjacency = dict(self.received_connectivity)
+        if self.connected_robots:
+            adjacency[self.robot_id] = sorted(self.connected_robots)
+        is_connected = {self.robot_id: True}
+        for rid in self.current_neighbors.robots.ids:
+            is_connected.setdefault(rid, False)
+        visited = {self.robot_id}
+        queue = [self.robot_id]
+        while queue:
+            cur = queue.pop(0)
+            for rid in adjacency.get(cur, ()):
+                is_connected[rid] = True
+                if rid not in visited:
+                    visited.add(rid)
+                    queue.append(rid)
+        return is_connected
+
+    def aggregate_pose_graphs(self) -> FactorGraph:
+        is_connected = self.connected_robot_pose_graph()
+        graph = FactorGraph()
+        for key, pose in self.odometry_pose_estimates.items():
+            graph.add_variable(key, pose)
+        self._tentative_local_pose_at_latest_optimization = \
+            self.latest_local_pose
+        for rid in self.current_neighbors.robots.ids:
+            if is_connected.get(rid, False) and rid in self.other_robots_graphs:
+                for v in self.other_robots_graphs[rid].values:
+                    graph.add_variable(v.key.as_tuple(), v.pose)
+
+        added: Set[Tuple[Tuple[int, int], Tuple[int, int]]] = set()
+
+        def try_add(edge: PoseGraphEdge, robust: bool) -> None:
+            kf, kt = edge.key_from.as_tuple(), edge.key_to.as_tuple()
+            if not (is_connected.get(kf[0], False)
+                    and is_connected.get(kt[0], False)):
+                return
+            if kf not in graph or kt not in graph or (kf, kt) in added:
+                return
+            added.add((kf, kt))
+            graph.add_between(kf, kt, edge.measurement, edge.noise_sigmas,
+                              robust=robust)
+
+        for edge in self.local_factors:
+            try_add(edge, robust=edge.key_from.keyframe_id + 1
+                    != edge.key_to.keyframe_id)
+        included = list(self.current_neighbors.robots.ids) + [self.robot_id]
+        for a in range(len(included)):
+            for b in range(a + 1, len(included)):
+                lo, hi = (min(included[a], included[b]),
+                          max(included[a], included[b]))
+                for edge in self.inter_robot_loop_closures.get((lo, hi), []):
+                    try_add(edge, robust=True)
+        for rid in self.current_neighbors.robots.ids:
+            if rid not in self.other_robots_graphs:
+                continue
+            for edge in self.other_robots_graphs[rid].edges:
+                inter = edge.key_from.robot_id != edge.key_to.robot_id
+                consecutive = (not inter and edge.key_from.keyframe_id + 1
+                               == edge.key_to.keyframe_id)
+                try_add(edge, robust=not consecutive)
+        return graph
+
+    # ------------------------------------------------------------------
+    # Optimization (cpp:796-926)
+    # ------------------------------------------------------------------
+
+    def _optimize(self, graph: FactorGraph):
+        if self.logger is not None:
+            self.logger.start_timer()
+        arrays = graph.to_arrays()
+        result = gnc_optimize(
+            arrays,
+            max_outer=self.params.get("backend.gnc_max_outer_iterations", 100),
+            lm_iters=self.params.get("backend.lm_max_iterations", 50))
+        poses = np.asarray(result.poses)
+        if self.logger is not None:
+            self.logger.stop_timer()
+            self.logger.log_optimized_global_pose_graph(graph, poses,
+                                                        self.robot_id)
+        return graph, poses
+
+    def start_optimization(self) -> None:
+        graph = self.aggregate_pose_graphs()
+        first_key = (self.robot_id, 0)
+        if first_key not in graph:
+            return
+        anchor = self.current_pose_estimates.get(
+            first_key, graph.get_pose(first_key))
+        graph.add_prior(first_key, anchor, self.default_sigmas)
+        if self.logger is not None:
+            self.logger.log_initial_global_pose_graph(graph)
+        self._aggregate = graph
+        if self.synchronous:
+            fut = Future()
+            fut.set_result(self._optimize(graph))
+            self._optimization_future = fut
+        else:
+            self._optimization_future = self._executor.submit(
+                self._optimize, graph)
+        self.optimizer_state = OptimizerState.OPTIMIZATION
+
+    def check_result_and_finish_optimization(self) -> None:
+        fut = self._optimization_future
+        if fut is None or not fut.done():
+            return
+        graph, poses = fut.result()
+        self._optimization_future = None
+        self.optimization_count += 1
+        self.share_optimized_estimates(graph, poses)
+        self.optimizer_state = OptimizerState.IDLE
+
+    def share_optimized_estimates(self, graph: FactorGraph,
+                                  poses: np.ndarray) -> None:
+        values = graph.values_from_arrays(poses)
+        included = list(self.current_neighbors.robots.ids) + [self.robot_id]
+        for rid in included:
+            msg = OptimizationResult(
+                success=True, origin_robot_id=self.origin_robot_id,
+                estimates=[v for v in values if v.key.robot_id == rid])
+            self.optimized_estimates_publishers[rid].publish(msg)
+
+    def optimized_estimates_callback(self, msg: OptimizationResult) -> None:
+        if not self.odometry_pose_estimates or not msg.estimates:
+            return
+        self.current_pose_estimates = {
+            v.key.as_tuple(): v.pose for v in msg.estimates}
+        self.origin_robot_id = msg.origin_robot_id
+        first = self.current_pose_estimates.get((self.robot_id, 0), np.eye(4))
+        self.update_transform_to_origin(first)
+        if self.logger is not None:
+            self.logger.write_logs()
+
+    def update_transform_to_origin(self, first_pose: np.ndarray) -> None:
+        self.origin_to_first_pose = first_pose
+        self.reference_frames_publisher.publish(ReferenceFrames(
+            robot_id=self.robot_id, origin_to_local=first_pose))
+        self.local_pose_at_latest_optimization = \
+            self._tentative_local_pose_at_latest_optimization
+        last_key = max(self.current_pose_estimates)
+        self.latest_optimized_pose = self.current_pose_estimates[last_key]
+
+    def current_pose_estimate(self) -> np.ndarray:
+        """Fused pose: latest optimized pose composed with odometry since
+        (cpp:779-793)."""
+        diff = (np.linalg.inv(self.local_pose_at_latest_optimization)
+                @ self.latest_local_pose)
+        return self.latest_optimized_pose @ diff
+
+    # ------------------------------------------------------------------
+    # Timers (cpp:544-553, 884-926, 683-694)
+    # ------------------------------------------------------------------
+
+    def optimization_callback(self) -> None:
+        if (self.optimizer_state == OptimizerState.IDLE
+                and self.odometry_pose_estimates):
+            self.received_pose_graphs = {}
+            self.other_robots_graphs = {}
+            self.received_connectivity = {}
+            self.get_current_neighbors_publisher.publish(object())
+            self.start_waiting()
+
+    def optimization_loop_callback(self) -> None:
+        if not self.odometry_pose_estimates:
+            return
+        if self.optimizer_state == OptimizerState.POSEGRAPH_COLLECTION:
+            if self.current_neighbors.robots.ids:
+                ids = RobotIds(ids=list(self.current_neighbors.robots.ids)
+                               + [self.robot_id])
+                for rid in self.current_neighbors.robots.ids:
+                    self.get_pose_graph_publishers[rid].publish(ids)
+                self.start_waiting()
+            else:
+                self.optimizer_state = OptimizerState.START_OPTIMIZATION
+        elif self.optimizer_state == OptimizerState.START_OPTIMIZATION:
+            self.start_optimization()
+        elif self.optimizer_state == OptimizerState.OPTIMIZATION:
+            self.check_result_and_finish_optimization()
+        elif self.is_waiting:
+            self.check_waiting_timeout()
+
+    def heartbeat_timer_callback(self) -> None:
+        if self.sim_rendezvous is not None and not self.sim_rendezvous.is_alive():
+            return
+        self.heartbeat_publisher.publish(
+            Heartbeat(origin_robot_id=self.origin_robot_id))

@@ -1,0 +1,95 @@
+"""In-process typed message bus with ROS-like namespaced topics.
+
+Transport equivalent of the reference's DDS pub/sub plane (layer L0 in
+SURVEY.md): robot-addressed unicast (``/r{i}/cslam/...``), broadcast topics
+(``/cslam/...``), and node-relative names (resolved against the owning
+robot's namespace, like ROS does). Delivery is queued and drained by the
+driver so multi-robot runs are deterministic and replayable; a network
+transport can replace this class behind the same interface.
+
+Fault injection: an optional ``link_filter(src_robot, topic, msg) -> bool``
+lets tests drop traffic between out-of-range robots, generalizing the
+reference's heartbeat-only gating (``SimulatedRendezVous``,
+``decentralized_pgo.cpp:685-690``).
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from cslam_tpu.runtime.clock import Timer
+
+
+class Publisher:
+    def __init__(self, bus: "MessageBus", topic: str, src_robot: int):
+        self.bus = bus
+        self.topic = topic
+        self.src_robot = src_robot
+
+    def publish(self, msg: Any) -> None:
+        self.bus.publish(self.topic, msg, self.src_robot)
+
+
+class MessageBus:
+    """Topic-based queued pub/sub shared by all in-process robots."""
+
+    def __init__(self):
+        self._subs: Dict[str, List[Callable[[Any], None]]] = {}
+        self._queue: deque = deque()
+        self.link_filter: Optional[Callable[[int, str, Any], bool]] = None
+        self.messages_delivered = 0
+
+    def subscribe(self, topic: str, callback: Callable[[Any], None]) -> None:
+        self._subs.setdefault(topic, []).append(callback)
+
+    def publish(self, topic: str, msg: Any, src_robot: int = -1) -> None:
+        self._queue.append((topic, msg, src_robot))
+
+    def deliver(self, max_messages: int = 100000) -> int:
+        """Drain the queue (including messages published by callbacks)."""
+        delivered = 0
+        while self._queue and delivered < max_messages:
+            topic, msg, src = self._queue.popleft()
+            if self.link_filter is not None and not self.link_filter(
+                    src, topic, msg):
+                continue
+            for cb in self._subs.get(topic, ()):
+                cb(msg)
+            delivered += 1
+        self.messages_delivered += delivered
+        return delivered
+
+
+class RobotContext:
+    """Node handle for one robot: namespaced topics, timers, clock, params.
+
+    Topic resolution matches ROS semantics used throughout the reference:
+    names starting with '/' are absolute; others live under this robot's
+    namespace ``/r{id}/``.
+    """
+
+    def __init__(self, bus: MessageBus, clock, robot_id: int, params: dict):
+        self.bus = bus
+        self.clock = clock
+        self.robot_id = robot_id
+        self.params = params
+        self.timers: List[Timer] = []
+
+    def resolve(self, topic: str) -> str:
+        return topic if topic.startswith("/") else f"/r{self.robot_id}/{topic}"
+
+    def create_publisher(self, topic: str) -> Publisher:
+        return Publisher(self.bus, self.resolve(topic), self.robot_id)
+
+    def create_subscription(self, topic: str,
+                            callback: Callable[[Any], None]) -> None:
+        self.bus.subscribe(self.resolve(topic), callback)
+
+    def create_timer(self, period_sec: float,
+                     callback: Callable[[], None]) -> Timer:
+        timer = Timer(self.clock, period_sec, callback)
+        self.timers.append(timer)
+        return timer
+
+    def poll_timers(self) -> int:
+        return sum(t.poll() for t in self.timers)

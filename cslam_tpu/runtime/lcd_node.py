@@ -1,0 +1,283 @@
+"""Loop-closure detection front end (per-robot node).
+
+Behavior parity with the reference's detection orchestrator
+(``cslam/global_descriptor_loop_closure_detection.py`` +
+``loop_closure_detection_node.py``): keyframe intake -> global descriptor ->
+intra/inter matching; periodic gossip of descriptor and match buffers with
+windowed resend, receiver-side dedup and garbage collection; budgeted
+inter-robot detection rounds (MAC selection + vertex-cover brokerage);
+geometric-verification outcome intake. Byte-accurate communication
+accounting uses the reference's constants (descriptor float = 4 B,
+match = 20 B; ``gdlcd.py:217-220,281-282``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from cslam_tpu.matching.sparse_matching import LoopClosureSparseMatching
+from cslam_tpu.models import make_global_descriptor
+from cslam_tpu.selection.broker import Broker
+from cslam_tpu.runtime.neighbors import NeighborManager
+from cslam_tpu.types import (EdgeInterRobot, GlobalDescriptor,
+                             GlobalDescriptors, InterRobotLoopClosure,
+                             InterRobotMatch, InterRobotMatches, KeyValue,
+                             LocalDescriptorsRequest, LocalKeyframeMatch)
+
+DESCRIPTOR_FLOAT_BYTES = 4
+MATCH_BYTES = 20
+
+
+def _chunks_from(buffer: Dict[int, Any], start_key: int,
+                 chunk_size: int) -> List[List[Any]]:
+    """Split buffered values with key >= start_key into bounded chunks
+    (reference ``utils/misc.py:21-33`` semantics)."""
+    out: List[List[Any]] = []
+    current: List[Any] = []
+    for k in sorted(buffer.keys()):
+        if k < start_key:
+            continue
+        current.append(buffer[k])
+        if len(current) == chunk_size:
+            out.append(current)
+            current = []
+    if current:
+        out.append(current)
+    return out
+
+
+class DetectionFrontEnd:
+    """Global-descriptor loop-closure detection for one robot."""
+
+    def __init__(self, ctx, model=None):
+        self.ctx = ctx
+        self.params = ctx.params
+        self.robot_id = self.params["robot_id"]
+        self.lcm = LoopClosureSparseMatching(self.params)
+        self.model = (model if model is not None
+                      else make_global_descriptor(self.params))
+        self.keyframe_type = ("pointcloud" if self.params.get(
+            "frontend.sensor_type") == "lidar" else "rgb")
+
+        self.neighbor_manager = NeighborManager(ctx, self.params)
+
+        gd_topic = "/cslam/" + self.params.get(
+            "frontend.global_descriptors_topic", "global_descriptors").lstrip("/")
+        match_topic = "/cslam/" + self.params.get(
+            "frontend.inter_robot_matches_topic", "inter_robot_matches").lstrip("/")
+        self.global_descriptor_publisher = ctx.create_publisher(gd_topic)
+        ctx.create_subscription(gd_topic, self.global_descriptor_callback)
+        self.inter_robot_matches_publisher = ctx.create_publisher(match_topic)
+        ctx.create_subscription(match_topic, self.inter_robot_matches_callback)
+
+        ctx.create_subscription("cslam/keyframe_data", self.receive_keyframe)
+        self.local_match_publisher = ctx.create_publisher(
+            "cslam/local_keyframe_match")
+        ctx.create_subscription("/cslam/inter_robot_loop_closure",
+                                self.receive_inter_robot_loop_closure)
+        self.local_descriptors_request_publishers = {
+            i: ctx.create_publisher(f"/r{i}/cslam/local_descriptors_request")
+            for i in range(self.params["max_nb_robots"])}
+
+        period = self.params["frontend.detection_publication_period_sec"]
+        ctx.create_timer(period, self.global_descriptors_timer_callback)
+        ctx.create_timer(period, self.inter_robot_matches_timer_callback)
+        ctx.create_timer(
+            self.params["frontend.inter_robot_detection_period_sec"],
+            self.detect_inter)
+
+        self.global_descriptors_buffer: Dict[int, GlobalDescriptor] = {}
+        self.inter_robot_matches_buffer: Dict[int, EdgeInterRobot] = {}
+        self.nb_inter_robot_matches = 0
+
+        self.enable_logs = self.params.get("evaluation.enable_logs", False)
+        self.log_publisher = ctx.create_publisher("cslam/log_info")
+        self.stats = {
+            "nb_matches": 0, "nb_failed_matches": 0,
+            "nb_vertices_transmitted": 0, "nb_matches_selected": 0,
+            "detection_cumulative_communication": 0,
+            "sparsification_cumulative_computation_time": 0.0,
+        }
+
+    # ------------------------------------------------------------------
+    # Keyframe intake (reference gdlcd.py:388-405, 148-174)
+    # ------------------------------------------------------------------
+
+    def receive_keyframe(self, msg) -> None:
+        data = msg.image if self.keyframe_type == "rgb" else msg.points
+        embedding = self.model.compute_embedding(data)
+        self.add_global_descriptor_to_map(np.asarray(embedding), msg.id)
+
+    def add_global_descriptor_to_map(self, embedding: np.ndarray,
+                                     kf_id: int) -> None:
+        self.detect_intra(embedding, kf_id)
+        matches = self.lcm.add_local_global_descriptor(embedding, kf_id)
+        self.global_descriptors_buffer[kf_id] = GlobalDescriptor(
+            keyframe_id=kf_id, robot_id=self.robot_id, descriptor=embedding)
+        for match in matches:
+            self.inter_robot_matches_buffer[self.nb_inter_robot_matches] = match
+            self.nb_inter_robot_matches += 1
+
+    def detect_intra(self, embedding: np.ndarray, kf_id: int) -> None:
+        if not self.params.get("frontend.enable_intra_robot_loop_closures",
+                               False):
+            return
+        kf_match, _ = self.lcm.match_local_loop_closures(embedding, kf_id)
+        if kf_match is not None:
+            self.local_match_publisher.publish(
+                LocalKeyframeMatch(keyframe0_id=kf_id, keyframe1_id=kf_match))
+
+    # ------------------------------------------------------------------
+    # Gossip plane (reference gdlcd.py:176-289)
+    # ------------------------------------------------------------------
+
+    def global_descriptors_timer_callback(self) -> None:
+        if not self.global_descriptors_buffer:
+            return
+        latest = max(self.global_descriptors_buffer.keys())
+        from_kf = self.neighbor_manager.select_from_which_kf_to_send(latest)
+        msgs = _chunks_from(
+            self.global_descriptors_buffer, from_kf,
+            self.params["frontend.detection_publication_max_elems_per_msg"])
+        for chunk in msgs:
+            self.global_descriptor_publisher.publish(
+                GlobalDescriptors(descriptors=chunk))
+            self.stats["detection_cumulative_communication"] += (
+                len(chunk) * len(chunk[0].descriptor) * DESCRIPTOR_FLOAT_BYTES)
+        self._gc_descriptors()
+        self._log("detection_cumulative_communication")
+
+    def inter_robot_matches_timer_callback(self) -> None:
+        if not self.inter_robot_matches_buffer:
+            return
+        latest = max(self.inter_robot_matches_buffer.keys())
+        from_idx = self.neighbor_manager.select_from_which_match_to_send(latest)
+        chunks = _chunks_from(
+            self.inter_robot_matches_buffer, from_idx,
+            self.params["frontend.detection_publication_max_elems_per_msg"])
+        # When exactly two robots are in range, both already detected these
+        # matches themselves — skip them (reference gdlcd.py:254-263; the
+        # reference mutates the list while iterating, we filter cleanly).
+        _, in_range = self.neighbor_manager.check_neighbors_in_range()
+        if len(in_range) == 2:
+            in_range_set = set(in_range)
+            chunks = [[m for m in c
+                       if not (m.robot0_id in in_range_set
+                               and m.robot1_id in in_range_set)]
+                      for c in chunks]
+            chunks = [c for c in chunks if c]
+        for chunk in chunks:
+            msg = InterRobotMatches(
+                robot_id=self.robot_id,
+                matches=[InterRobotMatch.from_edge(e) for e in chunk])
+            self.inter_robot_matches_publisher.publish(msg)
+            self.stats["detection_cumulative_communication"] += (
+                len(msg.matches) * MATCH_BYTES)
+        self._gc_matches()
+        self._log("detection_cumulative_communication")
+
+    def _gc_descriptors(self) -> None:
+        if not self.global_descriptors_buffer:
+            return
+        keep_from = self.neighbor_manager.useless_descriptors(
+            max(self.global_descriptors_buffer.keys()))
+        if keep_from >= min(self.global_descriptors_buffer.keys()):
+            for k in [k for k in self.global_descriptors_buffer
+                      if k < keep_from]:
+                del self.global_descriptors_buffer[k]
+
+    def _gc_matches(self) -> None:
+        if not self.inter_robot_matches_buffer:
+            return
+        keep_from = self.neighbor_manager.useless_matches(
+            max(self.inter_robot_matches_buffer.keys()))
+        if keep_from >= min(self.inter_robot_matches_buffer.keys()):
+            for k in [k for k in self.inter_robot_matches_buffer
+                      if k < keep_from]:
+                del self.inter_robot_matches_buffer[k]
+
+    def global_descriptor_callback(self, msg: GlobalDescriptors) -> None:
+        if msg.descriptors[0].robot_id == self.robot_id:
+            return
+        for i in self.neighbor_manager.get_unknown_range(msg.descriptors):
+            match = self.lcm.add_other_robot_global_descriptor(
+                msg.descriptors[i])
+            if match is not None:
+                self.inter_robot_matches_buffer[
+                    self.nb_inter_robot_matches] = match
+                self.nb_inter_robot_matches += 1
+
+    def inter_robot_matches_callback(self, msg: InterRobotMatches) -> None:
+        if msg.robot_id == self.robot_id:
+            return
+        for match in msg.matches:
+            self.lcm.candidate_selector.add_match(match.to_edge())
+
+    # ------------------------------------------------------------------
+    # Inter-robot detection round (reference gdlcd.py:309-386)
+    # ------------------------------------------------------------------
+
+    def detect_inter(self) -> None:
+        in_range, in_range_list = \
+            self.neighbor_manager.check_neighbors_in_range()
+        if (len(in_range_list) <= 1
+                or not self.neighbor_manager.local_robot_is_broker()):
+            return
+        t0 = self.ctx.clock.now()
+        selection = self.lcm.select_candidates(
+            self.params["frontend.inter_robot_loop_closure_budget"], in_range)
+        vertices_info = self._edge_list_to_vertices(selection)
+        broker = Broker(selection, in_range_list)
+        for vertex_set in broker.brokerage(
+                self.params["frontend.use_vertex_cover_selection"]):
+            for v in vertex_set:
+                self.local_descriptors_request_publishers[v[0]].publish(
+                    LocalDescriptorsRequest(
+                        keyframe_id=v[1],
+                        matches_robot_id=vertices_info[v][0],
+                        matches_keyframe_id=vertices_info[v][1]))
+            self.stats["nb_vertices_transmitted"] += len(vertex_set)
+        self.stats["nb_matches_selected"] += len(selection)
+        self.stats["sparsification_cumulative_computation_time"] += (
+            self.ctx.clock.now() - t0)
+        for key in ("sparsification_cumulative_computation_time",
+                    "nb_vertices_transmitted", "nb_matches_selected"):
+            self._log(key)
+
+    @staticmethod
+    def _edge_list_to_vertices(selection) -> Dict[tuple, List[List[int]]]:
+        vertices: Dict[tuple, List[List[int]]] = {}
+        for s in selection:
+            for (me, other) in (((s.robot0_id, s.robot0_keyframe_id),
+                                 (s.robot1_id, s.robot1_keyframe_id)),
+                                ((s.robot1_id, s.robot1_keyframe_id),
+                                 (s.robot0_id, s.robot0_keyframe_id))):
+                vertices.setdefault(me, [[], []])
+                vertices[me][0].append(other[0])
+                vertices[me][1].append(other[1])
+        return vertices
+
+    # ------------------------------------------------------------------
+    # Geometric-verification outcomes (reference gdlcd.py:449-484)
+    # ------------------------------------------------------------------
+
+    def receive_inter_robot_loop_closure(self,
+                                         msg: InterRobotLoopClosure) -> None:
+        edge = EdgeInterRobot(msg.robot0_id, msg.robot0_keyframe_id,
+                              msg.robot1_id, msg.robot1_keyframe_id,
+                              self.lcm.candidate_selector.fixed_weight)
+        if msg.success:
+            self.lcm.candidate_selector.candidate_edges_to_fixed([edge])
+            self.stats["nb_matches"] += 1
+            self._log("nb_matches")
+        else:
+            self.lcm.candidate_selector.remove_candidate_edges([edge],
+                                                               failed=True)
+            self.stats["nb_failed_matches"] += 1
+            self._log("nb_failed_matches")
+
+    def _log(self, key: str) -> None:
+        if self.enable_logs:
+            self.log_publisher.publish(
+                KeyValue(key=key, value=str(self.stats[key])))

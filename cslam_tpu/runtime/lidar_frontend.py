@@ -1,0 +1,154 @@
+"""Lidar sensor front end (per-robot node).
+
+Behavior parity with reference ``cslam/lidar_handler_node.py``: synchronized
+(point cloud, odometry) intake with an odometry-failure gate
+(covariance > 1000, l.79), fixed-rate processing, keyframe gating by
+traveled odometry distance (ll.144-166), voxel-downsampled clouds stored as
+the keyframe's local descriptors (l.180), descriptor-request service that
+ships the whole cloud (ll.91-104), and intra/inter loop-closure transform
+computation — TEASER++/Open3D replaced by the jitted robust multi-start ICP
+(``cslam_tpu.ops.registration``).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from cslam_tpu.ops import registration
+from cslam_tpu.types import (InterRobotLoopClosure, IntraRobotLoopClosure,
+                             KeyframeOdom, KeyframePointCloud, KeyValue,
+                             LocalDescriptorsRequest,
+                             LocalPointCloudDescriptors, Odometry,
+                             VizPointCloud)
+
+
+class LidarFrontEnd:
+    """Front-end data handler for lidar data."""
+
+    def __init__(self, ctx):
+        self.ctx = ctx
+        self.params = ctx.params
+        self.robot_id = self.params["robot_id"]
+
+        self.keyframe_odom_publisher = ctx.create_publisher(
+            "cslam/keyframe_odom")
+        self.keyframe_pointcloud_publisher = ctx.create_publisher(
+            "cslam/keyframe_data")
+        ctx.create_subscription("cslam/local_descriptors_request",
+                                self.send_local_descriptors_request)
+        ctx.create_subscription("cslam/local_keyframe_match",
+                                self.receive_local_keyframe_match)
+        self.pointcloud_descriptors_publisher = ctx.create_publisher(
+            "/cslam/local_descriptors")
+        ctx.create_subscription("/cslam/local_descriptors",
+                                self.receive_local_descriptors)
+        self.intra_robot_loop_closure_publisher = ctx.create_publisher(
+            "cslam/intra_robot_loop_closure")
+        self.inter_robot_loop_closure_publisher = ctx.create_publisher(
+            "/cslam/inter_robot_loop_closure")
+        self.viz_publisher = ctx.create_publisher(
+            "/cslam/viz/keyframe_pointcloud")
+        self.log_publisher = ctx.create_publisher("cslam/log_info")
+
+        ctx.create_timer(
+            self.params.get("frontend.map_manager_process_period_ms", 100)
+            / 1000.0, self.process_new_sensor_data)
+
+        self.received_data: List[Tuple[np.ndarray, Odometry]] = []
+        self.local_descriptors_map: Dict[int, np.ndarray] = {}
+        self.nb_local_keyframes = 0
+        self.previous_odom: Optional[Odometry] = None
+        self.log_comm_bytes = 0
+
+    # ------------------------------------------------------------------
+
+    def lidar_callback(self, points: np.ndarray, odom: Odometry) -> None:
+        """Synchronized sensor intake (reference ll.72-84)."""
+        if odom.covariance0 > 1000:
+            return  # odom tracking failed, skip frame
+        self.received_data.append((points, odom))
+
+    def _generate_new_keyframe(self, odom: Odometry) -> bool:
+        if self.previous_odom is None:
+            self.previous_odom = odom
+            return True
+        d = odom.pose[:3, 3] - self.previous_odom.pose[:3, 3]
+        thresh = self.params.get(
+            "frontend.keyframe_generation_ratio_distance", 0.5)
+        if float(d @ d) > thresh * thresh:
+            self.previous_odom = odom
+            return True
+        return False
+
+    def process_new_sensor_data(self) -> None:
+        if not self.received_data:
+            return
+        points, odom = self.received_data.pop(0)
+        if not self._generate_new_keyframe(odom):
+            return
+        kf_id = self.nb_local_keyframes
+        cloud = registration.voxel_downsample(
+            points, self.params.get("frontend.voxel_size", 0.5))
+        self.local_descriptors_map[kf_id] = cloud
+        self.keyframe_pointcloud_publisher.publish(
+            KeyframePointCloud(id=kf_id, points=cloud))
+        self.keyframe_odom_publisher.publish(KeyframeOdom(id=kf_id, odom=odom))
+        if self.params.get("visualization.enable", False):
+            self.viz_publisher.publish(VizPointCloud(
+                robot_id=self.robot_id, keyframe_id=kf_id, points=cloud))
+        self.nb_local_keyframes += 1
+
+    # ------------------------------------------------------------------
+    # Descriptor exchange + geometric verification (reference ll.91-142)
+    # ------------------------------------------------------------------
+
+    def send_local_descriptors_request(self,
+                                       request: LocalDescriptorsRequest) -> None:
+        cloud = self.local_descriptors_map.get(request.keyframe_id)
+        if cloud is None:
+            return
+        msg = LocalPointCloudDescriptors(
+            keyframe_id=request.keyframe_id, robot_id=self.robot_id,
+            points=cloud, matches_robot_id=list(request.matches_robot_id),
+            matches_keyframe_id=list(request.matches_keyframe_id))
+        self.pointcloud_descriptors_publisher.publish(msg)
+        if self.params.get("evaluation.enable_logs", False):
+            self.log_comm_bytes += cloud.nbytes
+            self.log_publisher.publish(KeyValue(
+                key="local_descriptors_cumulative_communication",
+                value=str(self.log_comm_bytes)))
+
+    def _registration(self, src: np.ndarray, dst: np.ndarray
+                      ) -> Tuple[np.ndarray, bool]:
+        return registration.compute_transform(
+            src, dst, self.params.get("frontend.voxel_size", 0.5),
+            self.params.get("frontend.registration_min_inliers", 60))
+
+    def receive_local_descriptors(self,
+                                  msg: LocalPointCloudDescriptors) -> None:
+        for rid, kf_id in zip(msg.matches_robot_id, msg.matches_keyframe_id):
+            if rid != self.robot_id:
+                continue
+            local = self.local_descriptors_map.get(kf_id)
+            if local is None:
+                continue
+            transform, success = self._registration(local, msg.points)
+            self.inter_robot_loop_closure_publisher.publish(
+                InterRobotLoopClosure(
+                    robot0_id=self.robot_id, robot0_keyframe_id=kf_id,
+                    robot1_id=msg.robot_id, robot1_keyframe_id=msg.keyframe_id,
+                    success=success,
+                    transform=transform if success else None))
+
+    def receive_local_keyframe_match(self, msg) -> None:
+        pc0 = self.local_descriptors_map.get(msg.keyframe0_id)
+        pc1 = self.local_descriptors_map.get(msg.keyframe1_id)
+        if pc0 is None or pc1 is None:
+            return
+        transform, success = self._registration(pc0, pc1)
+        self.intra_robot_loop_closure_publisher.publish(
+            IntraRobotLoopClosure(
+                keyframe0_id=msg.keyframe0_id, keyframe1_id=msg.keyframe1_id,
+                success=success,
+                transform=transform if success else None))

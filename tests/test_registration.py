@@ -1,0 +1,81 @@
+"""Robust registration (lidar geometric verification) tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cslam_tpu.ops.registration import (compute_transform, pad_cloud,
+                                        robust_registration, voxel_downsample)
+
+
+def structured_cloud(rng, n=600):
+    """A cloud with structure (walls + scatter) so registration is well
+    posed, unlike a uniform blob."""
+    wall1 = np.stack([rng.uniform(0, 20, n // 3), np.full(n // 3, 5.0),
+                      rng.uniform(0, 3, n // 3)], 1)
+    wall2 = np.stack([np.full(n // 3, -4.0), rng.uniform(-10, 10, n // 3),
+                      rng.uniform(0, 3, n // 3)], 1)
+    scatter = rng.uniform(-15, 15, (n - 2 * (n // 3), 3)) * [1, 1, 0.1]
+    return np.concatenate([wall1, wall2, scatter]).astype(np.float32)
+
+
+def transform_cloud(points, yaw_deg, t):
+    a = np.radians(yaw_deg)
+    R = np.array([[np.cos(a), -np.sin(a), 0],
+                  [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+    return points @ R.T + np.asarray(t)
+
+
+class TestVoxelDownsample:
+
+    def test_reduces_and_preserves_extent(self):
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-10, 10, (5000, 3))
+        down = voxel_downsample(pts, 1.0)
+        assert 100 < len(down) < len(pts)
+        np.testing.assert_allclose(down.min(0), pts.min(0), atol=1.5)
+        np.testing.assert_allclose(down.max(0), pts.max(0), atol=1.5)
+
+    def test_filters_non_finite(self):
+        pts = np.array([[0, 0, 0], [np.nan, 1, 1], [np.inf, 0, 0],
+                        [5, 5, 5]], np.float64)
+        down = voxel_downsample(pts, 0.5)
+        assert len(down) == 2
+
+    def test_empty(self):
+        assert len(voxel_downsample(np.zeros((0, 3)), 0.5)) == 0
+
+
+class TestRegistration:
+
+    @pytest.mark.parametrize("yaw,t", [(0, [0.5, -0.3, 0.1]),
+                                       (95, [2.0, 1.0, 0.0]),
+                                       (180, [-1.0, 3.0, 0.2])])
+    def test_recovers_known_transform(self, yaw, t):
+        rng = np.random.default_rng(1)
+        src = structured_cloud(rng)
+        dst = transform_cloud(src, yaw, t) \
+            + rng.normal(scale=0.02, size=src.shape)
+        T, success = compute_transform(src, dst, voxel_size=0.3,
+                                       min_inliers=60, pad_size=1024)
+        assert success
+        moved = src @ T[:3, :3].T + T[:3, 3]
+        err = np.linalg.norm(moved - transform_cloud(src, yaw, t), axis=1)
+        assert np.median(err) < 0.1
+
+    def test_rejects_unrelated_clouds(self):
+        rng = np.random.default_rng(2)
+        src = structured_cloud(rng)[:150]
+        # sparse unrelated scatter far away: few inlier-range matches
+        dst = rng.uniform(300, 400, (150, 3)).astype(np.float32) * [1, 1, 0.05]
+        T, success = compute_transform(src, dst, voxel_size=0.1,
+                                       min_inliers=140, pad_size=256)
+        assert not success
+
+    def test_partial_overlap(self):
+        rng = np.random.default_rng(3)
+        src = structured_cloud(rng, 900)
+        dst_full = transform_cloud(src, 40, [1.0, 0.0, 0.0])
+        dst = dst_full[:600]  # only 2/3 of the scene seen again
+        T, success = compute_transform(src[:600], dst, voxel_size=0.3,
+                                       min_inliers=60, pad_size=1024)
+        assert success
