@@ -45,14 +45,16 @@ class PoseGraphArrays:
     sqrt_info: jax.Array    # [Ne, 6] diagonal sqrt information (1/sigma)
     edge_valid: jax.Array   # [Ne] 0/1
     robust: jax.Array       # [Ne] 0/1 — subject to GNC reweighting
-    anchor_idx: jax.Array   # int32 — node held by the prior
-    anchor_pose: jax.Array  # [4, 4]
-    anchor_sqrt_info: jax.Array  # [6]
+    prior_idx: jax.Array    # [B] int32 — nodes held by pose priors
+    prior_pose: jax.Array   # [B, 4, 4] prior targets
+    prior_sqrt_info: jax.Array  # [B, 6]
+    prior_valid: jax.Array  # [B] 0/1
 
     def tree_flatten(self):
         children = (self.poses, self.node_valid, self.edge_i, self.edge_j,
                     self.meas, self.sqrt_info, self.edge_valid, self.robust,
-                    self.anchor_idx, self.anchor_pose, self.anchor_sqrt_info)
+                    self.prior_idx, self.prior_pose, self.prior_sqrt_info,
+                    self.prior_valid)
         return children, None
 
     @classmethod
@@ -75,7 +77,7 @@ class FactorGraph:
         self._index: Dict[Key, int] = {}
         self._poses: List[np.ndarray] = []
         self._edges: List[Tuple[int, int, np.ndarray, np.ndarray, bool]] = []
-        self._anchor: Optional[Tuple[int, np.ndarray, np.ndarray]] = None
+        self._priors: List[Tuple[int, np.ndarray, np.ndarray]] = []
 
     # ------------------------------------------------------------------
 
@@ -117,11 +119,12 @@ class FactorGraph:
 
     def add_prior(self, key: Key, pose: np.ndarray,
                   sigmas: np.ndarray) -> None:
-        """Gauge anchor (reference adds a prior on the local robot's first
-        pose, ``decentralized_pgo.cpp:836-845``)."""
-        self._anchor = (self._index[tuple(key)],
-                        np.asarray(pose, np.float64),
-                        np.asarray(sigmas, np.float64))
+        """Absolute pose prior. The centralized back end uses one as the
+        gauge anchor (``decentralized_pgo.cpp:836-845``); the distributed
+        mode adds one per separator pose received from neighbors."""
+        self._priors.append((self._index[tuple(key)],
+                             np.asarray(pose, np.float64),
+                             np.asarray(sigmas, np.float64)))
 
     # ------------------------------------------------------------------
 
@@ -148,11 +151,18 @@ class FactorGraph:
             edge_valid[k] = 1.0
             robust[k] = float(rb)
 
-        if self._anchor is not None:
-            a_idx, a_pose, a_sig = self._anchor
-        else:
-            a_idx, a_pose = 0, self._poses[0] if n else np.eye(4)
-            a_sig = np.full(6, 0.1)
+        priors = self._priors or [(0, self._poses[0] if n else np.eye(4),
+                                   np.full(6, 0.1))]
+        Nb = _tier(len(priors), minimum=1)
+        p_idx = np.zeros(Nb, np.int32)
+        p_pose = np.tile(np.eye(4, dtype=np.float32), (Nb, 1, 1))
+        p_info = np.ones((Nb, 6), np.float32)
+        p_valid = np.zeros(Nb, np.float32)
+        for k, (idx, pose, sig) in enumerate(priors):
+            p_idx[k] = idx
+            p_pose[k] = pose.astype(np.float32)
+            p_info[k] = (1.0 / np.maximum(sig, 1e-9)).astype(np.float32)
+            p_valid[k] = 1.0
 
         return PoseGraphArrays(
             poses=jnp.asarray(poses),
@@ -160,10 +170,10 @@ class FactorGraph:
             edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
             meas=jnp.asarray(meas), sqrt_info=jnp.asarray(sqrt_info),
             edge_valid=jnp.asarray(edge_valid), robust=jnp.asarray(robust),
-            anchor_idx=jnp.int32(a_idx),
-            anchor_pose=jnp.asarray(a_pose, jnp.float32),
-            anchor_sqrt_info=jnp.asarray(1.0 / np.maximum(a_sig, 1e-9),
-                                         jnp.float32))
+            prior_idx=jnp.asarray(p_idx),
+            prior_pose=jnp.asarray(p_pose),
+            prior_sqrt_info=jnp.asarray(p_info),
+            prior_valid=jnp.asarray(p_valid))
 
     def values_from_arrays(self, poses: jax.Array) -> List[PoseGraphValue]:
         out = []

@@ -56,24 +56,32 @@ def edge_residuals(poses: jax.Array, g: PoseGraphArrays) -> jax.Array:
     return r * g.edge_valid[:, None]
 
 
-def _anchor_residual(poses: jax.Array, g: PoseGraphArrays,
-                     xi: jax.Array) -> jax.Array:
-    X = se3.retract(poses[g.anchor_idx], xi)
-    return se3.log(se3.between(g.anchor_pose, X)) * g.anchor_sqrt_info
+def _prior_residual(xi: jax.Array, X: jax.Array, target: jax.Array,
+                    sqrt_info: jax.Array) -> jax.Array:
+    """r = sqrt_info * Log(target^-1 (X Exp(xi))), [6]."""
+    return se3.log(se3.between(target, se3.retract(X, xi))) * sqrt_info
+
+
+def prior_residuals(poses: jax.Array, g: PoseGraphArrays) -> jax.Array:
+    """Whitened residuals of all (padded) pose priors: ``[B, 6]``."""
+    r = jax.vmap(_prior_residual, in_axes=(None, 0, 0, 0))(
+        jnp.zeros(6, poses.dtype), poses[g.prior_idx], g.prior_pose,
+        g.prior_sqrt_info)
+    return r * g.prior_valid[:, None]
 
 
 def cost(poses: jax.Array, g: PoseGraphArrays,
          weights: jax.Array) -> jax.Array:
-    """0.5 * sum of weighted squared whitened residuals (+ anchor)."""
+    """0.5 * sum of weighted squared whitened residuals (+ priors)."""
     r = edge_residuals(poses, g)
-    ra = _anchor_residual(poses, g, jnp.zeros(6, poses.dtype))
-    return 0.5 * (jnp.sum(weights[:, None] * r * r) + jnp.sum(ra * ra))
+    rp = prior_residuals(poses, g)
+    return 0.5 * (jnp.sum(weights[:, None] * r * r) + jnp.sum(rp * rp))
 
 
 def _linearize(poses: jax.Array, g: PoseGraphArrays):
     """Batched residuals + exact Jacobians at the current estimate.
 
-    Returns (r [Ne,6], Ji [Ne,6,6], Jj [Ne,6,6], ra [6], Ja [6,6]).
+    Returns (r [Ne,6], Ji [Ne,6,6], Jj [Ne,6,6], rp [B,6], Jp [B,6,6]).
     """
     Xi = poses[g.edge_i]
     Xj = poses[g.edge_j]
@@ -90,9 +98,17 @@ def _linearize(poses: jax.Array, g: PoseGraphArrays):
     Ji, Jj = J[:, :, :6], J[:, :, 6:]
 
     zero6 = jnp.zeros(6, poses.dtype)
-    ra = _anchor_residual(poses, g, zero6)
-    Ja = jax.jacfwd(lambda xi: _anchor_residual(poses, g, xi))(zero6)
-    return r, Ji, Jj, ra, Ja
+
+    def prior_res_and_jac(X_, target_, si_):
+        rp = _prior_residual(zero6, X_, target_, si_)
+        Jp = jax.jacfwd(_prior_residual)(zero6, X_, target_, si_)
+        return rp, Jp
+
+    rp, Jp = jax.vmap(prior_res_and_jac)(poses[g.prior_idx], g.prior_pose,
+                                         g.prior_sqrt_info)
+    rp = rp * g.prior_valid[:, None]
+    Jp = Jp * g.prior_valid[:, None, None]
+    return r, Ji, Jj, rp, Jp
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +116,7 @@ def _linearize(poses: jax.Array, g: PoseGraphArrays):
 # ---------------------------------------------------------------------------
 
 
-def _hessian_blocks(g, Ji, Jj, Ja, weights):
+def _hessian_blocks(g, Ji, Jj, Jp, weights):
     """Block-diagonal of H = J^T W J: ``[Np, 6, 6]``."""
     Np = g.num_nodes
     w = (weights * g.edge_valid)[:, None, None]
@@ -109,13 +125,13 @@ def _hessian_blocks(g, Ji, Jj, Ja, weights):
     D = jnp.zeros((Np, 6, 6), Ji.dtype)
     D = D.at[g.edge_i].add(JiT_Ji)
     D = D.at[g.edge_j].add(JjT_Jj)
-    D = D.at[g.anchor_idx].add(Ja.T @ Ja)
+    D = D.at[g.prior_idx].add(jnp.einsum("bki,bkj->bij", Jp, Jp))
     # identity on padded nodes keeps them inert and invertible
     D = D + (1.0 - g.node_valid)[:, None, None] * jnp.eye(6, dtype=Ji.dtype)
     return D
 
 
-def _make_matvec(g, Ji, Jj, Ja, weights, lam, diag_h):
+def _make_matvec(g, Ji, Jj, Jp, weights, lam, diag_h):
     """x -> (H + lam*diag(H)) x with H applied edge-wise (never formed)."""
     w = weights * g.edge_valid
 
@@ -126,7 +142,8 @@ def _make_matvec(g, Ji, Jj, Ja, weights, lam, diag_h):
         y = jnp.zeros_like(x)
         y = y.at[g.edge_i].add(jnp.einsum("eij,ei->ej", Ji, aw))
         y = y.at[g.edge_j].add(jnp.einsum("eij,ei->ej", Jj, aw))
-        y = y.at[g.anchor_idx].add(Ja.T @ (Ja @ x[g.anchor_idx]))
+        ap = jnp.einsum("bij,bj->bi", Jp, x[g.prior_idx])
+        y = y.at[g.prior_idx].add(jnp.einsum("bij,bi->bj", Jp, ap))
         y = y + lam * diag_h * x
         # keep padded nodes at identity so PCG stays well-posed
         return y * g.node_valid[:, None] + x * (1.0 - g.node_valid)[:, None]
@@ -200,22 +217,22 @@ def lm_optimize(g: PoseGraphArrays, weights: jax.Array,
 
     def lm_body(state):
         i, poses, current_cost, lam, _ = state
-        r, Ji, Jj, ra, Ja = _linearize(poses, g)
+        r, Ji, Jj, rp, Jp = _linearize(poses, g)
         w = weights * g.edge_valid
         # gradient g = J^T W r
         rw = r * w[:, None]
         grad = jnp.zeros((g.num_nodes, 6), poses.dtype)
         grad = grad.at[g.edge_i].add(jnp.einsum("eij,ei->ej", Ji, rw))
         grad = grad.at[g.edge_j].add(jnp.einsum("eij,ei->ej", Jj, rw))
-        grad = grad.at[g.anchor_idx].add(Ja.T @ ra)
+        grad = grad.at[g.prior_idx].add(jnp.einsum("bij,bi->bj", Jp, rp))
         grad = grad * g.node_valid[:, None]
 
-        D = _hessian_blocks(g, Ji, Jj, Ja, weights)
+        D = _hessian_blocks(g, Ji, Jj, Jp, weights)
         diag_h = jnp.maximum(jnp.einsum("nii->ni", D), 1e-8)
         M = D + lam * diag_h[:, None] * jnp.eye(6, dtype=poses.dtype)[None]
         M_inv = jnp.linalg.inv(M)
 
-        matvec = _make_matvec(g, Ji, Jj, Ja, weights, lam, diag_h)
+        matvec = _make_matvec(g, Ji, Jj, Jp, weights, lam, diag_h)
         delta = _pcg(matvec, -grad, M_inv, cg_iters, cg_tol)
         delta = delta * g.node_valid[:, None]
 
@@ -302,7 +319,8 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
         weights = jnp.where(g.robust > 0, w_tls, 1.0)
         g_i = PoseGraphArrays(poses, g.node_valid, g.edge_i, g.edge_j,
                               g.meas, g.sqrt_info, g.edge_valid, g.robust,
-                              g.anchor_idx, g.anchor_pose, g.anchor_sqrt_info)
+                              g.prior_idx, g.prior_pose, g.prior_sqrt_info,
+                              g.prior_valid)
         res = lm_optimize(g_i, weights, max_iters=lm_iters, cg_iters=cg_iters)
         binary = jnp.all(jnp.logical_or(weights < 1e-3, weights > 1.0 - 1e-3))
         return i + 1, res.poses, mu * mu_step, weights, binary

@@ -1,0 +1,118 @@
+"""Mesh-sharded distributed PGO tests (8 virtual CPU devices).
+
+Validates that block Gauss-Seidel over a jax Mesh converges to the same
+quality as the centralized solver on multi-robot graphs — the TPU-native
+scaling mode (SURVEY.md §7 stage 5).
+"""
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from cslam_tpu.ops import se3
+from cslam_tpu.pgo import FactorGraph, lm_optimize
+from cslam_tpu.pgo.distributed import (AXIS, ShardedPoseGraph,
+                                       distributed_optimize)
+from cslam_tpu.types import PoseGraphEdge, PoseKey
+
+SIGMAS = np.array([0.01] * 3 + [0.1] * 3)
+
+
+def make_mesh(n):
+    devices = jax.devices()
+    if len(devices) < n:
+        pytest.skip(f"needs {n} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n]), (AXIS,))
+
+
+def circle_gt(robot, n, radius, z=0.0):
+    out = {}
+    for k in range(n):
+        a = 2 * np.pi * k / n
+        T = np.eye(4)
+        T[:3, :3] = [[np.cos(a), -np.sin(a), 0],
+                     [np.sin(a), np.cos(a), 0], [0, 0, 1.0]]
+        T[:3, 3] = [radius * np.cos(a), radius * np.sin(a), z]
+        out[(robot, k)] = T
+    return out
+
+
+def build_problem(nb_robots, nb_poses, rng, sep_every=5):
+    gt = {}
+    for r in range(nb_robots):
+        gt.update(circle_gt(r, nb_poses, 10.0 + 0.2 * r, z=0.1 * r))
+
+    problem = ShardedPoseGraph(nb_robots)
+    central = FactorGraph()
+    for r in range(nb_robots):
+        # dead-reckoned init from noisy odometry
+        cur = gt[(r, 0)]
+        problem.add_variable(r, 0, cur)
+        central.add_variable((r, 0), cur)
+        for k in range(nb_poses - 1):
+            z = np.asarray(se3.between(jnp.asarray(gt[(r, k)]),
+                                       jnp.asarray(gt[(r, k + 1)])))
+            noise = np.eye(4)
+            noise[:3, 3] = rng.normal(scale=0.05, size=3)
+            z = z @ noise
+            cur = cur @ z
+            problem.add_variable(r, k + 1, cur)
+            central.add_variable((r, k + 1), cur)
+            problem.add_local_between(r, k, k + 1, z, SIGMAS)
+            central.add_between((r, k), (r, k + 1), z, SIGMAS)
+
+    for r in range(nb_robots - 1):
+        for k in range(0, nb_poses, sep_every):
+            z = np.asarray(se3.between(jnp.asarray(gt[(r, k)]),
+                                       jnp.asarray(gt[(r + 1, k)])))
+            edge = PoseGraphEdge(key_from=PoseKey(r, k),
+                                 key_to=PoseKey(r + 1, k),
+                                 measurement=z, noise_sigmas=SIGMAS)
+            problem.add_separator(edge)
+            central.add_between((r, k), (r + 1, k), z, SIGMAS)
+    central.add_prior((0, 0), gt[(0, 0)], SIGMAS)
+    return gt, problem, central
+
+
+def ate(est, gt):
+    keys = sorted(set(est) & set(gt))
+    errs = [np.linalg.norm(est[k][:3, 3] - gt[k][:3, 3]) for k in keys]
+    return float(np.sqrt(np.mean(np.square(errs))))
+
+
+@pytest.mark.parametrize("nb_robots", [2, 5, 8])
+def test_distributed_matches_centralized(nb_robots):
+    rng = np.random.default_rng(nb_robots)
+    nb_poses = 20
+    gt, problem, central = build_problem(nb_robots, nb_poses, rng)
+    mesh = make_mesh(nb_robots)
+
+    # centralized reference solution
+    arrays = central.to_arrays()
+    res = lm_optimize(arrays, jnp.ones(arrays.num_edges))
+    central_est = {tuple(v.key.as_tuple()): v.pose
+                   for v in central.values_from_arrays(res.poses)}
+    ate_central = ate(central_est, gt)
+
+    # distributed solution
+    est = distributed_optimize(problem, mesh, sweeps=12)
+    ate_dist = ate(est, gt)
+
+    init_est = {k: central.get_pose(k) for k in gt}
+    ate_init = ate(init_est, gt)
+
+    assert ate_dist < ate_init * 0.9       # improves on dead reckoning
+    assert ate_dist < ate_central + 0.15   # near-centralized quality
+
+
+def test_isolated_robot_stays_anchored():
+    """A robot with no separators must not drift or blow up."""
+    rng = np.random.default_rng(0)
+    gt, problem, _ = build_problem(2, 10, rng, sep_every=100)  # no separators
+    mesh = make_mesh(2)
+    est = distributed_optimize(problem, mesh, sweeps=4)
+    for k, pose in est.items():
+        assert np.all(np.isfinite(pose))
+    # each robot is internally consistent with its own odometry
+    assert ate(est, gt) < 1.0
