@@ -175,6 +175,13 @@ class FactorGraph:
             prior_sqrt_info=jnp.asarray(p_info),
             prior_valid=jnp.asarray(p_valid))
 
+    def edges_as_records(self) -> List[PoseGraphEdge]:
+        """Between factors as typed records (for g2o export / logging)."""
+        inv = {v: k for k, v in self._index.items()}
+        return [PoseGraphEdge(key_from=PoseKey(*inv[i]), key_to=PoseKey(*inv[j]),
+                              measurement=z, noise_sigmas=s)
+                for (i, j, z, s, _r) in self._edges]
+
     def values_from_arrays(self, poses: jax.Array) -> List[PoseGraphValue]:
         out = []
         host = np.asarray(poses)

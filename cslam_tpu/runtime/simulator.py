@@ -218,8 +218,13 @@ class SwarmSimulator:
                 keyframe_period=keyframe_period, seed=seed)
             detection = DetectionFrontEnd(ctx,
                                           model=IdentityDescriptorModel())
+            logger = None
+            if params.get("evaluation.enable_logs", False):
+                from cslam_tpu.evaluation.logger import ExperimentLogger
+                logger = ExperimentLogger(
+                    ctx, params.get("evaluation.log_folder", "/tmp/cslam_logs"))
             backend = DecentralizedPGO(
-                ctx, synchronous_optimization=synchronous_pgo)
+                ctx, logger=logger, synchronous_optimization=synchronous_pgo)
             self.robots.append(SimRobot(ctx, frontend, detection, backend))
 
     def step(self, dt: float = 0.1) -> None:

@@ -1,0 +1,110 @@
+"""Evaluation subsystem: g2o round trips, ATE/RPE, experiment logging."""
+import os
+
+import numpy as np
+import pytest
+
+from cslam_tpu.evaluation.ate import (absolute_trajectory_error,
+                                      relative_pose_error, umeyama_alignment)
+from cslam_tpu.evaluation import g2o as g2o_io
+from cslam_tpu.types import PoseGraphEdge, PoseKey
+
+
+def random_pose(rng):
+    from scipy.spatial.transform import Rotation
+    T = np.eye(4)
+    T[:3, :3] = Rotation.random(random_state=int(rng.integers(1 << 30))
+                                ).as_matrix()
+    T[:3, 3] = rng.uniform(-10, 10, 3)
+    return T
+
+
+class TestG2O:
+
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        values = {(r, k): random_pose(rng) for r in range(2) for k in range(5)}
+        edges = [PoseGraphEdge(key_from=PoseKey(0, 0), key_to=PoseKey(0, 1),
+                               measurement=random_pose(rng),
+                               noise_sigmas=np.array([0.01] * 3 + [0.1] * 3)),
+                 PoseGraphEdge(key_from=PoseKey(0, 2), key_to=PoseKey(1, 3),
+                               measurement=random_pose(rng),
+                               noise_sigmas=np.full(6, 0.05))]
+        path = str(tmp_path / "graph.g2o")
+        g2o_io.write_g2o(path, values, edges)
+        rv, re = g2o_io.read_g2o(path)
+        assert set(rv) == set(values)
+        for k in values:
+            np.testing.assert_allclose(rv[k], values[k], atol=1e-6)
+        assert len(re) == 2
+        np.testing.assert_allclose(re[0].measurement, edges[0].measurement,
+                                   atol=1e-6)
+        np.testing.assert_allclose(re[1].noise_sigmas, edges[1].noise_sigmas,
+                                   rtol=1e-5)
+
+
+class TestATE:
+
+    def test_umeyama_exact_recovery(self):
+        rng = np.random.default_rng(1)
+        src = rng.uniform(-5, 5, (20, 3))
+        T_true = random_pose(rng)
+        dst = src @ T_true[:3, :3].T + T_true[:3, 3]
+        T = umeyama_alignment(src, dst)
+        np.testing.assert_allclose(T, T_true, atol=1e-8)
+
+    def test_ate_zero_for_rigidly_moved_trajectory(self):
+        rng = np.random.default_rng(2)
+        gt = {(0, k): random_pose(rng) for k in range(10)}
+        offset = random_pose(rng)
+        est = {k: offset @ v for k, v in gt.items()}
+        assert absolute_trajectory_error(est, gt) == pytest.approx(0, abs=1e-8)
+        # without alignment the offset shows
+        assert absolute_trajectory_error(est, gt, align=False) > 0.1
+
+    def test_rpe(self):
+        rng = np.random.default_rng(3)
+        gt = {(0, k): np.eye(4) for k in range(5)}
+        for k in range(5):
+            gt[(0, k)][0, 3] = float(k)
+        est = {k: v.copy() for k, v in gt.items()}
+        est[(0, 3)][0, 3] += 0.5  # one bad step
+        assert relative_pose_error(est, gt) > 0.1
+
+
+class TestExperimentLogger:
+
+    def test_end_to_end_logging(self, tmp_path):
+        """Run a 2-robot sim with logs enabled; experiment folder must
+        contain metrics.csv and g2o dumps."""
+        from cslam_tpu.runtime.simulator import (SwarmSimulator,
+                                                 SyntheticWorld,
+                                                 circle_trajectory)
+        world = SyntheticWorld(nb_places=20, descriptor_dim=16, seed=0)
+        trajs = [circle_trajectory(10, 10.0, 20),
+                 circle_trajectory(10, 10.0, 20, start_angle=0.05)]
+        sim = SwarmSimulator(
+            2, world, trajs,
+            config_overrides={
+                "evaluation.enable_logs": True,
+                "evaluation.log_folder": str(tmp_path),
+                "frontend.inter_robot_detection_period_sec": 3.0,
+                "backend.pose_graph_optimization_start_period_ms": 2000,
+            }, keyframe_period=0.5)
+        sim.run(25.0, dt=0.25)
+
+        folders = sorted(os.listdir(tmp_path))
+        assert len(folders) == 2  # one per robot
+        r0 = os.path.join(tmp_path, [f for f in folders if f.endswith("r0")][0])
+        files = os.listdir(r0)
+        assert "metrics.csv" in files
+        assert any(f.startswith("optimized_global") for f in files)
+        assert any(f.startswith("initial_global") for f in files)
+        with open(os.path.join(r0, "metrics.csv")) as f:
+            content = f.read()
+        assert "total_pgo_time" in content
+        assert "graph_error" in content
+        # comm-byte metrics flowed over the log_info bus
+        logger = sim.robots[0].backend.logger
+        assert logger.metrics["detection_cumulative_communication"] > 0
+        assert logger.total_pgo_time > 0
