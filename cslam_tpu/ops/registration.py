@@ -163,11 +163,17 @@ def compute_transform(src_points: np.ndarray, dst_points: np.ndarray,
 
     Same contract as reference ``icp_utils.compute_transform``
     (``icp_utils.py:178-196``): returns (transform, success) with success =
-    enough inlier correspondences.
+    enough inlier correspondences. The returned transform uses the pose
+    convention the back end's BetweenFactor expects, Z = X_src^-1 X_dst —
+    i.e. the *inverse* of the point map estimated by the ICP (points
+    expressed in src's sensor frame map into dst's frame by X_dst^-1 X_src;
+    the reference's TEASER note "computes the transform from dst to src",
+    icp_utils.py:182, is the same convention).
     """
     src, src_mask = pad_cloud(src_points, pad_size)
     dst, dst_mask = pad_cloud(dst_points, pad_size)
-    T, inliers = robust_registration(
+    T_pointmap, inliers = robust_registration(
         jnp.asarray(src), jnp.asarray(src_mask), jnp.asarray(dst),
         jnp.asarray(dst_mask), corr_dist=float(voxel_size) * 1.5)
-    return np.asarray(T, np.float64), bool(int(inliers) > min_inliers)
+    Z = np.linalg.inv(np.asarray(T_pointmap, np.float64))
+    return Z, bool(int(inliers) > min_inliers)

@@ -55,10 +55,13 @@ class TestRegistration:
         src = structured_cloud(rng)
         dst = transform_cloud(src, yaw, t) \
             + rng.normal(scale=0.02, size=src.shape)
-        T, success = compute_transform(src, dst, voxel_size=0.3,
+        Z, success = compute_transform(src, dst, voxel_size=0.3,
                                        min_inliers=60, pad_size=1024)
         assert success
-        moved = src @ T[:3, :3].T + T[:3, 3]
+        # Z is the pose-convention transform (X_src^-1 X_dst); the point map
+        # src->dst coordinates is its inverse
+        P = np.linalg.inv(Z)
+        moved = src @ P[:3, :3].T + P[:3, 3]
         err = np.linalg.norm(moved - transform_cloud(src, yaw, t), axis=1)
         assert np.median(err) < 0.1
 

@@ -1,0 +1,229 @@
+"""Visual front end tests: native features, stereo depth, RGB-D verification.
+
+Uses a synthetic pinhole world: textured 3D landmarks rendered into images,
+so FAST/BRIEF find and re-identify real corners across views and the full
+feature -> match -> GNC-align verification chain runs end to end.
+"""
+import numpy as np
+import pytest
+
+from cslam_tpu import native
+from cslam_tpu.native import fallback
+from cslam_tpu.ops import visual_registration as vreg
+from cslam_tpu.runtime.bus import MessageBus, RobotContext
+from cslam_tpu.runtime.clock import VirtualClock
+from cslam_tpu.runtime.rgbd_frontend import (CameraModel, RGBDFrontEnd,
+                                             StereoFrontEnd)
+from cslam_tpu.types import LocalDescriptorsRequest, Odometry
+
+CAM = CameraModel(fx=300.0, fy=300.0, cx=160.0, cy=120.0, baseline=0.2)
+W, H = 320, 240
+
+
+def make_world(rng, n=120):
+    """Landmarks in front of the origin camera, each with a unique texture."""
+    pts = np.stack([rng.uniform(-4, 4, n), rng.uniform(-3, 3, n),
+                    rng.uniform(4, 10, n)], axis=1)
+    textures = rng.integers(30, 255, (n, 11, 11), dtype=np.int64)
+    return pts, textures
+
+
+def render(pts, textures, pose, depth_too=True):
+    """Pinhole render: stamp each landmark's texture at its projection."""
+    img = np.full((H, W), 10, np.uint8)
+    depth = np.zeros((H, W), np.float32)
+    inv = np.linalg.inv(pose)
+    cam_pts = pts @ inv[:3, :3].T + inv[:3, 3]
+    order = np.argsort(-cam_pts[:, 2])  # far to near
+    for i in order:
+        x, y, z = cam_pts[i]
+        if z < 0.5:
+            continue
+        u = int(round(CAM.fx * x / z + CAM.cx))
+        v = int(round(CAM.fy * y / z + CAM.cy))
+        if not (20 <= u < W - 20 and 20 <= v < H - 20):
+            continue
+        img[v - 5:v + 6, u - 5:u + 6] = textures[i].astype(np.uint8)
+        depth[v - 5:v + 6, u - 5:u + 6] = z
+    return (img, depth) if depth_too else img
+
+
+def pose_xyz_yaw(x, y, z, yaw=0.0):
+    T = np.eye(4)
+    T[:3, :3] = [[np.cos(yaw), -np.sin(yaw), 0],
+                 [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]]
+    T[:3, 3] = [x, y, z]
+    return T
+
+
+class TestNativeFeatures:
+
+    def test_native_matches_fallback_oracle(self):
+        rng = np.random.default_rng(0)
+        pts, tex = make_world(rng)
+        img, _ = render(pts, tex, np.eye(4))
+        xy_n, _ = native.fast_detect(img, 25, 300)
+        xy_f, _ = fallback.fast_detect(img, 25, 10000)
+        set_f = set(map(tuple, xy_f.tolist()))
+        assert len(xy_n) > 30
+        assert all(tuple(p) in set_f for p in xy_n.tolist())
+        desc_n = native.brief_describe(img, xy_n)
+        desc_f = fallback.brief_describe(img, xy_n)
+        np.testing.assert_array_equal(desc_n, desc_f)
+
+    def test_matching_across_translated_view(self):
+        rng = np.random.default_rng(1)
+        pts, tex = make_world(rng)
+        img_a, _ = render(pts, tex, np.eye(4))
+        img_b, _ = render(pts, tex, pose_xyz_yaw(0.2, 0.1, 0.0))
+        kp_a, _ = native.fast_detect(img_a, 25, 300)
+        kp_b, _ = native.fast_detect(img_b, 25, 300)
+        pairs = native.hamming_match(native.brief_describe(img_a, kp_a),
+                                     native.brief_describe(img_b, kp_b),
+                                     max_dist=40)
+        assert len(pairs) > 20
+
+
+class TestVisualVerification:
+
+    def test_gnc_align_with_outliers(self):
+        rng = np.random.default_rng(2)
+        src = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+        T = pose_xyz_yaw(1.0, -0.5, 0.2, yaw=0.4)
+        dst = (src @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+        dst[::7] += rng.uniform(3, 6, (len(dst[::7]), 3))  # ~14% outliers
+        import jax.numpy as jnp
+        from cslam_tpu.ops.visual_registration import gnc_align
+        T_est, inliers = gnc_align(jnp.asarray(src), jnp.asarray(dst),
+                                   jnp.ones(100), inlier_dist=0.2)
+        np.testing.assert_allclose(np.asarray(T_est), T, atol=0.02)
+        assert 80 <= int(inliers) <= 90
+
+    def test_verify_keyframe_pair_convention(self):
+        """Returned transform must be the BetweenFactor measurement
+        Z = X_a^-1 X_b."""
+        rng = np.random.default_rng(3)
+        pts, tex = make_world(rng)
+        Xa = pose_xyz_yaw(0, 0, 0)
+        Xb = pose_xyz_yaw(0.4, 0.2, 0.0, yaw=0.1)
+        img_a, dep_a = render(pts, tex, Xa)
+        img_b, dep_b = render(pts, tex, Xb)
+        kp_a, _ = native.fast_detect(img_a, 25, 300)
+        kp_b, _ = native.fast_detect(img_b, 25, 300)
+        feats = {}
+        for tag, img, dep, kp in (("a", img_a, dep_a, kp_a),
+                                  ("b", img_b, dep_b, kp_b)):
+            feats[tag] = (vreg.project_to_3d(kp, dep, CAM.fx, CAM.fy,
+                                             CAM.cx, CAM.cy),
+                          native.brief_describe(img, kp))
+        Z, success, inliers = vreg.verify_keyframe_pair(
+            feats["a"][0], feats["a"][1], feats["b"][0], feats["b"][1],
+            min_inliers=6, inlier_dist=0.3)
+        assert success and inliers > 10
+        Z_gt = np.linalg.inv(Xa) @ Xb
+        np.testing.assert_allclose(Z[:3, 3], Z_gt[:3, 3], atol=0.1)
+        np.testing.assert_allclose(Z[:3, :3], Z_gt[:3, :3], atol=0.05)
+
+    def test_unrelated_scenes_fail(self):
+        rng = np.random.default_rng(4)
+        pts_a, tex_a = make_world(rng)
+        pts_b, tex_b = make_world(np.random.default_rng(99))
+        img_a, dep_a = render(pts_a, tex_a, np.eye(4))
+        img_b, dep_b = render(pts_b, tex_b, np.eye(4))
+        kp_a, _ = native.fast_detect(img_a, 25, 300)
+        kp_b, _ = native.fast_detect(img_b, 25, 300)
+        Z, success, inliers = vreg.verify_keyframe_pair(
+            vreg.project_to_3d(kp_a, dep_a, CAM.fx, CAM.fy, CAM.cx, CAM.cy),
+            native.brief_describe(img_a, kp_a),
+            vreg.project_to_3d(kp_b, dep_b, CAM.fx, CAM.fy, CAM.cx, CAM.cy),
+            native.brief_describe(img_b, kp_b),
+            min_inliers=20, inlier_dist=0.3)
+        assert not success
+
+
+class TestStereo:
+
+    def test_stereo_depth_accuracy(self):
+        rng = np.random.default_rng(5)
+        pts, tex = make_world(rng, n=60)
+        left = render(pts, tex, np.eye(4), depth_too=False)
+        right_pose = pose_xyz_yaw(CAM.baseline, 0, 0)  # camera shifted +x
+        right = render(pts, tex, right_pose, depth_too=False)
+
+        bus, clock = MessageBus(), VirtualClock()
+        ctx = RobotContext(bus, clock, 0, {"robot_id": 0, "max_nb_robots": 2})
+        fe = StereoFrontEnd(ctx, CAM)
+        feats = fe._compute_local_features(left, right)
+        have_depth = feats.keypoints3d[:, 2] > 0
+        assert have_depth.sum() > 15
+        # depths must be in the landmark range and consistent with gt z
+        z = feats.keypoints3d[have_depth, 2]
+        assert np.all(z > 2.0) and np.all(z < 13.0)
+
+
+class TestRGBDHandlerFlow:
+
+    def test_inter_robot_verification_over_bus(self):
+        """Two RGB-D handlers exchange descriptors over the bus; the
+        resulting loop closure matches the ground-truth relative pose."""
+        rng = np.random.default_rng(6)
+        pts, tex = make_world(rng)
+        bus, clock = MessageBus(), VirtualClock()
+        params = {"robot_id": 0, "max_nb_robots": 2,
+                  "frontend.map_manager_process_period_ms": 100}
+        ctx0 = RobotContext(bus, clock, 0, dict(params))
+        ctx1 = RobotContext(bus, clock, 1, dict(params, robot_id=1))
+        fe0 = RGBDFrontEnd(ctx0, CAM)
+        fe1 = RGBDFrontEnd(ctx1, CAM)
+
+        X0 = pose_xyz_yaw(0, 0, 0)
+        X1 = pose_xyz_yaw(0.3, -0.2, 0.0, yaw=0.08)
+        img0, dep0 = render(pts, tex, X0)
+        img1, dep1 = render(pts, tex, X1)
+        fe0.rgbd_callback(img0, dep0, Odometry(pose=X0))
+        fe1.rgbd_callback(img1, dep1, Odometry(pose=X1))
+        clock.advance(0.2)
+        ctx0.poll_timers()
+        ctx1.poll_timers()
+        bus.deliver()
+        assert fe0.nb_local_keyframes == 1
+        assert fe1.nb_local_keyframes == 1
+
+        closures = []
+        bus.subscribe("/cslam/inter_robot_loop_closure", closures.append)
+        # robot 1 is asked to ship kf 0's descriptors to robot 0's kf 0
+        bus.publish("/r1/cslam/local_descriptors_request",
+                    LocalDescriptorsRequest(keyframe_id=0,
+                                            matches_robot_id=[0],
+                                            matches_keyframe_id=[0]))
+        bus.deliver()
+        assert len(closures) == 1
+        lc = closures[0]
+        assert lc.success
+        assert (lc.robot0_id, lc.robot1_id) == (0, 1)
+        Z_gt = np.linalg.inv(X0) @ X1
+        np.testing.assert_allclose(lc.transform[:3, 3], Z_gt[:3, 3],
+                                   atol=0.12)
+
+    def test_keyframe_gating_by_inlier_ratio(self):
+        rng = np.random.default_rng(7)
+        pts, tex = make_world(rng)
+        bus, clock = MessageBus(), VirtualClock()
+        ctx = RobotContext(bus, clock, 0, {
+            "robot_id": 0, "max_nb_robots": 2,
+            "frontend.map_manager_process_period_ms": 100,
+            "frontend.keyframe_generation_ratio_threshold": 0.5})
+        fe = RGBDFrontEnd(ctx, CAM)
+        img, dep = render(pts, tex, np.eye(4))
+        # same frame twice: second one should NOT become a keyframe
+        for _ in range(2):
+            fe.rgbd_callback(img, dep, Odometry(pose=np.eye(4)))
+            clock.advance(0.2)
+            ctx.poll_timers()
+        assert fe.nb_local_keyframes == 1
+        # a very different viewpoint becomes a keyframe again
+        img2, dep2 = render(pts, tex, pose_xyz_yaw(3.0, 1.5, 0, yaw=0.6))
+        fe.rgbd_callback(img2, dep2, Odometry(pose=np.eye(4)))
+        clock.advance(0.2)
+        ctx.poll_timers()
+        assert fe.nb_local_keyframes == 2
