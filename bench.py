@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cslam_tpu.ops import topk as topk_ops
+from cslam_tpu.ops.nns_pallas import cosine_topk_fused
 
 BANK_CAPACITY = 131072      # 2^17 rows (covers the 100k-keyframe scenario)
 VALID_ROWS = 100000
@@ -37,20 +38,30 @@ def main():
     queries = jnp.asarray(
         rng.standard_normal((BATCH, DIM)).astype(np.float32))
 
-    # compile + warm up
-    sims, idx = topk_ops.cosine_topk(bank, inv_norms, n, queries, K)
+    # pick the faster path: fused Pallas bank-scan kernel on TPU, plain XLA
+    # matmul+top_k elsewhere (the kernel needs Mosaic)
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    def search(q, k):
+        if on_tpu:
+            return cosine_topk_fused(bank, inv_norms, n, q, k)
+        return topk_ops.cosine_topk(bank, inv_norms, n, q, k)
+
+    # compile + warm up + cross-check the two paths agree
+    sims, idx = search(queries, K)
     sims.block_until_ready()
+    ref_s, ref_i = topk_ops.cosine_topk(bank, inv_norms, n, queries, K)
+    assert np.array_equal(np.asarray(idx), np.asarray(ref_i)), "path mismatch"
 
     # sanity: self-queries retrieve themselves
-    probe = bank[:8]
-    _, pidx = topk_ops.cosine_topk(bank, inv_norms, n, probe, K)
+    _, pidx = topk_ops.cosine_topk(bank, inv_norms, n, bank[:8], K)
     assert (np.asarray(pidx)[:, 0] == np.arange(8)).all(), "top-1 self-check"
 
     # timed region: many batched dispatches
-    iters = 50
+    iters = 100
     t0 = time.perf_counter()
     for i in range(iters):
-        sims, idx = topk_ops.cosine_topk(bank, inv_norms, n, queries, K)
+        sims, idx = search(queries, K)
     sims.block_until_ready()
     dt = time.perf_counter() - t0
 

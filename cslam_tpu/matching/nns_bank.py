@@ -133,11 +133,25 @@ class DescriptorBank:
 
         ``k' = min(k_bucket, capacity)``; rows beyond ``self.n`` valid entries
         have similarity ``-inf``. This is the throughput path (the reference
-        has no batched equivalent).
+        has no batched equivalent). Large banks on TPU use the fused Pallas
+        bank-scan kernel (``ops.nns_pallas``); smaller tiers and CPU use the
+        XLA matmul + top_k path.
         """
         self._sync_device()
+        queries = jnp.asarray(queries, dtype=jnp.float32)
+        if self._use_fused_kernel(k):
+            from cslam_tpu.ops import nns_pallas
+            sims, idx = nns_pallas.cosine_topk_fused(
+                self._bank, self._inv_norms, jnp.int32(self.n), queries, k)
+            return np.asarray(sims), np.asarray(idx)
         kb = min(_k_bucket(k), self._capacity)
         sims, idx = topk_ops.cosine_topk(
-            self._bank, self._inv_norms, jnp.int32(self.n),
-            jnp.asarray(queries, dtype=jnp.float32), kb)
+            self._bank, self._inv_norms, jnp.int32(self.n), queries, kb)
         return np.asarray(sims)[:, :k], np.asarray(idx)[:, :k]
+
+    def _use_fused_kernel(self, k: int) -> bool:
+        from cslam_tpu.ops import nns_pallas
+        if (k > nns_pallas.KERNEL_K
+                or self._capacity % nns_pallas.TILE_N != 0):
+            return False
+        return jax.devices()[0].platform not in ("cpu",)

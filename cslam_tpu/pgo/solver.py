@@ -284,10 +284,13 @@ class GncResult(NamedTuple):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_outer", "lm_iters", "cg_iters"))
+                   static_argnames=("max_outer", "lm_iters", "cg_iters",
+                                    "graduation_lm_iters"))
 def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
                  lm_iters: int = 30, cg_iters: int = 150,
-                 barc_sq: float = 16.81, mu_step: float = 1.4) -> GncResult:
+                 barc_sq: float = 16.81, mu_step: float = 1.4,
+                 graduation_lm_iters: int = 8,
+                 mu0_chi2_cap: float = 50.0) -> GncResult:
     """Graduated non-convexity (TLS) robust PGO.
 
     Edges with ``g.robust == 1`` are reweighted; others stay weight 1.
@@ -296,17 +299,29 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
     Mirrors the behavior of GTSAM's GncOptimizer used at reference
     ``decentralized_pgo.cpp:805-808``; falls back gracefully (weights all 1 =
     plain LM) when everything is an inlier.
+
+    Wall-clock design: intermediate graduation steps run a short warm-started
+    LM (``graduation_lm_iters``), only the final weights get the full-budget
+    polish; and ``mu0`` is initialized from chi2 capped at
+    ``mu0_chi2_cap * barc_sq`` instead of the raw maximum — gross outliers
+    beyond the cap start at weight 0 immediately (they need no graduation),
+    which bounds the outer-iteration count regardless of outlier magnitude.
     """
     ones = jnp.ones(g.num_edges, g.poses.dtype)
     res0 = lm_optimize(g, ones, max_iters=lm_iters, cg_iters=cg_iters)
     chi2 = _edge_chi2(res0.poses, g)
     masked_chi2 = jnp.where(g.robust * g.edge_valid > 0, chi2, 0.0)
-    max_chi2 = jnp.max(masked_chi2)
+    max_chi2 = jnp.minimum(jnp.max(masked_chi2), mu0_chi2_cap * barc_sq)
     # TLS mu init (GTSAM GncOptimizer::initializeMu): barc^2/(2 r_max^2 - barc^2)
     mu0 = jnp.where(max_chi2 > barc_sq,
                     barc_sq / (2.0 * max_chi2 - barc_sq), 1e6)
     mu0 = jnp.maximum(mu0, 1e-6)
-    all_inliers = max_chi2 <= barc_sq
+    all_inliers = jnp.max(masked_chi2) <= barc_sq
+
+    def reweighted(poses, mu):
+        chi2_i = _edge_chi2(poses, g)
+        w_tls = _tls_weights(chi2_i, mu, barc_sq)
+        return jnp.where(g.robust > 0, w_tls, 1.0)
 
     def outer_cond(state):
         i, _, _, _, done = state
@@ -314,19 +329,24 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
 
     def outer_body(state):
         i, poses, mu, _, _ = state
-        chi2_i = _edge_chi2(poses, g)
-        w_tls = _tls_weights(chi2_i, mu, barc_sq)
-        weights = jnp.where(g.robust > 0, w_tls, 1.0)
+        weights = reweighted(poses, mu)
         g_i = PoseGraphArrays(poses, g.node_valid, g.edge_i, g.edge_j,
                               g.meas, g.sqrt_info, g.edge_valid, g.robust,
                               g.prior_idx, g.prior_pose, g.prior_sqrt_info,
                               g.prior_valid)
-        res = lm_optimize(g_i, weights, max_iters=lm_iters, cg_iters=cg_iters)
+        res = lm_optimize(g_i, weights, max_iters=graduation_lm_iters,
+                          cg_iters=cg_iters)
         binary = jnp.all(jnp.logical_or(weights < 1e-3, weights > 1.0 - 1e-3))
         return i + 1, res.poses, mu * mu_step, weights, binary
 
     init = (jnp.int32(0), res0.poses, mu0, ones, all_inliers)
-    iters, poses, _, weights, _ = jax.lax.while_loop(outer_cond, outer_body,
-                                                     init)
-    final_cost = cost(poses, g, weights)
-    return GncResult(poses, weights, final_cost, iters)
+    iters, poses, mu, weights, _ = jax.lax.while_loop(outer_cond, outer_body,
+                                                      init)
+    # final polish at full LM budget with the converged weights
+    g_f = PoseGraphArrays(poses, g.node_valid, g.edge_i, g.edge_j,
+                          g.meas, g.sqrt_info, g.edge_valid, g.robust,
+                          g.prior_idx, g.prior_pose, g.prior_sqrt_info,
+                          g.prior_valid)
+    res_f = lm_optimize(g_f, weights, max_iters=lm_iters, cg_iters=cg_iters)
+    final_cost = cost(res_f.poses, g, weights)
+    return GncResult(res_f.poses, weights, final_cost, iters)

@@ -132,6 +132,10 @@ class DecentralizedPGO:
         ctx.create_timer(
             p.get("neighbor_management.heartbeat_period_sec", 0.5),
             self.heartbeat_timer_callback)
+        if p.get("visualization.enable", False):
+            ctx.create_timer(
+                p.get("visualization.publishing_period_ms", 1000) / 1000.0,
+                self.visualization_callback)
 
         self.sim_rendezvous: Optional[SimulatedRendezVous] = None
         if p.get("evaluation.enable_simulated_rendezvous", False):
@@ -467,6 +471,19 @@ class DecentralizedPGO:
             self.check_result_and_finish_optimization()
         elif self.is_waiting:
             self.check_waiting_timeout()
+
+    def visualization_callback(self) -> None:
+        """Publish the current estimates + factors for visualization
+        (reference cpp:696-729)."""
+        msg = PoseGraph(robot_id=self.robot_id,
+                        origin_robot_id=self.origin_robot_id)
+        msg.values = [PoseGraphValue(key=PoseKey(*k), pose=v)
+                      for k, v in self.current_pose_estimates.items()]
+        msg.edges = list(self.local_factors)
+        for (lo, hi), factors in self.inter_robot_loop_closures.items():
+            if lo == self.robot_id and factors:
+                msg.edges = msg.edges + factors
+        self.viz_pose_graph_publisher.publish(msg)
 
     def heartbeat_timer_callback(self) -> None:
         if self.sim_rendezvous is not None and not self.sim_rendezvous.is_alive():

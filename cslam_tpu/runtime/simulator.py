@@ -110,8 +110,12 @@ class SimulatedSensorFrontEnd:
                                 self.on_descriptors_request)
         ctx.create_subscription("/cslam/local_descriptors",
                                 self.on_local_descriptors)
+        ctx.create_subscription("cslam/local_keyframe_match",
+                                self.on_local_keyframe_match)
         self.inter_lc_publisher = ctx.create_publisher(
             "/cslam/inter_robot_loop_closure")
+        self.intra_lc_publisher = ctx.create_publisher(
+            "cslam/intra_robot_loop_closure")
         ctx.create_timer(keyframe_period, self.emit_keyframe)
 
     # ------------------------------------------------------------------
@@ -159,6 +163,23 @@ class SimulatedSensorFrontEnd:
             gt_pose=kf.gt_pose, place_id=kf.place_id,
             matches_robot_id=list(request.matches_robot_id),
             matches_keyframe_id=list(request.matches_keyframe_id)))
+
+    def on_local_keyframe_match(self, msg) -> None:
+        """Intra-robot verification from ground truth (the lidar/rgbd
+        front ends do this with real registration)."""
+        from cslam_tpu.types import IntraRobotLoopClosure
+        if (msg.keyframe0_id >= len(self.keyframes)
+                or msg.keyframe1_id >= len(self.keyframes)):
+            return
+        a = self.keyframes[msg.keyframe0_id]
+        b = self.keyframes[msg.keyframe1_id]
+        success = (a.place_id is not None and a.place_id == b.place_id)
+        transform = None
+        if success:
+            transform = np.linalg.inv(a.gt_pose) @ b.gt_pose
+        self.intra_lc_publisher.publish(IntraRobotLoopClosure(
+            keyframe0_id=msg.keyframe0_id, keyframe1_id=msg.keyframe1_id,
+            success=success, transform=transform))
 
     def on_local_descriptors(self, msg) -> None:
         if not isinstance(msg, SimLocalDescriptors):

@@ -224,3 +224,55 @@ class TestEndToEndTwoRobots:
         inter = sum(len(v) for v in
                     r0.backend.inter_robot_loop_closures.values())
         assert inter == 0
+
+
+class TestFiveRobotSwarm:
+    """BASELINE config 5: 5-robot swarm with broker + neighbor management +
+    MAC budget selection + full decentralized PGO."""
+
+    def test_five_robots_end_to_end(self):
+        world = SyntheticWorld(nb_places=50, descriptor_dim=32, seed=1)
+        # two laps each so intra-robot revisits exist (gap 20 >= min gap 8)
+        trajs = []
+        for r in range(5):
+            lap = circle_trajectory(20, radius=10.0 + 0.2 * r, nb_places=50,
+                                    start_angle=0.04 * r, z=0.1 * r)
+            trajs.append(lap + lap)
+        sim = SwarmSimulator(
+            5, world, trajs,
+            config_overrides={
+                "frontend.inter_robot_detection_period_sec": 3.0,
+                "frontend.inter_robot_loop_closure_budget": 8,
+                "frontend.enable_intra_robot_loop_closures": True,
+                "frontend.intra_loop_min_inbetween_keyframes": 8,
+                "backend.pose_graph_optimization_start_period_ms": 3000,
+            }, keyframe_period=0.5)
+        sim.run(35.0, dt=0.25)
+
+        # every robot ingested every other robot's descriptors via gossip
+        for robot in sim.robots:
+            for rid, bank in robot.detection.lcm.other_robots_nnsm.items():
+                assert bank.n > 10, f"gossip starved for bank {rid}"
+
+        # only robot 0 (lowest id) optimizes; everyone gets estimates
+        assert sim.robots[0].backend.optimization_count > 0
+        for robot in sim.robots[1:]:
+            assert robot.backend.optimization_count == 0
+            assert len(robot.backend.current_pose_estimates) > 1
+
+        # verified inter-robot loop closures span multiple robot pairs
+        pairs_with_edges = {
+            pair for pair, edges in
+            sim.robots[0].backend.inter_robot_loop_closures.items() if edges}
+        assert len(pairs_with_edges) >= 3
+
+        # intra-robot loop closures flowed (detect_intra -> sim verification)
+        intra = [e for e in sim.robots[0].backend.local_factors
+                 if abs(e.key_from.keyframe_id - e.key_to.keyframe_id) > 1]
+        assert len(intra) > 0
+
+        # collaborative estimate should beat or match dead reckoning
+        for rid in range(5):
+            odo_ate, opt_ate = sim.ate(rid)
+            assert np.isfinite(opt_ate)
+            assert opt_ate <= odo_ate + 0.05

@@ -161,3 +161,43 @@ class TestSparseMatching:
         selection = lcsm.select_candidates(
             20, {i: True for i in range(max_robots)})
         assert len(selection) == 20
+
+
+class TestFusedPallasKernel:
+    """Interpret-mode checks of the fused bank-scan kernel vs the XLA path."""
+
+    def test_exact_agreement_with_xla_path(self):
+        import jax.numpy as jnp
+        from cslam_tpu.ops import topk as topk_ops
+        from cslam_tpu.ops.nns_pallas import TILE_N, cosine_topk_fused
+        rng = np.random.default_rng(7)
+        N, D, B, k = 2 * TILE_N, 32, 8, 10
+        bank = rng.standard_normal((N, D)).astype(np.float32)
+        inv = (1.0 / np.linalg.norm(bank, axis=1)).astype(np.float32)
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        n = jnp.int32(N - TILE_N // 2)  # partial validity in the last tile
+        rv, ri = topk_ops.cosine_topk(jnp.asarray(bank), jnp.asarray(inv),
+                                      n, jnp.asarray(q), k)
+        fv, fi = cosine_topk_fused(jnp.asarray(bank), jnp.asarray(inv), n,
+                                   jnp.asarray(q), k, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(fi))
+        np.testing.assert_allclose(np.asarray(rv), np.asarray(fv),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_small_n_single_tile(self):
+        import jax.numpy as jnp
+        from cslam_tpu.ops import topk as topk_ops
+        from cslam_tpu.ops.nns_pallas import TILE_N, cosine_topk_fused
+        rng = np.random.default_rng(8)
+        bank = rng.standard_normal((TILE_N, 16)).astype(np.float32)
+        inv = (1.0 / np.linalg.norm(bank, axis=1)).astype(np.float32)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        n = jnp.int32(5)  # only 5 valid rows
+        rv, ri = topk_ops.cosine_topk(jnp.asarray(bank), jnp.asarray(inv),
+                                      n, jnp.asarray(q), 8)
+        fv, fi = cosine_topk_fused(jnp.asarray(bank), jnp.asarray(inv), n,
+                                   jnp.asarray(q), 8, interpret=True)
+        # the 5 valid entries agree; padding carries -inf in both
+        np.testing.assert_array_equal(np.asarray(ri)[:, :5],
+                                      np.asarray(fi)[:, :5])
+        assert np.isneginf(np.asarray(fv)[:, 5:]).all()
