@@ -46,6 +46,7 @@ class ExperimentLogger:
         self._initial_graph = None
         self._optimized = None
         self._pose_timestamps: List[Tuple[Tuple[int, int], float]] = []
+        self._gps_data: Dict[Tuple[int, int], object] = {}
         ctx.create_subscription("cslam/log_info", self.log_info_callback)
 
     # -- KeyValue metric bus (reference logger.cpp:274-308) --
@@ -79,6 +80,10 @@ class ExperimentLogger:
     def add_pose_graph_log_info(self, msg: PoseGraph) -> None:
         if msg.log_info:
             self._pose_graphs_log_info.append(dict(msg.log_info))
+        # GPS fixes ride along in PoseGraph messages (reference
+        # logger.cpp:155-172 writes them to a per-robot CSV)
+        for idx, gps in zip(msg.gps_values_idx, msg.gps_values):
+            self._gps_data[(msg.robot_id, idx)] = gps
 
     def log_pose_timestamp(self, key, stamp: float) -> None:
         self._pose_timestamps.append((tuple(key), stamp))
@@ -138,6 +143,14 @@ class ExperimentLogger:
             if write_header:
                 writer.writeheader()
             writer.writerow(row)
+
+        if self._gps_data:
+            with open(os.path.join(self.folder, "gps.csv"), "w",
+                      newline="") as f:
+                writer = csv.writer(f)
+                writer.writerow(["robot_id", "keyframe_id", "gps"])
+                for (rid, kf), gps in sorted(self._gps_data.items()):
+                    writer.writerow([rid, kf, gps])
 
         if self._pose_timestamps:
             with open(os.path.join(self.folder, "pose_timestamps.csv"),

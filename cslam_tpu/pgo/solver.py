@@ -348,7 +348,9 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
     which bounds the outer-iteration count regardless of outlier magnitude.
     """
     ones = jnp.ones(g.num_edges, g.poses.dtype)
-    res0 = lm_optimize(g, ones, max_iters=lm_iters, cg_iters=cg_iters)
+    # initial solve: moderate tolerance — GNC refines it anyway
+    res0 = lm_optimize(g, ones, max_iters=lm_iters, cg_iters=cg_iters,
+                       rel_tol=1e-5)
     chi2 = _edge_chi2(res0.poses, g)
     masked_chi2 = jnp.where(g.robust * g.edge_valid > 0, chi2, 0.0)
     max_chi2 = jnp.minimum(jnp.max(masked_chi2), mu0_chi2_cap * barc_sq)
@@ -374,8 +376,10 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
                               g.meas, g.sqrt_info, g.edge_valid, g.robust,
                               g.prior_idx, g.prior_pose, g.prior_sqrt_info,
                               g.prior_valid)
+        # warm-started graduation solve: loose tolerance exits in 1-2
+        # iterations when weights barely moved
         res = lm_optimize(g_i, weights, max_iters=graduation_lm_iters,
-                          cg_iters=cg_iters)
+                          cg_iters=cg_iters, rel_tol=1e-4)
         # stop when weights are binary OR have stopped moving (GTSAM's
         # weight-convergence criterion for TLS)
         binary = jnp.all(jnp.logical_or(weights < 1e-3, weights > 1.0 - 1e-3))

@@ -136,6 +136,11 @@ class DecentralizedPGO:
             ctx.create_timer(
                 p.get("visualization.publishing_period_ms", 1000) / 1000.0,
                 self.visualization_callback)
+        self.tf_publisher = ctx.create_publisher("tf")
+        if p.get("backend.enable_broadcast_tf_frames", True):
+            ctx.create_timer(
+                p.get("backend.pose_graph_optimization_loop_period_ms", 100)
+                / 1000.0, self.broadcast_tf_callback)
 
         self.sim_rendezvous: Optional[SimulatedRendezVous] = None
         if p.get("evaluation.enable_simulated_rendezvous", False):
@@ -471,6 +476,23 @@ class DecentralizedPGO:
             self.check_result_and_finish_optimization()
         elif self.is_waiting:
             self.check_waiting_timeout()
+
+    def broadcast_tf_callback(self) -> None:
+        """Publish the reference-frame chain + fused current pose
+        (reference cpp:755-794): origin map -> own map -> latest optimized
+        pose -> current odometry-only pose."""
+        diff = (np.linalg.inv(self.local_pose_at_latest_optimization)
+                @ self.latest_local_pose)
+        frames = {
+            f"robot{self.origin_robot_id}_map->robot{self.robot_id}_map":
+                self.origin_to_first_pose,
+            f"robot{self.robot_id}_latest_optimized_pose":
+                self.latest_optimized_pose,
+            f"robot{self.robot_id}_current_pose":
+                self.latest_optimized_pose @ diff,
+        }
+        self.tf_publisher.publish(frames)
+        self.current_pose_publisher.publish(self.current_pose_estimate())
 
     def visualization_callback(self) -> None:
         """Publish the current estimates + factors for visualization

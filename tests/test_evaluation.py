@@ -108,3 +108,38 @@ class TestExperimentLogger:
         logger = sim.robots[0].backend.logger
         assert logger.metrics["detection_cumulative_communication"] > 0
         assert logger.total_pgo_time > 0
+
+
+class TestVisualization:
+
+    def test_colored_pointcloud(self):
+        from cslam_tpu.runtime.visualization import create_colored_pointcloud
+        rng = np.random.default_rng(0)
+        depth = rng.uniform(0.5, 10, (48, 64)).astype(np.float32)
+        depth[0, 0] = 0.0          # invalid
+        depth[1, 1] = np.inf       # invalid
+        rgb = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        cloud = create_colored_pointcloud(depth, rgb, fx=100, fy=100,
+                                          cx=32, cy=24)
+        assert cloud.shape == (48 * 64 - 2, 6)
+        assert np.all(cloud[:, 2] > 0)
+        # uint16 millimeter depths
+        d16 = (depth * 1000).astype(np.uint16)
+        cloud16 = create_colored_pointcloud(d16, rgb, 100, 100, 32, 24)
+        assert abs(len(cloud16) - len(cloud)) < 5
+
+    def test_pose_graph_ply(self, tmp_path):
+        from cslam_tpu.runtime.visualization import pose_graph_to_ply
+        from cslam_tpu.types import PoseGraphEdge, PoseKey
+        values = {}
+        for r in range(2):
+            for k in range(3):
+                T = np.eye(4)
+                T[:3, 3] = [k, r, 0]
+                values[(r, k)] = T
+        edges = [PoseGraphEdge(key_from=PoseKey(0, 0), key_to=PoseKey(1, 2))]
+        path = str(tmp_path / "g.ply")
+        pose_graph_to_ply(path, values, edges)
+        content = open(path).read()
+        assert "element vertex 6" in content
+        assert "element edge 1" in content
