@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Secondary benchmark: 5-robot robust PGO wall-clock on real hardware.
+
+North-star #2 (BASELINE.md): sub-second 5-robot decentralized PGO to
+reference-ATE parity. Builds a 5-robot, 100-keyframes-per-robot graph with
+noisy odometry, inter-robot loop closures every 10 keyframes and 2 gross
+outliers, then times one cached ``gnc_optimize`` dispatch.
+
+    python benchmarks/pgo_bench.py
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax.numpy as jnp  # noqa: E402
+
+from cslam_tpu.ops import se3  # noqa: E402
+from cslam_tpu.pgo import FactorGraph, gnc_optimize  # noqa: E402
+
+SIGMAS = np.array([0.01] * 3 + [0.1] * 3)
+NB_ROBOTS, NB_POSES = 5, 100
+
+
+def circle(robot, n, radius):
+    out = {}
+    for k in range(n):
+        a = 2 * np.pi * k / n
+        T = np.eye(4)
+        T[:3, :3] = [[np.cos(a), -np.sin(a), 0],
+                     [np.sin(a), np.cos(a), 0], [0, 0, 1.0]]
+        T[:3, 3] = [radius * np.cos(a), radius * np.sin(a), 0.05 * robot]
+        out[(robot, k)] = T
+    return out
+
+
+def noisy(z, rng):
+    n = np.concatenate([rng.normal(scale=0.01, size=3),
+                        rng.normal(scale=0.1, size=3)])
+    return np.asarray(se3.compose(jnp.asarray(z), se3.exp(jnp.asarray(n))))
+
+
+def main():
+    rng = np.random.default_rng(0)
+    gt = {}
+    for r in range(NB_ROBOTS):
+        gt.update(circle(r, NB_POSES, 10.0 + 0.3 * r))
+
+    graph = FactorGraph()
+    for r in range(NB_ROBOTS):
+        cur = gt[(r, 0)]
+        graph.add_variable((r, 0), cur)
+        for k in range(NB_POSES - 1):
+            z = noisy(np.linalg.inv(gt[(r, k)]) @ gt[(r, k + 1)], rng)
+            cur = cur @ z
+            graph.add_variable((r, k + 1), cur)
+            graph.add_between((r, k), (r, k + 1), z, SIGMAS)
+    for r in range(NB_ROBOTS - 1):
+        for k in range(0, NB_POSES, 10):
+            z = noisy(np.linalg.inv(gt[(r, k)]) @ gt[(r + 1, k)], rng)
+            graph.add_between((r, k), (r + 1, k), z, SIGMAS, robust=True)
+    for a, b in [((0, 5), (3, 70)), ((1, 20), (4, 90))]:
+        bad = np.asarray(se3.exp(jnp.asarray(np.concatenate(
+            [rng.uniform(-2, 2, 3), rng.uniform(-20, 20, 3)]))))
+        graph.add_between(a, b, bad, SIGMAS, robust=True)
+    graph.add_prior((0, 0), gt[(0, 0)], SIGMAS)
+    arrays = graph.to_arrays()
+
+    def ate(poses):
+        est = {tuple(v.key.as_tuple()): v.pose
+               for v in graph.values_from_arrays(poses)}
+        return float(np.sqrt(np.mean(
+            [np.linalg.norm(est[k][:3, 3] - gt[k][:3, 3]) ** 2 for k in gt])))
+
+    init_ate = ate(arrays.poses)
+    res = gnc_optimize(arrays)              # compile
+    res.poses.block_until_ready()
+    t0 = time.perf_counter()
+    res = gnc_optimize(arrays)              # cached dispatch
+    res.poses.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    w = np.asarray(res.weights)
+    rb = (np.asarray(arrays.robust) > 0) & (np.asarray(arrays.edge_valid) > 0)
+    ridx = np.nonzero(rb)[0]
+    print(json.dumps({
+        "metric": "pgo_5robot_500pose_gnc_wallclock",
+        "value": round(dt, 3), "unit": "seconds",
+        "ate_init_m": round(init_ate, 3),
+        "ate_final_m": round(ate(res.poses), 3),
+        "outer_iterations": int(res.outer_iterations),
+        "outliers_rejected": int((w[ridx[-2:]] < 0.5).sum()),
+        "loops_false_rejected": int((w[ridx[:-2]] < 0.5).sum()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

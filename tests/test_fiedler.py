@@ -75,3 +75,47 @@ def test_fiedler_vector_orthogonal_to_ones():
     v = np.asarray(v)
     assert abs(v[:4].sum()) < 1e-4
     assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_woodbury_path_matches_scipy_at_scale():
+    """The chain+low-rank shift-invert solver (the large-graph MAC tier)
+    must match scipy's sparse eigensolver on a SLAM-shaped graph: one long
+    odometry chain + sparse loop closures."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    from cslam_tpu.ops.fiedler import (chain_lowrank_precompute,
+                                       fiedler_pair_chain_lowrank)
+
+    rng = np.random.default_rng(0)
+    p, P = 1500, 2048
+    chain_w = np.zeros(P - 1, np.float32)
+    chain_w[:p - 1] = 1.0
+    m = 64
+    lr_i = rng.integers(0, p, m).astype(np.int32)
+    lr_j = ((lr_i + rng.integers(5, p // 2, m)) % p).astype(np.int32)
+    lr_w = rng.uniform(0.2, 1.0, m).astype(np.float32)
+
+    active = np.zeros(P, np.float32)
+    active[:p] = 1.0
+    sigma = jnp.float32(2.0 * (2.0 + 2 * lr_w.sum()) + 1.0)
+    pre = chain_lowrank_precompute(jnp.asarray(chain_w), jnp.asarray(lr_i),
+                                   jnp.asarray(lr_j), jnp.asarray(active),
+                                   sigma)
+    lam2, v = fiedler_pair_chain_lowrank(pre, jnp.asarray(lr_w),
+                                         jnp.asarray(active))
+
+    # scipy ground truth on the active block
+    rows = list(range(p - 1)) + lr_i.tolist()
+    cols = list(range(1, p)) + lr_j.tolist()
+    w = [1.0] * (p - 1) + lr_w.tolist()
+    A = sp.coo_matrix((w + w, (rows + cols, cols + rows)), shape=(p, p))
+    L = sp.diags(np.asarray(A.sum(1)).ravel()) - A
+    vals = spla.eigsh(L.tocsc(), k=2, sigma=-1e-4, which="LM",
+                      return_eigenvectors=False)
+    lam2_true = float(np.sort(vals)[1])
+
+    # the exact objective is the Rayleigh quotient of the returned vector
+    v_np = np.asarray(v)[:p]
+    rq = float(v_np @ (L @ v_np))
+    assert rq == pytest.approx(lam2_true, rel=0.02)
+    assert float(lam2) == pytest.approx(lam2_true, rel=0.05)
