@@ -284,8 +284,12 @@ def lm_optimize(g: PoseGraphArrays, weights: jax.Array,
         lam_next = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0),
                             1e-9, 1e7)
         step_small = jnp.max(jnp.abs(delta)) < 1e-7
-        converged = jnp.logical_and(
-            accept, (current_cost - new_cost) < rel_tol * (current_cost + 1e-12))
+        # converged when the cost stops moving — whether or not the step was
+        # accepted (a rejected step with negligible change means the warm
+        # start was already at the optimum; without this, rejected steps
+        # spin until max_iters)
+        converged = (jnp.abs(current_cost - new_cost)
+                     < rel_tol * (current_cost + 1e-12))
         done = jnp.logical_or(step_small, converged)
         return i + 1, poses_next, cost_next, lam_next, done
 
