@@ -158,7 +158,9 @@ def robust_registration(src: jax.Array, src_mask: jax.Array, dst: jax.Array,
 
 def compute_transform(src_points: np.ndarray, dst_points: np.ndarray,
                       voxel_size: float, min_inliers: int,
-                      pad_size: int = 1024) -> Tuple[np.ndarray, bool]:
+                      pad_size: int = 1024,
+                      min_inlier_ratio: float = 0.6
+                      ) -> Tuple[np.ndarray, bool]:
     """Verify a candidate loop closure between two clouds.
 
     Same contract as reference ``icp_utils.compute_transform``
@@ -176,4 +178,11 @@ def compute_transform(src_points: np.ndarray, dst_points: np.ndarray,
         jnp.asarray(src), jnp.asarray(src_mask), jnp.asarray(dst),
         jnp.asarray(dst_mask), corr_dist=float(voxel_size) * 1.5)
     Z = np.linalg.inv(np.asarray(T_pointmap, np.float64))
-    return Z, bool(int(inliers) > min_inliers)
+    # success needs both an absolute count and a ratio: point-to-point
+    # inliers are easy to amass from trivial structure (e.g. two ground
+    # planes aligning), so unlike the reference's feature-correspondence
+    # inliers (icp_utils.py:121) a bare count gate is too permissive
+    n_src = max(float(src_mask.sum()), 1.0)
+    success = (int(inliers) > min_inliers
+               and float(inliers) / n_src > min_inlier_ratio)
+    return Z, success

@@ -320,6 +320,40 @@ def _tls_weights(chi2: jax.Array, mu: jax.Array, barc_sq: float) -> jax.Array:
     return w
 
 
+def _gn_step(g: PoseGraphArrays, weights: jax.Array, poses: jax.Array,
+             lam: float = 1e-3) -> jax.Array:
+    """One damped Gauss-Newton step (no accept/reject, no cost eval).
+
+    Used as the inexact inner solve of the GNC graduation loop: weights move
+    slowly between outer iterations, so a single warm-started step tracks
+    the optimum at a third of an LM iteration's cost; the final polish runs
+    full LM.
+    """
+    g_at = PoseGraphArrays(poses, g.node_valid, g.edge_i, g.edge_j, g.meas,
+                           g.sqrt_info, g.edge_valid, g.robust, g.prior_idx,
+                           g.prior_pose, g.prior_sqrt_info, g.prior_valid)
+    r, Ji, Jj, rp, Jp = _linearize(poses, g_at)
+    w = weights * g.edge_valid
+    rw = r * w[:, None]
+    grad = jnp.zeros((g.num_nodes, 6), poses.dtype)
+    grad = grad.at[g.edge_i].add(jnp.einsum("eij,ei->ej", Ji, rw))
+    grad = grad.at[g.edge_j].add(jnp.einsum("eij,ei->ej", Jj, rw))
+    grad = grad.at[g.prior_idx].add(jnp.einsum("bij,bi->bj", Jp, rp))
+    grad = grad * g.node_valid[:, None]
+    D = _hessian_blocks(g_at, Ji, Jj, Jp, weights)
+    diag_h = jnp.maximum(jnp.einsum("nii->ni", D), 1e-8)
+    lam_t = jnp.asarray(lam, poses.dtype)
+    if g.num_nodes <= _DENSE_SOLVE_MAX_NODES:
+        delta = _dense_normal_solve(g_at, Ji, Jj, Jp, weights, lam_t, diag_h,
+                                    grad)
+    else:
+        M = D + lam_t * diag_h[:, None] * jnp.eye(6, dtype=poses.dtype)[None]
+        matvec = _make_matvec(g_at, Ji, Jj, Jp, weights, lam_t, diag_h)
+        delta = _pcg(matvec, -grad, jnp.linalg.inv(M), 100, 1e-6)
+    delta = delta * g.node_valid[:, None]
+    return se3.retract(poses, delta)
+
+
 class GncResult(NamedTuple):
     poses: jax.Array
     weights: jax.Array
@@ -333,7 +367,7 @@ class GncResult(NamedTuple):
 def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
                  lm_iters: int = 30, cg_iters: int = 150,
                  barc_sq: float = 16.81, mu_step: float = 1.4,
-                 graduation_lm_iters: int = 8,
+                 graduation_lm_iters: int = 4,
                  mu0_chi2_cap: float = 50.0) -> GncResult:
     """Graduated non-convexity (TLS) robust PGO.
 
@@ -344,8 +378,8 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
     ``decentralized_pgo.cpp:805-808``; falls back gracefully (weights all 1 =
     plain LM) when everything is an inlier.
 
-    Wall-clock design: intermediate graduation steps run a short warm-started
-    LM (``graduation_lm_iters``), only the final weights get the full-budget
+    Wall-clock design: each graduation step runs a short warm-started LM
+    (``graduation_lm_iters``), only the final weights get the full LM
     polish; and ``mu0`` is initialized from chi2 capped at
     ``mu0_chi2_cap * barc_sq`` instead of the raw maximum — gross outliers
     beyond the cap start at weight 0 immediately (they need no graduation),
@@ -380,15 +414,15 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
                               g.meas, g.sqrt_info, g.edge_valid, g.robust,
                               g.prior_idx, g.prior_pose, g.prior_sqrt_info,
                               g.prior_valid)
-        # warm-started graduation solve: loose tolerance exits in 1-2
-        # iterations when weights barely moved
-        res = lm_optimize(g_i, weights, max_iters=graduation_lm_iters,
-                          cg_iters=cg_iters, rel_tol=1e-4)
+        # short warm-started LM (accept/reject keeps graduation stable;
+        # plain GN steps without it degrade large problems)
+        new_poses = lm_optimize(g_i, weights, max_iters=graduation_lm_iters,
+                                cg_iters=cg_iters, rel_tol=1e-5).poses
         # stop when weights are binary OR have stopped moving (GTSAM's
         # weight-convergence criterion for TLS)
         binary = jnp.all(jnp.logical_or(weights < 1e-3, weights > 1.0 - 1e-3))
         stable = jnp.max(jnp.abs(weights - w_prev)) < 1e-3
-        return (i + 1, res.poses, mu * mu_step, weights,
+        return (i + 1, new_poses, mu * mu_step, weights,
                 jnp.logical_or(binary, stable))
 
     init = (jnp.int32(0), res0.poses, mu0, ones, all_inliers)
