@@ -135,6 +135,7 @@ class NetworkBus(MessageBus):
         self._sock.settimeout(None)
         self._inbox: deque = deque()
         self._inbox_lock = threading.Lock()
+        self._send_lock = threading.Lock()  # publish() may be multi-threaded
         self._running = True
         self._reader = threading.Thread(target=self._reader_loop, daemon=True)
         self._reader.start()
@@ -148,7 +149,9 @@ class NetworkBus(MessageBus):
                 self._inbox.append(frame)
 
     def publish(self, topic: str, msg: Any, src_robot: int = -1) -> None:
-        self._sock.sendall(_encode(topic, msg, src_robot))
+        data = _encode(topic, msg, src_robot)
+        with self._send_lock:
+            self._sock.sendall(data)
 
     def deliver(self, max_messages: int = 100000) -> int:
         with self._inbox_lock:

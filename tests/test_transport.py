@@ -109,3 +109,51 @@ class TestTransport:
             assert got == [42]
         finally:
             hub.close()
+
+
+class TestTransportStress:
+    """Concurrency stress: many clients publishing simultaneously must not
+    corrupt the length-prefixed stream (regression guard for the hub's
+    per-client write-lock fix)."""
+
+    def test_concurrent_publishers_no_corruption(self):
+        import threading
+        hub = TransportHub()
+        try:
+            n_clients, n_msgs = 4, 200
+            buses = [NetworkBus(hub.address) for _ in range(n_clients)]
+            received = [[] for _ in range(n_clients)]
+            for i, bus in enumerate(buses):
+                bus.subscribe("/stress", received[i].append)
+
+            def blast(bus, cid):
+                for m in range(n_msgs):
+                    bus.publish("/stress",
+                                {"cid": cid, "seq": m,
+                                 "payload": np.full(64, cid, np.int32)})
+
+            threads = [threading.Thread(target=blast, args=(b, i))
+                       for i, b in enumerate(buses)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+
+            total = n_clients * n_msgs
+            assert wait_for(
+                lambda: all((b.deliver() or True)
+                            and len(received[i]) >= total
+                            for i, b in enumerate(buses)), timeout=20.0)
+            for i in range(n_clients):
+                assert len(received[i]) == total
+                per_cid = {}
+                for msg in received[i]:
+                    assert np.all(msg["payload"] == msg["cid"])  # intact
+                    per_cid.setdefault(msg["cid"], []).append(msg["seq"])
+                for cid, seqs in per_cid.items():
+                    assert sorted(seqs) == list(range(n_msgs))  # none lost
+                    assert seqs == sorted(seqs)  # per-source order kept
+        finally:
+            for b in buses:
+                b.close()
+            hub.close()
