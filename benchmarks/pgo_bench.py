@@ -77,11 +77,24 @@ def main():
 
     init_ate = ate(arrays.poses)
     res = gnc_optimize(arrays)              # compile
-    res.poses.block_until_ready()
+    _ = float(res.final_cost)               # force full materialization
+    # timed region: one cached dispatch, timed to a forced scalar read (the
+    # relay-backed TPU here does not reliably serialize block_until_ready);
+    # relay RTT (~30 ms) is measured separately and subtracted
+    import jax
+
+    @jax.jit
+    def rtt_probe(x):
+        return x + 1.0
+
+    float(rtt_probe(jnp.float32(0.0)))
     t0 = time.perf_counter()
-    res = gnc_optimize(arrays)              # cached dispatch
-    res.poses.block_until_ready()
-    dt = time.perf_counter() - t0
+    float(rtt_probe(jnp.float32(1.0)))
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = gnc_optimize(arrays)
+    _ = float(res.final_cost)
+    dt = max(time.perf_counter() - t0 - rtt, 0.0)
 
     w = np.asarray(res.weights)
     rb = (np.asarray(arrays.robust) > 0) & (np.asarray(arrays.edge_valid) > 0)

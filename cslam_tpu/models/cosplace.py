@@ -28,15 +28,22 @@ def gem(x: jax.Array, p: jax.Array, eps: float = 1e-6) -> jax.Array:
 
 
 class GeoLocalizationNet(nn.Module):
-    """Backbone + CosPlace aggregation head."""
+    """Backbone + CosPlace aggregation head.
+
+    ``compute_dtype=bfloat16`` runs the convolutional trunk on the MXU in
+    bf16 (the TPU-native precision); the head (normalizations, GeM, final
+    projection) stays float32 so descriptor similarity ranking is stable.
+    """
 
     backbone: str = "resnet18"
     fc_output_dim: int = 64
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         trunk, _ = make_backbone(self.backbone)
-        x = trunk(x)                                    # [B, h, w, C]
+        x = trunk(x.astype(self.compute_dtype))        # [B, h, w, C]
+        x = x.astype(jnp.float32)
         x = x / jnp.maximum(
             jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
         p = self.param("gem_p", nn.initializers.constant(3.0), (1,))
@@ -61,9 +68,13 @@ class CosPlace:
         if not self.enable:
             return
 
+        dtype_name = str(params.get("frontend.compute_dtype", "float32"))
+        self.compute_dtype = (jnp.bfloat16 if "bfloat16" in dtype_name
+                              else jnp.float32)
         self.model = GeoLocalizationNet(
             backbone=params.get("frontend.cosplace.backbone", "resnet18"),
-            fc_output_dim=self.descriptor_dim)
+            fc_output_dim=self.descriptor_dim,
+            compute_dtype=self.compute_dtype)
         ckpt = params.get("frontend.nn_checkpoint", "")
         if torch_state_dict is None and ckpt and ckpt.lower() != "random":
             import torch
@@ -77,8 +88,23 @@ class CosPlace:
         else:
             self.variables = self.model.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+        if self.compute_dtype != jnp.float32:
+            # bf16 trunk params: flax promotes to the widest operand dtype,
+            # so the trunk runs on the MXU in bf16 (head params stay f32)
+            self.variables = self._cast_trunk(self.variables,
+                                              self.compute_dtype)
         self._forward = jax.jit(
             lambda v, x: self.model.apply(v, x))
+
+    @staticmethod
+    def _cast_trunk(variables: dict, dtype) -> dict:
+        params = dict(variables["params"])
+        for name in list(params):
+            if "Features" in name:  # ResNetFeatures_0 / VGG16Features_0
+                params[name] = jax.tree_util.tree_map(
+                    lambda a: a.astype(dtype) if hasattr(a, "astype") else a,
+                    params[name])
+        return {**variables, "params": params}
 
     # ------------------------------------------------------------------
 

@@ -246,3 +246,55 @@ class TestRandomWeightInference:
         # deterministic for identical input
         np.testing.assert_allclose(model.compute_embeddings(imgs), d,
                                    atol=1e-6)
+
+
+class TestMixedPrecision:
+
+    def test_bf16_trunk_descriptors_close_to_f32(self):
+        imgs = np.random.default_rng(3).integers(
+            0, 255, (2, 376, 400, 3), dtype=np.uint8)
+        descs = {}
+        for dtype in ("float32", "bfloat16"):
+            model = CosPlace({"frontend.nn_checkpoint": "random",
+                              "frontend.cosplace.descriptor_dim": 32,
+                              "frontend.cosplace.backbone": "resnet18",
+                              "frontend.image_crop_size": 376,
+                              "frontend.compute_dtype": dtype,
+                              "robot_id": 0})
+            descs[dtype] = model.compute_embeddings(imgs)
+        cos = np.sum(descs["float32"] * descs["bfloat16"], axis=1)
+        assert np.all(cos > 0.98), cos  # same place-recognition ranking
+
+
+class TestPCA:
+
+    def test_fit_matches_sklearn(self):
+        from sklearn.decomposition import PCA as SkPCA
+        from cslam_tpu.models.pca import fit_pca, from_sklearn
+        rng = np.random.default_rng(4)
+        data = rng.standard_normal((200, 32)).astype(np.float32)
+        data[:, :4] *= 10  # dominant directions
+        ours = fit_pca(data, out_dim=8)
+        sk = SkPCA(n_components=8).fit(data)
+        theirs = from_sklearn(sk)
+        np.testing.assert_allclose(ours["mean"], theirs["mean"], atol=1e-4)
+        # components match up to sign
+        for i in range(8):
+            dot = abs(float(ours["components"][i] @ theirs["components"][i]))
+            norm = (np.linalg.norm(ours["components"][i])
+                    * np.linalg.norm(theirs["components"][i]))
+            assert dot / norm > 0.999
+
+    def test_netvlad_accepts_fitted_pca(self):
+        from cslam_tpu.models.netvlad import NetVLAD
+        from cslam_tpu.models.pca import fit_pca
+        rng = np.random.default_rng(5)
+        sample = rng.standard_normal((64, NetVLAD.RAW_DIM)).astype(np.float32)
+        pca = fit_pca(sample, out_dim=16)
+        model = NetVLAD({"frontend.nn_checkpoint": "random",
+                         "frontend.image_crop_size": 128, "robot_id": 0},
+                        pca=pca)
+        d = model.compute_embedding(
+            rng.integers(0, 255, (128, 128, 3)).astype(np.uint8))
+        assert d.shape == (16,)
+        assert np.linalg.norm(d) == pytest.approx(1.0, abs=1e-4)
