@@ -29,9 +29,9 @@ from cslam_tpu.pgo.solver import gnc_optimize
 from cslam_tpu.runtime.rendezvous import SimulatedRendezVous
 from cslam_tpu.types import (Heartbeat, InterRobotLoopClosure,
                              IntraRobotLoopClosure, KeyframeOdom,
-                             OptimizationResult, PoseGraph, PoseGraphEdge,
-                             PoseGraphValue, PoseKey, ReferenceFrames,
-                             RobotIds, RobotIdsAndOrigin)
+                             OptimizationResult, OptimizerStateMsg, PoseGraph,
+                             PoseGraphEdge, PoseGraphValue, PoseKey,
+                             ReferenceFrames, RobotIds, RobotIdsAndOrigin)
 
 
 class OptimizerState(enum.IntEnum):
@@ -121,6 +121,12 @@ class DecentralizedPGO:
             f"/r{self.robot_id}/cslam/current_pose_estimate")
         self.viz_pose_graph_publisher = ctx.create_publisher(
             "/cslam/viz/pose_graph")
+        self.optimizer_state_publisher = ctx.create_publisher(
+            "cslam/optimizer_state")
+        self.debug_optimization_result_publisher = ctx.create_publisher(
+            "cslam/debug_optimization_result")
+        ctx.create_subscription("cslam/print_current_estimates",
+                                self.write_current_estimates_callback)
 
         # timers (reference cpp:76-82, 183-192)
         ctx.create_timer(
@@ -406,6 +412,11 @@ class DecentralizedPGO:
         self._optimization_future = None
         self.optimization_count += 1
         self.share_optimized_estimates(graph, poses)
+        # debug result for monitoring (reference cpp:873-880)
+        self.debug_optimization_result_publisher.publish(OptimizationResult(
+            success=True, origin_robot_id=self.origin_robot_id,
+            estimates=graph.values_from_arrays(poses),
+            factors=graph.edges_as_records()))
         self.optimizer_state = OptimizerState.IDLE
 
     def share_optimized_estimates(self, graph: FactorGraph,
@@ -476,6 +487,8 @@ class DecentralizedPGO:
             self.check_result_and_finish_optimization()
         elif self.is_waiting:
             self.check_waiting_timeout()
+        self.optimizer_state_publisher.publish(
+            OptimizerStateMsg(state=int(self.optimizer_state)))
 
     def broadcast_tf_callback(self) -> None:
         """Publish the reference-frame chain + fused current pose
@@ -506,6 +519,19 @@ class DecentralizedPGO:
             if lo == self.robot_id and factors:
                 msg.edges = msg.edges + factors
         self.viz_pose_graph_publisher.publish(msg)
+
+    def write_current_estimates_callback(self, msg) -> None:
+        """Dump the current local graph + estimates as g2o on request
+        (reference ``cslam/print_current_estimates`` -> writeG2o,
+        cpp:322-330). The message payload is the output path."""
+        from cslam_tpu.evaluation import g2o as g2o_io
+        path = msg if isinstance(msg, str) else getattr(msg, "data", None)
+        if not path:
+            return
+        values = dict(self.current_pose_estimates)
+        for k, v in self.odometry_pose_estimates.items():
+            values.setdefault(k, v)
+        g2o_io.write_g2o(path, values, list(self.local_factors))
 
     def heartbeat_timer_callback(self) -> None:
         if self.sim_rendezvous is not None and not self.sim_rendezvous.is_alive():

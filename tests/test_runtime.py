@@ -276,3 +276,28 @@ class TestFiveRobotSwarm:
             odo_ate, opt_ate = sim.ate(rid)
             assert np.isfinite(opt_ate)
             assert opt_ate <= odo_ate + 0.05
+
+
+class TestBackendMonitoring:
+
+    def test_optimizer_state_and_estimates_dump(self, tmp_path):
+        sim = overlapping_two_robot_sim(nb_keyframes=8)
+        states = []
+        sim.bus.subscribe("/r0/cslam/optimizer_state",
+                          lambda m: states.append(m.state))
+        debug = []
+        sim.bus.subscribe("/r0/cslam/debug_optimization_result", debug.append)
+        sim.run(15.0, dt=0.25)
+        assert len(states) > 10
+        assert 0 in states  # IDLE observed
+        assert len(debug) >= 1 and debug[0].success
+        assert len(debug[0].estimates) > 1
+
+        # on-demand g2o dump of current estimates
+        out = str(tmp_path / "current.g2o")
+        sim.bus.publish("/r0/cslam/print_current_estimates", out)
+        sim.bus.deliver()
+        from cslam_tpu.evaluation import g2o as g2o_io
+        values, edges = g2o_io.read_g2o(out)
+        assert len(values) >= 8
+        assert len(edges) >= 7
