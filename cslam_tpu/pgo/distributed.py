@@ -207,22 +207,43 @@ def _separator_priors(me: jax.Array, all_poses: jax.Array, sep: dict):
 
 
 def make_distributed_step(mesh: Mesh, lm_iters: int = 15,
-                          cg_iters: int = 100):
+                          cg_iters: int = 100, barc_sq: float = 16.81):
     """Build the jitted one-sweep function over the given mesh.
 
-    The returned callable maps (stacked local arrays, separators) ->
-    updated stacked poses; call it in a loop for Gauss-Seidel iterations.
+    The returned callable maps (stacked local arrays, separators, mu) ->
+    updated stacked poses; call it in a loop for Gauss-Seidel iterations
+    with a growing GNC ``mu``. Robustness is distributed too: each device
+    TLS-reweights its incident separator priors and its robust local edges
+    from their current chi2 — gross outlier inter-robot loop closures are
+    rejected without any central aggregation.
     """
     pspec_local = P(AXIS)
     pspec_repl = P()
 
-    def sweep(local: PoseGraphArrays, sep: dict) -> jax.Array:
+    def tls(chi2, mu):
+        upper = (mu + 1.0) / mu * barc_sq
+        lower = mu / (mu + 1.0) * barc_sq
+        mid = jnp.sqrt(barc_sq * mu * (mu + 1.0)
+                       / jnp.maximum(chi2, 1e-12)) - mu
+        return jnp.where(chi2 >= upper, 0.0,
+                         jnp.where(chi2 <= lower, 1.0,
+                                   jnp.clip(mid, 0.0, 1.0)))
+
+    def sweep(local: PoseGraphArrays, sep: dict, mu: jax.Array) -> jax.Array:
         # inside shard_map: leading axis is this device's single robot
         me = jax.lax.axis_index(AXIS)
         g = jax.tree_util.tree_map(lambda x: x[0], local)
         all_poses = jax.lax.all_gather(g.poses, AXIS)  # [R, Np, 4, 4]
 
         idx, target, info, valid = _separator_priors(me, all_poses, sep)
+        # GNC over separators: chi2 of each prior at the current estimate
+        r_sep = jax.vmap(
+            lambda X, tgt, si: se3.log(se3.between(tgt, X)) * si)(
+            g.poses[idx], target, info)
+        chi2_sep = jnp.sum(r_sep * r_sep, axis=-1)
+        w_sep = jnp.where(valid > 0, tls(chi2_sep, mu), 0.0)
+        info = info * jnp.sqrt(w_sep)[:, None]
+
         B = g.prior_idx.shape[0]
         M = idx.shape[0]
         n_fill = min(M, B - 1)
@@ -235,8 +256,12 @@ def make_distributed_step(mesh: Mesh, lm_iters: int = 15,
             g.poses, g.node_valid, g.edge_i, g.edge_j, g.meas, g.sqrt_info,
             g.edge_valid, g.robust, prior_idx, prior_pose, prior_info,
             prior_valid)
-        res = lm_optimize(g_local,
-                          jnp.ones(g_local.num_edges, g.poses.dtype),
+        # GNC over robust local edges (intra-robot loop closures)
+        from cslam_tpu.pgo.solver import edge_residuals
+        r_loc = edge_residuals(g.poses, g_local)
+        chi2_loc = jnp.sum(r_loc * r_loc, axis=-1)
+        weights = jnp.where(g.robust > 0, tls(chi2_loc, mu), 1.0)
+        res = lm_optimize(g_local, weights,
                           max_iters=lm_iters, cg_iters=cg_iters)
         return res.poses[None]
 
@@ -245,12 +270,14 @@ def make_distributed_step(mesh: Mesh, lm_iters: int = 15,
         in_specs=(jax.tree_util.tree_map(lambda _: pspec_local,
                                          _template_spec()),
                   {k: pspec_repl for k in
-                   ("r0", "k0", "r1", "k1", "meas", "sqrt_info", "valid")}),
+                   ("r0", "k0", "r1", "k1", "meas", "sqrt_info", "valid")},
+                  pspec_repl),
         out_specs=pspec_local, check_vma=False)
 
     @jax.jit
-    def step(local: PoseGraphArrays, sep: dict) -> PoseGraphArrays:
-        new_poses = sharded(local, sep)
+    def step(local: PoseGraphArrays, sep: dict,
+             mu: jax.Array) -> PoseGraphArrays:
+        new_poses = sharded(local, sep, mu)
         return PoseGraphArrays(
             new_poses, local.node_valid, local.edge_i, local.edge_j,
             local.meas, local.sqrt_info, local.edge_valid, local.robust,
@@ -269,14 +296,22 @@ def _template_spec() -> PoseGraphArrays:
 
 def distributed_optimize(problem: ShardedPoseGraph, mesh: Mesh,
                          sweeps: int = 10, lm_iters: int = 15,
-                         cg_iters: int = 100
+                         cg_iters: int = 100, mu0: float = 0.05,
+                         mu_step: float = 1.6, barc_sq: float = 16.81
                          ) -> Dict[Tuple[int, int], np.ndarray]:
-    """Run block Gauss-Seidel PGO over the mesh; returns optimized values."""
+    """Run robust block Gauss-Seidel PGO over the mesh.
+
+    GNC mu grows each sweep, so separator outliers are graduated out while
+    the blocks converge; returns the optimized values.
+    """
     local, sep = problem.to_device_arrays(mesh)
     sharding = NamedSharding(mesh, P(AXIS))
     local = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), local)
-    step = make_distributed_step(mesh, lm_iters=lm_iters, cg_iters=cg_iters)
+    step = make_distributed_step(mesh, lm_iters=lm_iters,
+                                 cg_iters=cg_iters, barc_sq=barc_sq)
+    mu = mu0
     for _ in range(sweeps):
-        local = step(local, sep)
+        local = step(local, sep, jnp.float32(mu))
+        mu = min(mu * mu_step, 1e6)
     return problem.values_from_arrays(np.asarray(local.poses))

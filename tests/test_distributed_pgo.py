@@ -116,3 +116,29 @@ def test_isolated_robot_stays_anchored():
         assert np.all(np.isfinite(pose))
     # each robot is internally consistent with its own odometry
     assert ate(est, gt) < 1.0
+
+
+def test_distributed_gnc_rejects_outlier_separator():
+    """A gross outlier inter-robot loop closure must be graduated out by the
+    per-device TLS reweighting (no central aggregation involved)."""
+    rng = np.random.default_rng(7)
+    nb_robots, nb_poses = 2, 20
+    gt, problem, central = build_problem(nb_robots, nb_poses, rng,
+                                         sep_every=4)
+    # inject one gross outlier separator
+    bad = np.eye(4)
+    bad[:3, 3] = [15.0, -12.0, 4.0]
+    problem.add_separator(PoseGraphEdge(
+        key_from=PoseKey(0, 3), key_to=PoseKey(1, 17),
+        measurement=bad, noise_sigmas=SIGMAS))
+    mesh = make_mesh(2)
+    est = distributed_optimize(problem, mesh, sweeps=14)
+    ate_dist = ate(est, gt)
+
+    # without robustness the outlier wrecks the map; with it we stay close
+    # to the no-outlier solution
+    est_plain = distributed_optimize(problem, mesh, sweeps=14,
+                                     barc_sq=1e12)  # threshold off => plain LS
+    ate_plain = ate(est_plain, gt)
+    assert ate_dist < 0.5
+    assert ate_dist < ate_plain * 0.6
