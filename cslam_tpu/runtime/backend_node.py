@@ -155,6 +155,28 @@ class DecentralizedPGO:
                 self.sim_rendezvous = SimulatedRendezVous.from_schedule_file(
                     ctx.clock, sched, self.robot_id)
 
+    def warmup(self, expected_poses: int, expected_edges: int) -> None:
+        """Precompile the GNC solver for the padded tier that will serve
+        graphs up to the given size, so the first real optimization pays no
+        JIT latency (compiles can take tens of seconds; the reference's
+        GTSAM has no such cost, so warmed tiers keep wall-clock comparisons
+        honest)."""
+        from cslam_tpu.pgo.factor_graph import _tier
+        g = FactorGraph()
+        np_tier = _tier(max(expected_poses, 1))
+        ne_tier = _tier(max(expected_edges, 1))
+        for k in range(np_tier):
+            g.add_variable((self.robot_id, k), np.eye(4))
+        for k in range(ne_tier):
+            a = k % np_tier
+            b = (k + 1) % np_tier
+            if a == b:
+                b = (b + 1) % np_tier
+            g.add_between((self.robot_id, a), (self.robot_id, b),
+                          np.eye(4), self.default_sigmas, robust=k % 2 == 0)
+        g.add_prior((self.robot_id, 0), np.eye(4), self.default_sigmas)
+        self._optimize(g)
+
     # ------------------------------------------------------------------
     # Intake (cpp:233-320)
     # ------------------------------------------------------------------
