@@ -47,7 +47,9 @@ class ExperimentLogger:
         self._optimized = None
         self._pose_timestamps: List[Tuple[Tuple[int, int], float]] = []
         self._gps_data: Dict[Tuple[int, int], object] = {}
+        self._spectral_matches: List[Tuple[float, int, int, int, int, float]] = []
         ctx.create_subscription("cslam/log_info", self.log_info_callback)
+        ctx.create_subscription("cslam/log_matches", self.log_matches_callback)
 
     # -- KeyValue metric bus (reference logger.cpp:274-308) --
 
@@ -57,6 +59,15 @@ class ExperimentLogger:
                 self.metrics[msg.key] = float(msg.value)
             except ValueError:
                 pass
+
+    def log_matches_callback(self, msg) -> None:
+        """MAC-selected matches for spectral-analysis CSVs
+        (reference logger.cpp:174-191)."""
+        now = self.ctx.clock.now()
+        for m in msg.matches:
+            self._spectral_matches.append(
+                (now, m.robot0_id, m.robot0_keyframe_id, m.robot1_id,
+                 m.robot1_keyframe_id, m.weight))
 
     # -- PGO wall-clock timers (logger.cpp:59-69) --
 
@@ -143,6 +154,14 @@ class ExperimentLogger:
             if write_header:
                 writer.writeheader()
             writer.writerow(row)
+
+        if self._spectral_matches:
+            with open(os.path.join(self.folder, "spectral_matches.csv"), "w",
+                      newline="") as f:
+                writer = csv.writer(f)
+                writer.writerow(["stamp", "robot0_id", "robot0_keyframe_id",
+                                 "robot1_id", "robot1_keyframe_id", "weight"])
+                writer.writerows(self._spectral_matches)
 
         if self._gps_data:
             with open(os.path.join(self.folder, "gps.csv"), "w",

@@ -14,7 +14,6 @@ beyond one chip's HBM comes from adding devices, not from spilling.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

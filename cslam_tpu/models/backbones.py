@@ -12,11 +12,10 @@ flax parameter tree.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 FEATURES_DIM = {
     "resnet18": 512,

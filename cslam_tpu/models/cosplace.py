@@ -9,8 +9,7 @@ matching ``cosplace.py:102-105``.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

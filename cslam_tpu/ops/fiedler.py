@@ -31,8 +31,6 @@ of the LU singular-matrix exception the reference has to catch
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental.sparse.linalg import lobpcg_standard

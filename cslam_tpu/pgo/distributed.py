@@ -27,8 +27,7 @@ is a single ``shard_map``-ped jitted program over ``Mesh(('robots',))``.
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,8 @@ edge-tier) pair compiles once.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -233,8 +233,7 @@ class LMResult(NamedTuple):
     iterations: jax.Array
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("max_iters", "cg_iters"))
+@jax.jit
 def lm_optimize(g: PoseGraphArrays, weights: jax.Array,
                 max_iters: int = 50, cg_iters: int = 150,
                 init_lambda: float = 1e-4, cg_tol: float = 1e-6,
@@ -242,7 +241,10 @@ def lm_optimize(g: PoseGraphArrays, weights: jax.Array,
     """Levenberg-Marquardt with implicit-Hessian PCG inner solves.
 
     One compiled dispatch per call; ``weights`` are per-edge robust weights
-    (1.0 = plain least squares).
+    (1.0 = plain least squares). Iteration caps and tolerances are traced
+    operands, so ONE compile per shape tier serves every (max_iters,
+    cg_iters, rel_tol) combination — this keeps GNC's warm-up to a single
+    compile per tier.
     """
     poses0 = g.poses
     cost0 = cost(poses0, g, weights)
@@ -361,9 +363,7 @@ class GncResult(NamedTuple):
     outer_iterations: jax.Array
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("max_outer", "lm_iters", "cg_iters",
-                                    "graduation_lm_iters"))
+@jax.jit
 def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
                  lm_iters: int = 30, cg_iters: int = 150,
                  barc_sq: float = 16.81, mu_step: float = 1.4,

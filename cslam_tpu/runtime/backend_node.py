@@ -156,26 +156,44 @@ class DecentralizedPGO:
                     ctx.clock, sched, self.robot_id)
 
     def warmup(self, expected_poses: int, expected_edges: int) -> None:
-        """Precompile the GNC solver for the padded tier that will serve
-        graphs up to the given size, so the first real optimization pays no
-        JIT latency (compiles can take tens of seconds; the reference's
-        GTSAM has no such cost, so warmed tiers keep wall-clock comparisons
-        honest)."""
+        """Precompile the GNC solver for EVERY padded tier up to the given
+        sizes, so no real optimization pays JIT latency. This matters twice
+        over: compiles take tens of seconds cold, and a compile running in
+        the optimization worker thread while the main loop keeps dispatching
+        small jitted ops is slowed several-fold by runtime contention —
+        enough to wedge the state machine in OPTIMIZATION. Combine with
+        jax's persistent compilation cache so robot processes share tiers.
+        """
         from cslam_tpu.pgo.factor_graph import _tier
-        g = FactorGraph()
-        np_tier = _tier(max(expected_poses, 1))
-        ne_tier = _tier(max(expected_edges, 1))
-        for k in range(np_tier):
-            g.add_variable((self.robot_id, k), np.eye(4))
-        for k in range(ne_tier):
-            a = k % np_tier
-            b = (k + 1) % np_tier
-            if a == b:
-                b = (b + 1) % np_tier
-            g.add_between((self.robot_id, a), (self.robot_id, b),
-                          np.eye(4), self.default_sigmas, robust=k % 2 == 0)
-        g.add_prior((self.robot_id, 0), np.eye(4), self.default_sigmas)
-        self._optimize(g)
+
+        def tiers(n, minimum=16):
+            t = minimum
+            while True:
+                yield t
+                if t >= _tier(max(n, 1)):
+                    return
+                t *= 2
+
+        for np_tier in tiers(expected_poses):
+            # realistic SLAM graphs have edges ~ nodes + loop closures:
+            # warm only the (n, n) and (n, 2n) edge tiers
+            for ne_tier in {np_tier,
+                            min(2 * np_tier,
+                                max(_tier(max(expected_edges, 1)), np_tier))}:
+                g = FactorGraph()
+                for k in range(np_tier):
+                    g.add_variable((self.robot_id, k), np.eye(4))
+                for k in range(ne_tier):
+                    a = k % np_tier
+                    b = (k + 1) % np_tier
+                    if a == b:
+                        b = (b + 1) % np_tier
+                    g.add_between((self.robot_id, a), (self.robot_id, b),
+                                  np.eye(4), self.default_sigmas,
+                                  robust=k % 2 == 0)
+                g.add_prior((self.robot_id, 0), np.eye(4),
+                            self.default_sigmas)
+                self._optimize(g)
 
     # ------------------------------------------------------------------
     # Intake (cpp:233-320)

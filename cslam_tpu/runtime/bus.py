@@ -15,7 +15,7 @@ reference's heartbeat-only gating (``SimulatedRendezVous``,
 from __future__ import annotations
 
 from collections import deque
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional
 
 from cslam_tpu.runtime.clock import Timer
 

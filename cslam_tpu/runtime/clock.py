@@ -10,7 +10,7 @@ with catch-up semantics.
 from __future__ import annotations
 
 import time
-from typing import Callable, List
+from typing import Callable
 
 
 class VirtualClock:

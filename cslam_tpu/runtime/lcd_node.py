@@ -12,7 +12,7 @@ match = 20 B; ``gdlcd.py:217-220,281-282``).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 
@@ -93,6 +93,7 @@ class DetectionFrontEnd:
 
         self.enable_logs = self.params.get("evaluation.enable_logs", False)
         self.log_publisher = ctx.create_publisher("cslam/log_info")
+        self.log_matches_publisher = ctx.create_publisher("cslam/log_matches")
         self.stats = {
             "nb_matches": 0, "nb_failed_matches": 0,
             "nb_vertices_transmitted": 0, "nb_matches_selected": 0,
@@ -244,6 +245,13 @@ class DetectionFrontEnd:
         for key in ("sparsification_cumulative_computation_time",
                     "nb_vertices_transmitted", "nb_matches_selected"):
             self._log(key)
+        if (self.enable_logs and self.params.get(
+                "evaluation.enable_sparsification_comparison", False)):
+            # greedy-vs-MAC side-by-side selections (reference gdlcd.py:358-363)
+            self.log_matches_publisher.publish(InterRobotMatches(
+                robot_id=self.robot_id,
+                matches=[InterRobotMatch.from_edge(e) for e in
+                         self.lcm.candidate_selector.log_mac_edges]))
 
     @staticmethod
     def _edge_list_to_vertices(selection) -> Dict[tuple, List[List[int]]]:

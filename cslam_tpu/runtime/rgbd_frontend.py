@@ -20,7 +20,7 @@ along epipolar rows (the role of the reference's stereo camera model,
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Deque, Dict, List, Optional, Tuple
+from typing import Deque, Dict, Optional, Tuple
 from collections import deque
 
 import numpy as np

@@ -22,7 +22,7 @@ import socket
 import struct
 import threading
 from collections import deque
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 from cslam_tpu.runtime.bus import MessageBus
 

@@ -8,7 +8,7 @@ dumped to PLY for any viewer.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -143,3 +143,31 @@ class TestVisualization:
         content = open(path).read()
         assert "element vertex 6" in content
         assert "element edge 1" in content
+
+
+class TestSparsificationComparison:
+
+    def test_spectral_matches_csv_written(self, tmp_path):
+        from cslam_tpu.runtime.simulator import (SwarmSimulator,
+                                                 SyntheticWorld,
+                                                 circle_trajectory)
+        world = SyntheticWorld(nb_places=20, descriptor_dim=16, seed=0)
+        trajs = [circle_trajectory(12, 10.0, 20),
+                 circle_trajectory(12, 10.0, 20, start_angle=0.05)]
+        sim = SwarmSimulator(
+            2, world, trajs,
+            config_overrides={
+                "evaluation.enable_logs": True,
+                "evaluation.enable_sparsification_comparison": True,
+                "evaluation.log_folder": str(tmp_path),
+                "frontend.inter_robot_detection_period_sec": 3.0,
+                "backend.pose_graph_optimization_start_period_ms": 2000,
+            }, keyframe_period=0.5)
+        sim.run(25.0, dt=0.25)
+        # side-by-side greedy vs MAC selections were recorded
+        sel = sim.robots[0].detection.lcm.candidate_selector
+        assert len(sel.log_mac_edges) > 0
+        assert len(sel.log_greedy_edges) > 0
+        folders = [f for f in os.listdir(tmp_path) if f.endswith("r0")]
+        files = os.listdir(os.path.join(tmp_path, folders[0]))
+        assert "spectral_matches.csv" in files
