@@ -77,6 +77,10 @@ class BackendConfig:
     # --- distributed (TPU mesh) mode ---
     enable_distributed_pgo: bool = False
     distributed_gauss_seidel_iterations: int = 10
+    # --- compilation ---
+    compilation_cache_dir: str = ""   # persistent XLA cache (shared by robots)
+    warmup_poses: int = 0             # precompile solver tiers at startup
+    warmup_edges: int = 0
 
 
 @dataclass

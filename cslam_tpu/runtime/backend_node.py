@@ -148,6 +148,15 @@ class DecentralizedPGO:
                 p.get("backend.pose_graph_optimization_loop_period_ms", 100)
                 / 1000.0, self.broadcast_tf_callback)
 
+        cache_dir = p.get("backend.compilation_cache_dir", "")
+        if cache_dir:
+            import jax
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        if p.get("backend.warmup_poses", 0) > 0:
+            self.warmup(p["backend.warmup_poses"],
+                        max(p.get("backend.warmup_edges", 0),
+                            p["backend.warmup_poses"]))
+
         self.sim_rendezvous: Optional[SimulatedRendezVous] = None
         if p.get("evaluation.enable_simulated_rendezvous", False):
             sched = p.get("evaluation.rendezvous_schedule_file", "")

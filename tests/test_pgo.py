@@ -191,3 +191,67 @@ class TestGNC:
         inlier_w = w[robust_idx[:-2]]
         assert np.all(outlier_w < 0.1)
         assert np.all(inlier_w > 0.5)
+
+
+class TestChordalInit:
+
+    def test_recovers_from_large_rotation_drift(self):
+        """Dead-reckoned inits with big accumulated yaw drift strand plain
+        LM; chordal initialization recovers the basin."""
+        from cslam_tpu.pgo.chordal import chordal_initialize
+        gt = circle_trajectory(60, radius=15.0)
+        rng = np.random.default_rng(11)
+
+        graph = FactorGraph()
+        keys = sorted(gt.keys())
+        cur = gt[keys[0]]
+        graph.add_variable(keys[0], cur)
+        for a, b in zip(keys[:-1], keys[1:]):
+            z = noisy_between(gt[a], gt[b], rng, rot_std=0.03, trans_std=0.05)
+            cur = np.asarray(se3.compose(jnp.asarray(cur), jnp.asarray(z)))
+            graph.add_variable(b, cur)
+            graph.add_between(a, b, z, SIGMAS)
+        for a, b in [((0, 0), (0, 30)), ((0, 10), (0, 50)),
+                     ((0, 20), (0, 40)), ((0, 0), (0, 59))]:
+            z = np.asarray(se3.between(jnp.asarray(gt[a]), jnp.asarray(gt[b])))
+            graph.add_between(a, b, z, SIGMAS, robust=True)
+        graph.add_prior(keys[0], gt[keys[0]], SIGMAS)
+        arrays = graph.to_arrays()
+
+        init_chordal = chordal_initialize(arrays)
+        ate_dead = ate(extract(graph, arrays.poses), gt, list(gt))
+        ate_chordal = ate(extract(graph, init_chordal), gt, list(gt))
+        # chordal init alone already beats integrating noisy odometry
+        assert ate_chordal < ate_dead
+
+        # and LM from the chordal init lands close to ground truth
+        arrays_c = arrays.__class__(
+            init_chordal, arrays.node_valid, arrays.edge_i, arrays.edge_j,
+            arrays.meas, arrays.sqrt_info, arrays.edge_valid, arrays.robust,
+            arrays.prior_idx, arrays.prior_pose, arrays.prior_sqrt_info,
+            arrays.prior_valid)
+        res = lm_optimize(arrays_c, jnp.ones(arrays.num_edges))
+        ate_final = ate(extract(graph, res.poses), gt, list(gt))
+        res_dead = lm_optimize(arrays, jnp.ones(arrays.num_edges))
+        ate_dead_lm = ate(extract(graph, res_dead.poses), gt, list(gt))
+        assert ate_final < 0.6                 # noise-floor territory
+        assert ate_final <= ate_dead_lm + 0.05  # never worse than dead init
+
+    def test_exact_measurements_give_exact_poses(self):
+        from cslam_tpu.pgo.chordal import chordal_initialize
+        gt = circle_trajectory(12, radius=5.0)
+        graph = FactorGraph()
+        keys = sorted(gt.keys())
+        for k in keys:
+            graph.add_variable(k, np.eye(4))  # garbage init, unused
+        for a, b in zip(keys[:-1], keys[1:]):
+            z = np.asarray(se3.between(jnp.asarray(gt[a]), jnp.asarray(gt[b])))
+            graph.add_between(a, b, z, SIGMAS)
+        graph.add_prior(keys[0], gt[keys[0]], SIGMAS)
+        arrays = graph.to_arrays()
+        poses = np.asarray(chordal_initialize(arrays))
+        est = extract(graph, poses)
+        for k in keys:
+            np.testing.assert_allclose(est[k][:3, 3], gt[k][:3, 3], atol=0.02)
+            np.testing.assert_allclose(est[k][:3, :3], gt[k][:3, :3],
+                                       atol=0.02)
