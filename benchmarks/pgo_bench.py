@@ -111,4 +111,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import jax
+    # the synthetic graph is built with device se3 ops: keep its inputs at
+    # full precision too (solvers already force it internally)
+    with jax.default_matmul_precision("highest"):
+        main()

@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental.sparse.linalg import lobpcg_standard
 
+from cslam_tpu.ops import highest_precision
+
 _EPS_SHIFT = 1e-5   # epsilon ridge on the whole spectrum (subtracted exactly)
 _BIG_CINV = 1e12    # 1/weight stand-in for absent (zero-weight) edges
 
@@ -68,6 +70,7 @@ def rayleigh_quotient(idx_i: jax.Array, idx_j: jax.Array, weights: jax.Array,
 # ---------------------------------------------------------------------------
 
 
+@highest_precision
 def fiedler_pair(L: jax.Array, active: jax.Array) -> tuple[jax.Array, jax.Array]:
     """(lambda_2, Fiedler vector) via dense eigh on the deflated Laplacian.
 
@@ -146,6 +149,7 @@ def chain_lowrank_precompute(chain_w: jax.Array,
             "U": U, "Y": Y, "G": G, "sigma": sigma}
 
 
+@highest_precision
 def fiedler_pair_chain_lowrank(pre: dict, lr_w: jax.Array, active: jax.Array,
                                lobpcg_iters: int = 48,
                                block: int = 4) -> tuple[jax.Array, jax.Array]:

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cslam_tpu.ops import highest_precision
+
 
 def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
     """Host-side voxel-grid downsampling (centroid per voxel), replacing
@@ -126,6 +128,7 @@ def _robust_icp_single(src, src_mask, dst, dst_mask, R0, t0,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "num_yaw_hypotheses"))
+@highest_precision
 def robust_registration(src: jax.Array, src_mask: jax.Array, dst: jax.Array,
                         dst_mask: jax.Array, corr_dist: float,
                         iters: int = 24, num_yaw_hypotheses: int = 8):

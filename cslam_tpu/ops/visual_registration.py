@@ -22,12 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from cslam_tpu.native import hamming_match
+from cslam_tpu.ops import highest_precision
 from cslam_tpu.ops.registration import _weighted_kabsch
 
 MAX_CORRESPONDENCES = 512
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
+@highest_precision
 def gnc_align(src: jax.Array, dst: jax.Array, valid: jax.Array,
               inlier_dist: float, iters: int = 12
               ) -> Tuple[jax.Array, jax.Array]:

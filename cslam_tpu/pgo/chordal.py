@@ -22,10 +22,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from cslam_tpu.ops import highest_precision
 from cslam_tpu.pgo.factor_graph import PoseGraphArrays
 
 
 @jax.jit
+@highest_precision
 def chordal_initialize(g: PoseGraphArrays) -> jax.Array:
     """Chordally-initialized poses ``[Np, 4, 4]`` for the given graph."""
     Np = g.num_nodes

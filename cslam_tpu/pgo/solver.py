@@ -30,7 +30,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from cslam_tpu.ops import se3
+from cslam_tpu.ops import highest_precision, se3
 from cslam_tpu.pgo.factor_graph import PoseGraphArrays
 
 
@@ -234,6 +234,7 @@ class LMResult(NamedTuple):
 
 
 @jax.jit
+@highest_precision
 def lm_optimize(g: PoseGraphArrays, weights: jax.Array,
                 max_iters: int = 50, cg_iters: int = 150,
                 init_lambda: float = 1e-4, cg_tol: float = 1e-6,
@@ -364,6 +365,7 @@ class GncResult(NamedTuple):
 
 
 @jax.jit
+@highest_precision
 def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
                  lm_iters: int = 30, cg_iters: int = 150,
                  barc_sq: float = 16.81, mu_step: float = 1.4,
