@@ -55,6 +55,7 @@ class FrontendConfig:
     descriptor_dim: int = 64          # used by the 'disable' random-descriptor mode
     bank_initial_capacity: int = 1024  # padded bank tier start (doubles on growth)
     query_batch_size: int = 8          # batched descriptor-bank queries per dispatch
+    warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
 
 
 @dataclass

@@ -28,14 +28,13 @@ from cslam_tpu.ops.registration import _weighted_kabsch
 MAX_CORRESPONDENCES = 512
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-@highest_precision
-def gnc_align(src: jax.Array, dst: jax.Array, valid: jax.Array,
-              inlier_dist: float, iters: int = 12
-              ) -> Tuple[jax.Array, jax.Array]:
+def _gnc_align_core(src: jax.Array, dst: jax.Array, valid: jax.Array,
+                    inlier_dist: float, iters: int
+                    ) -> Tuple[jax.Array, jax.Array]:
     """GNC-TLS rigid alignment of corresponded points src[i] <-> dst[i].
 
-    Returns (T [4,4] mapping src->dst, inlier count).
+    Returns (T [4,4] mapping src->dst, inlier count). Pure traced body —
+    jitted below both standalone and vmapped over a pair batch.
     """
     eps_sq = jnp.float32(inlier_dist * inlier_dist)
 
@@ -68,6 +67,84 @@ def gnc_align(src: jax.Array, dst: jax.Array, valid: jax.Array,
     return T, inliers
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+@highest_precision
+def gnc_align(src: jax.Array, dst: jax.Array, valid: jax.Array,
+              inlier_dist: float, iters: int = 12
+              ) -> Tuple[jax.Array, jax.Array]:
+    """Single-pair GNC-TLS alignment (see ``_gnc_align_core``)."""
+    return _gnc_align_core(src, dst, valid, inlier_dist, iters)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+@highest_precision
+def gnc_align_batch(src: jax.Array, dst: jax.Array, valid: jax.Array,
+                    inlier_dist: float, iters: int = 12
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Batched GNC-TLS alignment over P candidate pairs in ONE dispatch.
+
+    src/dst: [P, N, 3]; valid: [P, N]. Returns (T [P,4,4], inliers [P]).
+    One keyframe message can request verification against many local
+    keyframes (reference loops over them one RANSAC-PnP call at a time,
+    rgbd_handler.cpp:493-554); on the relay-attached TPU each dispatch
+    costs ~30 ms RTT, so batching P pairs into one vmapped solve is a
+    P-fold latency win on the verification plane.
+    """
+    return jax.vmap(
+        lambda s, d, v: _gnc_align_core(s, d, v, inlier_dist, iters)
+    )(src, dst, valid)
+
+
+def _pair_tier(p: int) -> int:
+    """Pad batch size to a power-of-two tier so XLA compiles once per tier."""
+    tier = 1
+    while tier < p:
+        tier *= 2
+    return tier
+
+
+def warmup_verification(tiers=(1, 2, 4, 8, 16),
+                        inlier_dist: float = 0.3) -> None:
+    """Precompile ``gnc_align_batch`` for the given pair tiers.
+
+    The batch-16 tier was observed to take >1 min to compile on the remote
+    TPU compile service; warming at startup (ideally with jax's persistent
+    compilation cache enabled) keeps the verification plane responsive —
+    same pattern as ``DecentralizedPGO.warmup()`` for the PGO tiers.
+    """
+    for tier in tiers:
+        z3 = jnp.zeros((tier, MAX_CORRESPONDENCES, 3), jnp.float32)
+        v = jnp.ones((tier, MAX_CORRESPONDENCES), jnp.float32)
+        jax.block_until_ready(gnc_align_batch(z3, z3, v, inlier_dist))
+
+
+def _build_correspondences(kp3d_a: np.ndarray, desc_a: np.ndarray,
+                           kp3d_b: np.ndarray, desc_b: np.ndarray,
+                           min_inliers: int, max_hamming: int
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+    """Host matching + fixed-shape padding for one candidate pair.
+
+    Returns (src [N,3], dst [N,3], valid [N], enough) — ``enough`` is False
+    when descriptor matching alone cannot reach ``min_inliers`` (no device
+    work needed for that pair).
+    """
+    src = np.zeros((MAX_CORRESPONDENCES, 3), np.float32)
+    dst = np.zeros((MAX_CORRESPONDENCES, 3), np.float32)
+    valid = np.zeros(MAX_CORRESPONDENCES, np.float32)
+    pairs = hamming_match(desc_a, desc_b, max_dist=max_hamming)
+    if len(pairs) < max(min_inliers, 3):
+        return src, dst, valid, False
+    n = min(len(pairs), MAX_CORRESPONDENCES)
+    src[:n] = kp3d_a[pairs[:n, 0]]
+    dst[:n] = kp3d_b[pairs[:n, 1]]
+    valid[:n] = 1.0
+    # drop correspondences with invalid depth (zeros / non-finite)
+    finite = np.isfinite(src).all(1) & np.isfinite(dst).all(1)
+    nonzero = (np.abs(src).sum(1) > 1e-9) & (np.abs(dst).sum(1) > 1e-9)
+    valid *= (finite & nonzero).astype(np.float32)
+    return src, dst, valid, True
+
+
 def verify_keyframe_pair(kp3d_a: np.ndarray, desc_a: np.ndarray,
                          kp3d_b: np.ndarray, desc_b: np.ndarray,
                          min_inliers: int = 6, inlier_dist: float = 0.3,
@@ -79,29 +156,51 @@ def verify_keyframe_pair(kp3d_a: np.ndarray, desc_a: np.ndarray,
     mirroring the reference's success gate ``Vis/MinInliers``
     (rgbd_handler.cpp:115-118: pnp_min_inliers).
     """
-    pairs = hamming_match(desc_a, desc_b, max_dist=max_hamming)
-    if len(pairs) < max(min_inliers, 3):
-        return np.eye(4), False, 0
-    src = np.zeros((MAX_CORRESPONDENCES, 3), np.float32)
-    dst = np.zeros((MAX_CORRESPONDENCES, 3), np.float32)
-    valid = np.zeros(MAX_CORRESPONDENCES, np.float32)
-    n = min(len(pairs), MAX_CORRESPONDENCES)
-    src[:n] = kp3d_a[pairs[:n, 0]]
-    dst[:n] = kp3d_b[pairs[:n, 1]]
-    valid[:n] = 1.0
-    # drop correspondences with invalid depth (zeros / non-finite)
-    finite = np.isfinite(src).all(1) & np.isfinite(dst).all(1)
-    nonzero = (np.abs(src).sum(1) > 1e-9) & (np.abs(dst).sum(1) > 1e-9)
-    valid *= (finite & nonzero).astype(np.float32)
+    return verify_keyframe_pairs(
+        [(kp3d_a, desc_a, kp3d_b, desc_b)], min_inliers=min_inliers,
+        inlier_dist=inlier_dist, max_hamming=max_hamming)[0]
 
-    T, inliers = gnc_align(jnp.asarray(src), jnp.asarray(dst),
-                           jnp.asarray(valid), inlier_dist)
-    inliers = int(inliers)
-    # T maps a->b in point coordinates: p_b = R p_a + t. As a pose transform
-    # (X_a^-1 X_b) convention used by the back end, the relative pose of b's
-    # camera expressed in a's frame is the inverse of the point map.
-    T_ab = np.linalg.inv(np.asarray(T, np.float64))
-    return T_ab, inliers >= min_inliers, inliers
+
+def verify_keyframe_pairs(pairs_abab,
+                          min_inliers: int = 6, inlier_dist: float = 0.3,
+                          max_hamming: int = 64):
+    """Verify MANY candidate pairs with one batched device dispatch.
+
+    ``pairs_abab``: sequence of ``(kp3d_a, desc_a, kp3d_b, desc_b)``.
+    Returns a list of ``(T_ab, success, inliers)`` in input order. The
+    reference verifies candidates one RANSAC call at a time
+    (rgbd_handler.cpp:493-554); here descriptor matching stays on the host
+    (C++ hamming), alignment of all pairs runs as one vmapped GNC solve
+    padded to a power-of-two pair tier.
+    """
+    P = len(pairs_abab)
+    if P == 0:
+        return []
+    built = [_build_correspondences(a3, ad, b3, bd, min_inliers, max_hamming)
+             for a3, ad, b3, bd in pairs_abab]
+    enough = [b[3] for b in built]
+    live = [i for i in range(P) if enough[i]]
+    results = [(np.eye(4), False, 0)] * P
+    if not live:
+        return results
+    tier = _pair_tier(len(live))
+    src = np.zeros((tier, MAX_CORRESPONDENCES, 3), np.float32)
+    dst = np.zeros((tier, MAX_CORRESPONDENCES, 3), np.float32)
+    valid = np.zeros((tier, MAX_CORRESPONDENCES), np.float32)
+    for slot, i in enumerate(live):
+        src[slot], dst[slot], valid[slot] = built[i][:3]
+    Ts, inliers = gnc_align_batch(jnp.asarray(src), jnp.asarray(dst),
+                                  jnp.asarray(valid), inlier_dist)
+    Ts = np.asarray(Ts, np.float64)
+    inliers = np.asarray(inliers)
+    for slot, i in enumerate(live):
+        n_in = int(inliers[slot])
+        # Ts[slot] maps a->b in point coordinates: p_b = R p_a + t. As a pose
+        # transform (X_a^-1 X_b) convention used by the back end, the relative
+        # pose of b's camera in a's frame is the inverse of the point map.
+        T_ab = np.linalg.inv(Ts[slot])
+        results[i] = (T_ab, n_in >= min_inliers, n_in)
+    return results
 
 
 def project_to_3d(kp_xy: np.ndarray, depth: np.ndarray, fx: float, fy: float,

@@ -97,6 +97,14 @@ class RGBDFrontEnd:
         self.max_keypoints = int(self.params.get(
             "frontend.max_keypoints", 512))
 
+        # Precompile the batched-verification pair tiers (the batch-16 tier
+        # takes >1 min on the remote TPU compile service; off by default —
+        # tests/CPU compile fast enough without it).
+        warmup_tiers = self.params.get("frontend.warmup_verification_tiers",
+                                       ())
+        if warmup_tiers:
+            vreg.warmup_verification(tuple(warmup_tiers))
+
     # ------------------------------------------------------------------
     # Intake (rgbd_handler.cpp:173-255)
     # ------------------------------------------------------------------
@@ -195,15 +203,24 @@ class RGBDFrontEnd:
                                         msg: LocalImageDescriptors) -> None:
         if not isinstance(msg, LocalImageDescriptors):
             return
+        # One incoming keyframe may match several local keyframes; verify
+        # them all in ONE batched device dispatch (gnc_align_batch) instead
+        # of the reference's per-pair RANSAC loop (rgbd_handler.cpp:493-554).
+        jobs = []
         for rid, kf_id in zip(msg.matches_robot_id, msg.matches_keyframe_id):
             if rid != self.robot_id:
                 continue
             local = self.features.get(kf_id)
             if local is None:
                 continue
-            other = KeyframeFeatures(msg.keypoints, msg.keypoints3d,
-                                     msg.descriptors)
-            transform, success = self._verify(local, other)
+            jobs.append((kf_id, local))
+        if not jobs:
+            return
+        results = vreg.verify_keyframe_pairs(
+            [(local.keypoints3d, local.descriptors,
+              msg.keypoints3d, msg.descriptors) for _, local in jobs],
+            min_inliers=self.min_inliers)
+        for (kf_id, _), (transform, success, _) in zip(jobs, results):
             self.inter_lc_publisher.publish(InterRobotLoopClosure(
                 robot0_id=self.robot_id, robot0_keyframe_id=kf_id,
                 robot1_id=msg.robot_id, robot1_keyframe_id=msg.keyframe_id,

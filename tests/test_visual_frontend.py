@@ -124,6 +124,38 @@ class TestVisualVerification:
         np.testing.assert_allclose(Z[:3, 3], Z_gt[:3, 3], atol=0.1)
         np.testing.assert_allclose(Z[:3, :3], Z_gt[:3, :3], atol=0.05)
 
+    def test_batched_verification_matches_single(self):
+        """gnc_align_batch over P pairs must reproduce per-pair results,
+        including pairs that fail descriptor matching (no device work) and
+        padding slots (power-of-two pair tier)."""
+        rng = np.random.default_rng(6)
+        pts, tex = make_world(rng)
+        pts_other, tex_other = make_world(np.random.default_rng(123))
+        views = []
+        for pose in (np.eye(4), pose_xyz_yaw(0.3, 0.1, 0, yaw=0.05),
+                     pose_xyz_yaw(-0.2, 0.3, 0, yaw=-0.1)):
+            img, dep = render(pts, tex, pose)
+            kp, _ = native.fast_detect(img, 25, 300)
+            views.append((vreg.project_to_3d(kp, dep, CAM.fx, CAM.fy,
+                                             CAM.cx, CAM.cy),
+                          native.brief_describe(img, kp)))
+        img_u, dep_u = render(pts_other, tex_other, np.eye(4))
+        kp_u, _ = native.fast_detect(img_u, 25, 300)
+        unrelated = (vreg.project_to_3d(kp_u, dep_u, CAM.fx, CAM.fy,
+                                        CAM.cx, CAM.cy),
+                     native.brief_describe(img_u, kp_u))
+        # 3 pairs (tier pads to 4): two real overlaps + one unrelated
+        pair_list = [(views[0][0], views[0][1], views[1][0], views[1][1]),
+                     (views[0][0], views[0][1], unrelated[0], unrelated[1]),
+                     (views[1][0], views[1][1], views[2][0], views[2][1])]
+        batched = vreg.verify_keyframe_pairs(pair_list, min_inliers=10)
+        singles = [vreg.verify_keyframe_pair(*p, min_inliers=10)
+                   for p in pair_list]
+        for (Tb, sb, nb), (Ts, ss, ns) in zip(batched, singles):
+            assert sb == ss and nb == ns
+            np.testing.assert_allclose(Tb, Ts, atol=1e-5)
+        assert batched[0][1] and batched[2][1] and not batched[1][1]
+
     def test_unrelated_scenes_fail(self):
         rng = np.random.default_rng(4)
         pts_a, tex_a = make_world(rng)
@@ -204,6 +236,50 @@ class TestRGBDHandlerFlow:
         Z_gt = np.linalg.inv(X0) @ X1
         np.testing.assert_allclose(lc.transform[:3, 3], Z_gt[:3, 3],
                                    atol=0.12)
+
+    def test_multi_match_message_batched_verification(self):
+        """One incoming descriptor message matching several local keyframes
+        must yield one loop closure per match (verified in a single batched
+        gnc_align_batch dispatch)."""
+        rng = np.random.default_rng(8)
+        pts, tex = make_world(rng)
+        bus, clock = MessageBus(), VirtualClock()
+        params = {"robot_id": 0, "max_nb_robots": 2,
+                  "frontend.map_manager_process_period_ms": 100}
+        ctx0 = RobotContext(bus, clock, 0, dict(params))
+        ctx1 = RobotContext(bus, clock, 1, dict(params, robot_id=1))
+        fe0 = RGBDFrontEnd(ctx0, CAM)
+        fe1 = RGBDFrontEnd(ctx1, CAM)
+
+        poses0 = [pose_xyz_yaw(0, 0, 0),
+                  pose_xyz_yaw(0.4, 0.2, 0, yaw=0.1)]
+        for X in poses0:  # robot 0 builds two keyframes
+            img, dep = render(pts, tex, X)
+            fe0.rgbd_callback(img, dep, Odometry(pose=X))
+            clock.advance(0.2)
+            ctx0.poll_timers()
+        X1 = pose_xyz_yaw(0.2, -0.1, 0.0, yaw=0.05)
+        img1, dep1 = render(pts, tex, X1)
+        fe1.rgbd_callback(img1, dep1, Odometry(pose=X1))
+        clock.advance(0.2)
+        ctx1.poll_timers()
+        bus.deliver()
+        assert fe0.nb_local_keyframes == 2 and fe1.nb_local_keyframes == 1
+
+        closures = []
+        bus.subscribe("/cslam/inter_robot_loop_closure", closures.append)
+        bus.publish("/r1/cslam/local_descriptors_request",
+                    LocalDescriptorsRequest(keyframe_id=0,
+                                            matches_robot_id=[0, 0],
+                                            matches_keyframe_id=[0, 1]))
+        bus.deliver()
+        assert len(closures) == 2
+        for lc, X0 in zip(sorted(closures,
+                                 key=lambda c: c.robot0_keyframe_id), poses0):
+            assert lc.success
+            Z_gt = np.linalg.inv(X0) @ X1
+            np.testing.assert_allclose(lc.transform[:3, 3], Z_gt[:3, 3],
+                                       atol=0.12)
 
     def test_keyframe_gating_by_inlier_ratio(self):
         rng = np.random.default_rng(7)
