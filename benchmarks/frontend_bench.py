@@ -8,6 +8,7 @@ Compares float32 vs bfloat16 trunks.
 
     python benchmarks/frontend_bench.py
 """
+import argparse
 import json
 import sys
 import time
@@ -20,37 +21,60 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from cslam_tpu.models.cosplace import CosPlace  # noqa: E402
+from cslam_tpu.models.netvlad import NetVLAD  # noqa: E402
 from cslam_tpu.ops import topk as topk_ops  # noqa: E402
 from cslam_tpu.ops.nns_pallas import cosine_topk_fused  # noqa: E402
 
 BANK_CAPACITY = 131072
 VALID_ROWS = 100000
-DIM = 64
 BATCH = 32  # keyframes per step (front end batches across robots/cameras)
 K = 10
 
 
+def make_model(name: str, dtype: str):
+    """Returns (matcher, forward(variables, x) -> [B, dim], dim)."""
+    if name == "netvlad":
+        m = NetVLAD({"frontend.nn_checkpoint": "random",
+                     "frontend.image_crop_size": 376,
+                     "frontend.compute_dtype": dtype, "robot_id": 0})
+        # full path: VGG16 trunk + VLAD pooling + PCA + L2 (identity PCA
+        # to the reference's 128-dim default when no fitted PCA is given)
+        def fwd(v, x):
+            vlad = m.model.apply(v, x)
+            reduced = (vlad - m._pca_mean) @ m._pca_components.T
+            return reduced / jnp.maximum(
+                jnp.linalg.norm(reduced, axis=-1, keepdims=True), 1e-12)
+        return m, fwd, NetVLAD.DISABLED_DIM
+    m = CosPlace({"frontend.nn_checkpoint": "random",
+                  "frontend.cosplace.descriptor_dim": 64,
+                  "frontend.cosplace.backbone": "resnet18",
+                  "frontend.image_crop_size": 376,
+                  "frontend.compute_dtype": dtype, "robot_id": 0})
+    return m, lambda v, x: m.model.apply(v, x), 64
+
+
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", choices=("cosplace", "netvlad"),
+                        default="cosplace")
+    args = parser.parse_args()
+
     rng = np.random.default_rng(0)
-    bank = jnp.asarray(rng.standard_normal((BANK_CAPACITY, DIM))
-                       .astype(np.float32))
-    inv_norms = jnp.ones((BANK_CAPACITY,), jnp.float32)
-    n = jnp.int32(VALID_ROWS)
     images = rng.integers(0, 255, (BATCH, 376, 500, 3), dtype=np.uint8)
     on_tpu = jax.devices()[0].platform != "cpu"
 
     results = {}
     for dtype in ("float32", "bfloat16"):
-        model = CosPlace({"frontend.nn_checkpoint": "random",
-                          "frontend.cosplace.descriptor_dim": DIM,
-                          "frontend.cosplace.backbone": "resnet18",
-                          "frontend.image_crop_size": 376,
-                          "frontend.compute_dtype": dtype, "robot_id": 0})
+        model, forward, DIM = make_model(args.model, dtype)
+        bank = jnp.asarray(rng.standard_normal((BANK_CAPACITY, DIM))
+                           .astype(np.float32))
+        inv_norms = jnp.ones((BANK_CAPACITY,), jnp.float32)
+        n = jnp.int32(VALID_ROWS)
 
         from cslam_tpu.models import preprocess
 
         def step(variables, imgs, bank, inv_norms, n):
-            desc = model.model.apply(variables, imgs)
+            desc = forward(variables, imgs)
             if on_tpu:
                 sims, idx = cosine_topk_fused(bank, inv_norms, n, desc, K)
             else:
@@ -87,7 +111,8 @@ def main():
         results[dtype] = BATCH * iters / dt
 
     print(json.dumps({
-        "metric": "frontend_keyframes_per_sec_100k_bank",
+        "metric": ("frontend_keyframes_per_sec_100k_bank"
+                   + ("" if args.model == "cosplace" else f"_{args.model}")),
         "value": round(results["bfloat16"], 1),
         "unit": "keyframes/sec",
         "float32": round(results["float32"], 1),

@@ -54,11 +54,17 @@ class NetVLADLayer(nn.Module):
 
 
 class NetVLADNet(nn.Module):
+    """``compute_dtype=bfloat16`` runs the VGG16 trunk on the MXU in bf16
+    (same pattern as CosPlace's GeoLocalizationNet); the VLAD pooling,
+    normalizations and PCA stay float32 so similarity ranking is stable."""
+
     num_clusters: int = 64
+    compute_dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = VGG16Features(name="encoder")(x)
+        x = VGG16Features(name="encoder")(x.astype(self.compute_dtype))
+        x = x.astype(jnp.float32)
         return NetVLADLayer(self.num_clusters, 512, name="pool")(x)
 
 
@@ -79,7 +85,10 @@ class NetVLAD:
         if not self.enable:
             return
 
-        self.model = NetVLADNet()
+        dtype_name = str(params.get("frontend.compute_dtype", "float32"))
+        self.compute_dtype = (jnp.bfloat16 if "bfloat16" in dtype_name
+                              else jnp.float32)
+        self.model = NetVLADNet(compute_dtype=self.compute_dtype)
         ckpt = params.get("frontend.nn_checkpoint", "")
         if torch_state_dict is None and ckpt and ckpt.lower() != "random":
             import torch
@@ -91,6 +100,14 @@ class NetVLAD:
         else:
             self.variables = self.model.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+        if self.compute_dtype != jnp.float32:
+            # bf16 trunk params (flax promotes to the widest operand dtype,
+            # so the encoder runs on the MXU in bf16; pool/PCA stay f32)
+            params_tree = dict(self.variables["params"])
+            params_tree["encoder"] = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype),
+                params_tree["encoder"])
+            self.variables = {**self.variables, "params": params_tree}
 
         # PCA projection: components [out_dim, RAW_DIM], mean [RAW_DIM]
         # (the reference unpickles a fitted sklearn PCA, ``netvlad.py:209-210``)

@@ -43,6 +43,56 @@ class TestG2O:
                                    rtol=1e-5)
 
 
+    def test_roundtrip_fuzz(self, tmp_path):
+        """Randomized graphs survive two write->read cycles to 1e-7
+        (catches precision / ordering / key-packing drift; byte identity is
+        NOT expected — quat<->matrix conversion drifts in the 9th digit),
+        with noise scales spanning 1e-4..1e2 and keys up to 2^20."""
+        rng = np.random.default_rng(7)
+        for trial in range(25):
+            nv = int(rng.integers(1, 40))
+            keys = {(int(rng.integers(0, 5)), int(rng.integers(0, 1 << 20)))
+                    for _ in range(nv)}
+            values = {k: random_pose(rng) for k in keys}
+            key_list = sorted(keys)
+            edges = []
+            for _ in range(int(rng.integers(0, 3 * len(key_list)))):
+                a, b = rng.integers(0, len(key_list), 2)
+                sig = np.exp(rng.uniform(np.log(1e-4), np.log(1e2), 6))
+                edges.append(PoseGraphEdge(
+                    key_from=PoseKey(*key_list[a]),
+                    key_to=PoseKey(*key_list[b]),
+                    measurement=random_pose(rng), noise_sigmas=sig))
+            p1 = str(tmp_path / f"f{trial}_1.g2o")
+            p2 = str(tmp_path / f"f{trial}_2.g2o")
+            g2o_io.write_g2o(p1, values, edges)
+            rv, re = g2o_io.read_g2o(p1)
+            g2o_io.write_g2o(p2, rv, re)
+            rv2, re2 = g2o_io.read_g2o(p2)
+            assert set(rv) == keys == set(rv2) and len(re) == len(edges)
+            for k in keys:
+                np.testing.assert_allclose(rv2[k], values[k], atol=1e-7)
+            for e_in, e_out in zip(edges, re2):
+                assert (e_out.key_from, e_out.key_to) == (e_in.key_from,
+                                                          e_in.key_to)
+                np.testing.assert_allclose(e_out.measurement,
+                                           e_in.measurement, atol=1e-7)
+                np.testing.assert_allclose(e_out.noise_sigmas,
+                                           e_in.noise_sigmas, rtol=1e-4)
+
+    def test_read_skips_foreign_lines(self, tmp_path):
+        """Files from other g2o producers carry comments / FIX lines —
+        the reader must skip what it doesn't own."""
+        path = str(tmp_path / "foreign.g2o")
+        rng = np.random.default_rng(8)
+        values = {(0, 0): random_pose(rng)}
+        g2o_io.write_g2o(path, values, [])
+        with open(path, "a") as f:
+            f.write("# a comment line\nFIX 0\n\nVERTEX_SE2 9 0 0 0\n")
+        rv, re = g2o_io.read_g2o(path)
+        assert set(rv) == {(0, 0)} and re == []
+
+
 class TestATE:
 
     def test_umeyama_exact_recovery(self):

@@ -265,6 +265,20 @@ class TestMixedPrecision:
         cos = np.sum(descs["float32"] * descs["bfloat16"], axis=1)
         assert np.all(cos > 0.98), cos  # same place-recognition ranking
 
+    def test_netvlad_bf16_trunk_close_to_f32(self):
+        from cslam_tpu.models.netvlad import NetVLAD
+        imgs = np.random.default_rng(5).integers(
+            0, 255, (2, 280, 340, 3), dtype=np.uint8)
+        descs = {}
+        for dtype in ("float32", "bfloat16"):
+            model = NetVLAD({"frontend.nn_checkpoint": "random",
+                             "frontend.image_crop_size": 224,
+                             "frontend.compute_dtype": dtype,
+                             "robot_id": 0})
+            descs[dtype] = model.compute_embeddings(imgs)
+        cos = np.sum(descs["float32"] * descs["bfloat16"], axis=1)
+        assert np.all(cos > 0.98), cos
+
 
 class TestPCA:
 
