@@ -96,9 +96,28 @@ def main():
     _ = float(res.final_cost)
     dt = max(time.perf_counter() - t0 - rtt, 0.0)
 
+    # warm re-solve: the backend's steady-state incremental round (previous
+    # solution as init + previous TLS weights, solver.gnc_reoptimize)
+    import dataclasses
+    from cslam_tpu.pgo.solver import gnc_reoptimize
+    # warm the program TWICE with distinct values: the relay has been seen
+    # to recompile on the call after a single warmup (see BENCH.md)
+    for i in (1, 2):
+        warm_arrays = dataclasses.replace(
+            arrays, poses=res.poses.at[:, :3, 3].multiply(1.0 + 1e-7 * i))
+        _ = float(gnc_reoptimize(warm_arrays, res.weights).final_cost)
+    t0 = time.perf_counter()
+    # fresh values (tiny translation scale) so the relay cache can't serve it
+    jiggled = res.poses.at[:, :3, 3].multiply(1.0 + 1e-6)
+    res_w = gnc_reoptimize(
+        dataclasses.replace(arrays, poses=jiggled), res.weights)
+    _ = float(res_w.final_cost)
+    dt_warm = max(time.perf_counter() - t0 - rtt, 0.0)
+
     w = np.asarray(res.weights)
     rb = (np.asarray(arrays.robust) > 0) & (np.asarray(arrays.edge_valid) > 0)
     ridx = np.nonzero(rb)[0]
+    ww = np.asarray(res_w.weights)
     print(json.dumps({
         "metric": "pgo_5robot_500pose_gnc_wallclock",
         "value": round(dt, 3), "unit": "seconds",
@@ -107,6 +126,9 @@ def main():
         "outer_iterations": int(res.outer_iterations),
         "outliers_rejected": int((w[ridx[-2:]] < 0.5).sum()),
         "loops_false_rejected": int((w[ridx[:-2]] < 0.5).sum()),
+        "warm_resolve_seconds": round(dt_warm, 3),
+        "warm_ate_m": round(ate(res_w.poses), 3),
+        "warm_outliers_rejected": int((ww[ridx[-2:]] < 0.5).sum()),
     }))
 
 

@@ -65,6 +65,8 @@ class BackendConfig:
     pose_graph_optimization_loop_period_ms: int = 100
     max_waiting_time_sec: float = 60.0
     enable_broadcast_tf_frames: bool = True
+    enable_warm_start: bool = True   # re-init PGO from the last solution
+    full_gnc_every_n_optimizations: int = 10  # periodic full GNC (weight recovery)
     # --- solver (replaces GTSAM GncOptimizer defaults, decentralized_pgo.cpp:805-808) ---
     gnc_max_outer_iterations: int = 100
     gnc_mu_step: float = 1.4

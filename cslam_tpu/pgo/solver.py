@@ -389,9 +389,9 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
     """
     ones = jnp.ones(g.num_edges, g.poses.dtype)
     # initial solve: moderate tolerance — GNC refines it anyway
-    res0 = lm_optimize(g, ones, max_iters=lm_iters, cg_iters=cg_iters,
-                       rel_tol=1e-5)
-    chi2 = _edge_chi2(res0.poses, g)
+    res0_poses = lm_optimize(g, ones, max_iters=lm_iters,
+                             cg_iters=cg_iters, rel_tol=1e-5).poses
+    chi2 = _edge_chi2(res0_poses, g)
     masked_chi2 = jnp.where(g.robust * g.edge_valid > 0, chi2, 0.0)
     max_chi2 = jnp.minimum(jnp.max(masked_chi2), mu0_chi2_cap * barc_sq)
     # TLS mu init (GTSAM GncOptimizer::initializeMu): barc^2/(2 r_max^2 - barc^2)
@@ -427,7 +427,7 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
         return (i + 1, new_poses, mu * mu_step, weights,
                 jnp.logical_or(binary, stable))
 
-    init = (jnp.int32(0), res0.poses, mu0, ones, all_inliers)
+    init = (jnp.int32(0), res0_poses, mu0, ones, all_inliers)
     iters, poses, mu, weights, _ = jax.lax.while_loop(outer_cond, outer_body,
                                                       init)
     # final polish at full LM budget with the converged weights
@@ -438,3 +438,49 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
     res_f = lm_optimize(g_f, weights, max_iters=lm_iters, cg_iters=cg_iters)
     final_cost = cost(res_f.poses, g, weights)
     return GncResult(res_f.poses, weights, final_cost, iters)
+
+
+@jax.jit
+@highest_precision
+def gnc_reoptimize(g: PoseGraphArrays, warm_weights: jax.Array,
+                   lm_iters: int = 30, cg_iters: int = 150,
+                   barc_sq: float = 16.81) -> GncResult:
+    """Incremental robust re-solve: carry the previous round's TLS weights.
+
+    The backend re-optimizes every few seconds on a graph that grew by a
+    handful of keyframes; re-running the full GNC graduation from scratch
+    wastes most of its outer iterations re-deciding weights it already
+    decided (measured: a warm-posed full GNC is SLOWER than cold, because
+    skipping the initial solve forces the mu schedule to graduate from the
+    capped mu0). Instead: solve weighted LM with the previous weights
+    (new edges enter at 1), refresh the weights with the hard TLS rule
+    (the mu -> infinity limit GNC converges to), and polish once. Falls
+    back to full :func:`gnc_optimize` at the call site on structural
+    change; the backend also periodically forces a full solve so a
+    wrongly-zeroed edge can recover
+    (``backend.full_gnc_every_n_optimizations``).
+    """
+    # gate every robust edge by its residual AT THE WARM INIT (the previous
+    # solution is trusted): a brand-new gross outlier (carried weight 1)
+    # must not drag the first solve — measured, one full LM at weight 1 can
+    # twist the graph out of the basin before the threshold refresh fires.
+    # TLS weights at moderate mu (not hard) so a true new loop that sees
+    # some accumulated drift is damped, not discarded.
+    chi2_init = _edge_chi2(g.poses, g)
+    init_gate = _tls_weights(chi2_init, jnp.float32(1.0), barc_sq)
+    w0 = jnp.where(g.robust > 0, jnp.minimum(warm_weights, init_gate), 1.0)
+    res1 = lm_optimize(g, w0, max_iters=lm_iters, cg_iters=cg_iters,
+                       rel_tol=1e-6)
+    chi2 = _edge_chi2(res1.poses, g)
+    w1 = jnp.where(g.robust > 0,
+                   (chi2 < barc_sq).astype(g.poses.dtype), 1.0)
+    g1 = PoseGraphArrays(res1.poses, g.node_valid, g.edge_i, g.edge_j,
+                         g.meas, g.sqrt_info, g.edge_valid, g.robust,
+                         g.prior_idx, g.prior_pose, g.prior_sqrt_info,
+                         g.prior_valid)
+    res2 = lm_optimize(g1, w1, max_iters=lm_iters, cg_iters=cg_iters)
+    chi2 = _edge_chi2(res2.poses, g)
+    w2 = jnp.where(g.robust > 0,
+                   (chi2 < barc_sq).astype(g.poses.dtype), 1.0)
+    final_cost = cost(res2.poses, g, w2)
+    return GncResult(res2.poses, w2, final_cost, jnp.int32(2))

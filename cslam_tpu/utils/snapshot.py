@@ -70,6 +70,8 @@ def snapshot_robot(detection, backend, path: str) -> None:
             detection.neighbor_manager.neighbors_monitors.items()},
         # back end
         "odometry_pose_estimates": dict(backend.odometry_pose_estimates),
+        "last_optimized_values": dict(backend._last_optimized_values),
+        "last_edge_weights": dict(backend._last_edge_weights),
         "current_pose_estimates": dict(backend.current_pose_estimates),
         "local_factors": list(backend.local_factors),
         "inter_robot_loop_closures": {
@@ -111,6 +113,9 @@ def restore_robot(detection, backend, path: str) -> None:
         mon.last_keyframe_received = win["last_keyframe_received"]
 
     backend.odometry_pose_estimates = dict(state["odometry_pose_estimates"])
+    backend._last_optimized_values = dict(
+        state.get("last_optimized_values", {}))
+    backend._last_edge_weights = dict(state.get("last_edge_weights", {}))
     backend.current_pose_estimates = dict(state["current_pose_estimates"])
     backend.local_factors = list(state["local_factors"])
     backend.inter_robot_loop_closures = {

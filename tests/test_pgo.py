@@ -193,6 +193,69 @@ class TestGNC:
         assert np.all(inlier_w > 0.5)
 
 
+class TestWarmStart:
+
+    def test_reoptimize_carries_weights(self):
+        """Incremental re-solve (previous solution + previous TLS weights)
+        must match full-GNC quality and keep the outlier rejected."""
+        import dataclasses
+        from cslam_tpu.pgo.solver import gnc_reoptimize
+        gt = circle_trajectory(50)
+        rng = np.random.default_rng(9)
+        loops = [((0, 0), (0, 25)), ((0, 5), (0, 45)), ((0, 12), (0, 38))]
+        outliers = [((0, 4), (0, 30))]
+        graph = build_graph(gt, rng, loops=loops, outliers=outliers)
+        arrays = graph.to_arrays()
+
+        res_cold = gnc_optimize(arrays)
+        cold_ate = ate(extract(graph, res_cold.poses), gt, list(gt))
+
+        warm_arrays = dataclasses.replace(arrays, poses=res_cold.poses)
+        res_warm = gnc_reoptimize(warm_arrays, res_cold.weights)
+        warm_ate = ate(extract(graph, res_warm.poses), gt, list(gt))
+
+        assert warm_ate < cold_ate + 0.05
+        robust_idx = np.nonzero(np.asarray(arrays.edge_valid)
+                                * np.asarray(arrays.robust))[0]
+        assert np.asarray(res_warm.weights)[robust_idx[-1]] < 0.1
+        inlier_w = np.asarray(res_warm.weights)[robust_idx[:-1]]
+        assert np.all(inlier_w > 0.5)
+
+    def test_reoptimize_handles_new_edges(self):
+        """Edges added since the previous round (warm weight = 1) must be
+        used if consistent and rejected if gross outliers."""
+        import dataclasses
+        from cslam_tpu.pgo.solver import gnc_reoptimize
+        gt = circle_trajectory(50)
+        rng = np.random.default_rng(10)
+        loops = [((0, 0), (0, 25)), ((0, 5), (0, 45))]
+        graph = build_graph(gt, rng, loops=loops)
+        res_cold = gnc_optimize(graph.to_arrays())
+
+        # next round: same trajectory, one new true loop + one new outlier
+        graph2 = build_graph(gt, rng, loops=loops + [((0, 12), (0, 38))],
+                             outliers=[((0, 4), (0, 30))])
+        arrays2 = graph2.to_arrays()
+        # initialize at previous solution (keys are identical here)
+        sol = {tuple(v.key.as_tuple()): v.pose
+               for v in graph.values_from_arrays(res_cold.poses)}
+        init = np.asarray(arrays2.poses).copy()
+        for k, pose in sol.items():
+            init[graph2.index_of(k)] = pose
+        arrays2 = dataclasses.replace(arrays2, poses=jnp.asarray(init))
+        # previous weights for carried-over edges; new edges start at 1
+        w = np.ones(arrays2.num_edges)
+        res_warm = gnc_reoptimize(arrays2, jnp.asarray(w))
+
+        warm_ate = ate(extract(graph2, res_warm.poses), gt, list(gt))
+        assert warm_ate < 0.5
+        robust_idx = np.nonzero(np.asarray(arrays2.edge_valid)
+                                * np.asarray(arrays2.robust))[0]
+        weights = np.asarray(res_warm.weights)
+        assert weights[robust_idx[-1]] < 0.1       # new outlier rejected
+        assert np.all(weights[robust_idx[:-1]] > 0.5)  # true loops kept
+
+
 class TestChordalInit:
 
     def test_recovers_from_large_rotation_drift(self):

@@ -278,6 +278,41 @@ class TestFiveRobotSwarm:
             assert opt_ate <= odo_ate + 0.05
 
 
+class TestWarmStartChaining:
+
+    def test_new_keys_chain_off_last_optimized_pose(self):
+        """Keys added after the last optimization must be re-initialized by
+        composing their odometry increment onto the last optimized pose;
+        keys with no warm data pass through unchanged."""
+        from cslam_tpu.runtime.backend_node import DecentralizedPGO
+        from cslam_tpu.runtime.bus import MessageBus, RobotContext
+        from cslam_tpu.runtime.clock import VirtualClock
+        bus, clock = MessageBus(), VirtualClock()
+        ctx = RobotContext(bus, clock, 0, {"robot_id": 0, "max_nb_robots": 3})
+        be = DecentralizedPGO(ctx)
+
+        def pose(x, y):
+            T = np.eye(4)
+            T[:3, 3] = [x, y, 0]
+            return T
+
+        # odometry frame: robot 0 at x=0,1,2; warm solution shifted +10 in y
+        raw = {(0, 0): pose(0, 0), (0, 1): pose(1, 0), (0, 2): pose(2, 0),
+               (1, 0): pose(5, 5)}  # robot 1: no warm data
+        be._last_optimized_values = {(0, 0): pose(0, 10), (0, 1): pose(1, 10)}
+        out = be._warm_start_values(raw)
+        np.testing.assert_allclose(out[(0, 0)], pose(0, 10))
+        np.testing.assert_allclose(out[(0, 1)], pose(1, 10))
+        # (0,2) = warm(0,1) @ inv(raw(0,1)) @ raw(0,2) = (2, 10)
+        np.testing.assert_allclose(out[(0, 2)], pose(2, 10), atol=1e-12)
+        np.testing.assert_allclose(out[(1, 0)], pose(5, 5))
+
+        # disabled: raw passes through untouched
+        ctx.params["backend.enable_warm_start"] = False
+        out = be._warm_start_values(raw)
+        np.testing.assert_allclose(out[(0, 0)], pose(0, 0))
+
+
 class TestBackendMonitoring:
 
     def test_optimizer_state_and_estimates_dump(self, tmp_path):
