@@ -204,7 +204,20 @@ class DecentralizedPGO:
                                   robust=k % 2 == 0)
                 g.add_prior((self.robot_id, 0), np.eye(4),
                             self.default_sigmas)
-                self._optimize(g)
+                # compile BOTH solver programs for this tier, without going
+                # through _optimize (which would pollute the carried TLS
+                # weights with the dummy graph's edges)
+                import jax
+                arrays = g.to_arrays()
+                lm_iters = self.params.get("backend.lm_max_iterations", 50)
+                jax.block_until_ready(gnc_optimize(
+                    arrays,
+                    max_outer=self.params.get(
+                        "backend.gnc_max_outer_iterations", 100),
+                    lm_iters=lm_iters).poses)
+                jax.block_until_ready(gnc_reoptimize(
+                    arrays, np.ones(arrays.num_edges),
+                    lm_iters=lm_iters).poses)
 
     # ------------------------------------------------------------------
     # Intake (cpp:233-320)
