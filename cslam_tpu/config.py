@@ -54,7 +54,6 @@ class FrontendConfig:
     # --- TPU-native extras ---
     descriptor_dim: int = 64          # used by the 'disable' random-descriptor mode
     bank_initial_capacity: int = 1024  # padded bank tier start (doubles on growth)
-    query_batch_size: int = 8          # batched descriptor-bank queries per dispatch
     warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
 
 

@@ -68,6 +68,38 @@ class LoopClosureSparseMatching:
         self.candidate_selector.add_match(match)
         return match
 
+    def add_other_robot_global_descriptors(self, msgs) -> List[EdgeInterRobot]:
+        """Batched gossip intake: one device dispatch for a whole descriptor
+        chunk (result-identical to calling
+        :meth:`add_other_robot_global_descriptor` per message — each gossiped
+        descriptor lands in its sender's bank and is matched against the
+        LOCAL bank only, so in-chunk order cannot matter). The gossip plane
+        delivers up to ``frontend.detection_publication_max_elems_per_msg``
+        descriptors per message; searching them one ``search_best`` at a
+        time costs one device round-trip each.
+        """
+        msgs = list(msgs)
+        if not msgs:
+            return []
+        for m in msgs:
+            self.other_robots_nnsm[m.robot_id].add_item(
+                np.asarray(m.descriptor), m.keyframe_id)
+        if self.local_nnsm.n == 0:
+            return []
+        queries = np.stack([np.asarray(m.descriptor) for m in msgs])
+        sims, idx = self.local_nnsm.search_batch(queries, k=1)
+        matches = []
+        threshold = self.params["frontend.similarity_threshold"]
+        for m, s, i in zip(msgs, sims[:, 0], idx[:, 0]):
+            if s < threshold:
+                continue
+            match = EdgeInterRobot(self.params["robot_id"],
+                                   self.local_nnsm.items[int(i)],
+                                   m.robot_id, m.keyframe_id, float(s))
+            self.candidate_selector.add_match(match)
+            matches.append(match)
+        return matches
+
     def match_local_loop_closures(
             self, descriptor: np.ndarray,
             kf_id: int) -> Tuple[Optional[int], Optional[List[int]]]:

@@ -201,13 +201,13 @@ class DetectionFrontEnd:
     def global_descriptor_callback(self, msg: GlobalDescriptors) -> None:
         if msg.descriptors[0].robot_id == self.robot_id:
             return
-        for i in self.neighbor_manager.get_unknown_range(msg.descriptors):
-            match = self.lcm.add_other_robot_global_descriptor(
-                msg.descriptors[i])
-            if match is not None:
-                self.inter_robot_matches_buffer[
-                    self.nb_inter_robot_matches] = match
-                self.nb_inter_robot_matches += 1
+        unknown = [msg.descriptors[i] for i in
+                   self.neighbor_manager.get_unknown_range(msg.descriptors)]
+        # whole chunk searched against the local bank in ONE device dispatch
+        for match in self.lcm.add_other_robot_global_descriptors(unknown):
+            self.inter_robot_matches_buffer[
+                self.nb_inter_robot_matches] = match
+            self.nb_inter_robot_matches += 1
 
     def inter_robot_matches_callback(self, msg: InterRobotMatches) -> None:
         if msg.robot_id == self.robot_id:

@@ -126,6 +126,41 @@ class TestSparseMatching:
         edge = lcsm.candidate_selector.candidate_edges[(0, 2, 1, 4)]
         assert edge.robot1_id == 1
 
+    def test_batched_gossip_intake_equals_sequential(self):
+        """add_other_robot_global_descriptors (one dispatch per chunk) must
+        register exactly the matches the per-message path registers."""
+        rng = np.random.default_rng(7)
+        local = unit_vectors(6, 16, rng)
+        chunk_vecs = np.concatenate([
+            local[:3] + rng.normal(scale=0.01, size=(3, 16)),  # near-copies
+            unit_vectors(3, 16, rng)])                         # unrelated
+        chunk_vecs /= np.linalg.norm(chunk_vecs, axis=1, keepdims=True)
+        chunk = [GlobalDescriptor(10 + i, 1, v.tolist())
+                 for i, v in enumerate(chunk_vecs)]
+
+        seq = LoopClosureSparseMatching(matching_params())
+        bat = LoopClosureSparseMatching(matching_params())
+        for lcsm in (seq, bat):
+            for kf, d in enumerate(local):
+                lcsm.add_local_global_descriptor(d.copy(), kf)
+
+        seq_matches = [seq.add_other_robot_global_descriptor(m)
+                       for m in chunk]
+        seq_matches = [m for m in seq_matches if m is not None]
+        bat_matches = bat.add_other_robot_global_descriptors(chunk)
+
+        assert [m.key() for m in bat_matches] == [m.key() for m in
+                                                  seq_matches]
+        for a, b in zip(bat_matches, seq_matches):
+            assert abs(a.weight - b.weight) < 1e-5
+        assert (set(seq.candidate_selector.candidate_edges)
+                == set(bat.candidate_selector.candidate_edges))
+        # banks identical afterwards
+        np.testing.assert_allclose(seq.other_robots_nnsm[1].data,
+                                   bat.other_robots_nnsm[1].data, rtol=1e-6)
+        # empty chunk is a no-op
+        assert bat.add_other_robot_global_descriptors([]) == []
+
     def test_intra_robot_matching_respects_gap(self):
         params = matching_params()
         params["frontend.intra_loop_min_inbetween_keyframes"] = 5
