@@ -52,6 +52,10 @@ class DescriptorBank:
         self._inv_norms: Optional[jax.Array] = None
         self._device_n = 0
 
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
     # -- reference-compatible alias: NearestNeighborsMatching exposed `.data`
     @property
     def data(self) -> np.ndarray:

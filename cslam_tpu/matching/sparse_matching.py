@@ -36,16 +36,46 @@ class LoopClosureSparseMatching:
         self.candidate_selector = AlgebraicConnectivityMaximization(
             params["robot_id"], params["max_nb_robots"], extra_params=params)
 
+    # banks up to this capacity are stacked and searched in ONE dispatch;
+    # beyond it, restacking R banks per keyframe costs more HBM traffic
+    # than the saved dispatch round-trips, so each falls back to its own
+    # (fused-kernel) search
+    _MULTI_SEARCH_MAX_CAPACITY = 16384
+
     def add_local_global_descriptor(self, embedding: np.ndarray,
                                     keyframe_id: int) -> List[EdgeInterRobot]:
         """Store a local keyframe descriptor and match it against every other
-        robot's bank (reference lcsm.py:36-54)."""
-        matches = []
+        robot's bank (reference lcsm.py:36-54). Same-capacity descriptor
+        banks are stacked and searched with one ``cosine_top1_multi``
+        dispatch instead of one round-trip per bank.
+        """
         self.local_nnsm.add_item(embedding, keyframe_id)
+        hits: List[Tuple[int, Any, float]] = []
+        groups: Dict[int, list] = {}
         for rid, bank in self.other_robots_nnsm.items():
-            kf, similarity = bank.search_best(embedding)
-            if kf is None:
-                continue
+            if (isinstance(bank, DescriptorBank) and bank.n > 0
+                    and bank.capacity <= self._MULTI_SEARCH_MAX_CAPACITY):
+                groups.setdefault(bank.capacity, []).append((rid, bank))
+            else:
+                kf, similarity = bank.search_best(embedding)
+                if kf is not None:
+                    hits.append((rid, kf, similarity))
+        if groups:
+            import jax.numpy as jnp
+            from cslam_tpu.ops import topk as topk_ops
+            q = jnp.asarray(np.asarray(embedding), jnp.float32)
+            for members in groups.values():
+                for _, b in members:
+                    b._sync_device()
+                banks = jnp.stack([b._bank for _, b in members])
+                invn = jnp.stack([b._inv_norms for _, b in members])
+                ns = jnp.asarray([b.n for _, b in members], jnp.int32)
+                sims, idx = topk_ops.cosine_top1_multi(banks, invn, ns, q)
+                sims, idx = np.asarray(sims), np.asarray(idx)
+                for (rid, b), s, i in zip(members, sims, idx):
+                    hits.append((rid, b.items[int(i)], float(s)))
+        matches = []
+        for rid, kf, similarity in sorted(hits):
             if similarity >= self.params["frontend.similarity_threshold"]:
                 match = EdgeInterRobot(self.params["robot_id"], keyframe_id,
                                        rid, kf, similarity)
@@ -81,6 +111,11 @@ class LoopClosureSparseMatching:
         msgs = list(msgs)
         if not msgs:
             return []
+        if not isinstance(self.local_nnsm, DescriptorBank):
+            # scan-context banks have a two-stage search with no batched
+            # form yet — keep the per-message path
+            out = [self.add_other_robot_global_descriptor(m) for m in msgs]
+            return [m for m in out if m is not None]
         for m in msgs:
             self.other_robots_nnsm[m.robot_id].add_item(
                 np.asarray(m.descriptor), m.keyframe_id)

@@ -67,6 +67,37 @@ def update_rows(bank: jax.Array, inv_norms: jax.Array, rows: jax.Array,
     return new_bank, new_inv
 
 
+@jax.jit
+def cosine_top1_multi(banks: jax.Array, inv_norms: jax.Array, ns: jax.Array,
+                      query: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Best match of ONE query against R stacked banks in one dispatch.
+
+    The detection front end matches each new local descriptor against every
+    other robot's bank (reference ``loop_closure_sparse_matching.py:36-54``)
+    — one search per bank is one device round-trip each; stacking the
+    same-capacity banks makes it a single batched einsum + argmax.
+
+    Args:
+        banks: ``[R, capacity, dim]`` stacked banks.
+        inv_norms: ``[R, capacity]``.
+        ns: ``[R]`` int32 valid-row counts (0 allowed; its sim is ``-inf``).
+        query: ``[dim]`` descriptor.
+
+    Returns:
+        (sims, idx): ``[R]`` best similarity and row index per bank.
+    """
+    banks = banks.astype(jnp.float32)
+    query = query.astype(jnp.float32)
+    q_inv = 1.0 / jnp.maximum(jnp.linalg.norm(query), _EPS)
+    dots = jnp.einsum("rcd,d->rc", banks, query,
+                      preferred_element_type=jnp.float32)
+    sims = dots * inv_norms * q_inv
+    valid = (jnp.arange(banks.shape[1], dtype=jnp.int32)[None, :]
+             < ns[:, None])
+    sims = jnp.where(valid, sims, -jnp.inf)
+    return jnp.max(sims, axis=1), jnp.argmax(sims, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def euclidean_topk(bank: jax.Array, sq_norms: jax.Array, n: jax.Array,
                    queries: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:

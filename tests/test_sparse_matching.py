@@ -161,6 +161,35 @@ class TestSparseMatching:
         # empty chunk is a no-op
         assert bat.add_other_robot_global_descriptors([]) == []
 
+    def test_local_descriptor_multi_bank_search_equals_sequential(self):
+        """add_local_global_descriptor's stacked multi-bank search must
+        register the same matches as per-bank search_best, including banks
+        of different sizes and an empty bank."""
+        rng = np.random.default_rng(11)
+        params = matching_params(max_nb_robots=4)
+        lcsm = LoopClosureSparseMatching(params)
+        # robot 1: 5 descriptors; robot 2: 1 descriptor; robot 3: empty
+        vecs = {1: unit_vectors(5, 16, rng), 2: unit_vectors(1, 16, rng)}
+        for rid, vs in vecs.items():
+            for kf, v in enumerate(vs):
+                lcsm.other_robots_nnsm[rid].add_item(v, kf)
+
+        # query = near-copy of robot 1's kf 3 -> must match (above threshold)
+        q = vecs[1][3] + rng.normal(scale=0.01, size=16)
+        q /= np.linalg.norm(q)
+        matches = lcsm.add_local_global_descriptor(q.copy(), 7)
+        expected = []
+        for rid in (1, 2):
+            kf, s = lcsm.other_robots_nnsm[rid].search_best(q)
+            if s >= params["frontend.similarity_threshold"]:
+                expected.append((rid, kf))
+        assert [(m.robot1_id, m.robot1_keyframe_id) for m in matches] \
+            == expected
+        assert (1, 3) in expected  # the near-copy was found
+        # edge registered with the selector
+        key = (params["robot_id"], 7, 1, 3)
+        assert key in lcsm.candidate_selector.candidate_edges
+
     def test_intra_robot_matching_respects_gap(self):
         params = matching_params()
         params["frontend.intra_loop_min_inbetween_keyframes"] = 5
