@@ -23,6 +23,35 @@ from cslam_tpu.ops import scancontext as sc_ops
 from cslam_tpu.ops import topk as topk_ops
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("num_candidates",))
+def _two_stage_best(rk_bank: jax.Array, rk_sq_norms: jax.Array,
+                    sc_bank: jax.Array, n: jax.Array, queries_sc: jax.Array,
+                    num_candidates: int) -> tuple[jax.Array, jax.Array]:
+    """Fused two-stage search for a BATCH of queries in one dispatch.
+
+    Per query: ring-key euclidean shortlist -> device gather -> full
+    rotation-shift distance -> best. The unfused path (host-read shortlist
+    indices, then a second dispatch) costs 3 relay round-trips per query;
+    this is one for the whole batch. Returns ([B] best bank row, [B] best
+    distance; padding shortlist slots carry distance inf).
+    """
+    def one(query_sc):
+        rk_q = sc_ops.ring_key(query_sc)[None, :]
+        _, idx = topk_ops.euclidean_topk(rk_bank, rk_sq_norms, n, rk_q,
+                                         num_candidates)
+        idx = idx[0]
+        cand = jnp.take(sc_bank, idx, axis=0)
+        dists, _ = sc_ops.scancontext_distances_batch(cand, query_sc)
+        dists = jnp.where(jnp.arange(num_candidates) < n, dists, jnp.inf)
+        best = jnp.argmin(dists)
+        return idx[best], dists[best]
+
+    return jax.vmap(one)(queries_sc)
+
+
 class ScanContextBank:
     """Growable bank of Scan Context descriptors."""
 
@@ -101,29 +130,31 @@ class ScanContextBank:
         ignores k and returns one match)."""
         if self.nb_items < 1:
             return [None], [None]
-        self._sync_device()
-        query_sc = jnp.asarray(np.asarray(query, np.float32).reshape(self.shape))
-        rk_q = sc_ops.ring_key(query_sc)[None, :]
-
-        shortlist = min(self.num_candidates, self.nb_items)
-        _, idx = topk_ops.euclidean_topk(
-            self._rk_bank, self._rk_sq_norms, jnp.int32(self.nb_items),
-            rk_q, self.num_candidates)
-        idx = np.asarray(idx[0][:shortlist])
-
-        candidates = self._sc_bank[jnp.asarray(idx)]
-        dists, _yaws = sc_ops.scancontext_distances_batch(candidates, query_sc)
-        dists = np.asarray(dists)
-
-        best = int(np.argmin(dists))
-        if dists[best] < 1.0:
-            return [self.items[int(idx[best])]], [float(1.0 - dists[best])]
-        # reference fallback: no candidate under the max distance -> first
-        # item with similarity 0 (``scancontext_matching.py:80-83``)
-        return [self.items[0]], [0.0]
+        results = self.search_best_batch(
+            np.asarray(query, np.float32).reshape((1,) + self.shape))
+        item, sim = results[0]
+        return [item], [sim]
 
     def search_best(self, query: np.ndarray) -> Tuple[Any, Optional[float]]:
         if self.nb_items < 1:
             return None, None
         items, sims = self.search(query, 1)
         return items[0], sims[0]
+
+    def search_best_batch(self, queries: np.ndarray
+                          ) -> List[Tuple[Any, float]]:
+        """Best (item, similarity) per query, all in ONE device dispatch.
+
+        Distances >= 1.0 keep the reference fallback: first item with
+        similarity 0 (``scancontext_matching.py:80-83``).
+        """
+        self._sync_device()
+        queries_sc = jnp.asarray(
+            np.asarray(queries, np.float32).reshape((-1,) + self.shape))
+        idx, dists = _two_stage_best(
+            self._rk_bank, self._rk_sq_norms, self._sc_bank,
+            jnp.int32(self.nb_items), queries_sc, self.num_candidates)
+        idx, dists = np.asarray(idx), np.asarray(dists)
+        return [(self.items[int(i)], float(1.0 - d)) if d < 1.0
+                else (self.items[0], 0.0)
+                for i, d in zip(idx, dists)]

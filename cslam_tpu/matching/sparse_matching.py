@@ -111,25 +111,26 @@ class LoopClosureSparseMatching:
         msgs = list(msgs)
         if not msgs:
             return []
-        if not isinstance(self.local_nnsm, DescriptorBank):
-            # scan-context banks have a two-stage search with no batched
-            # form yet — keep the per-message path
-            out = [self.add_other_robot_global_descriptor(m) for m in msgs]
-            return [m for m in out if m is not None]
         for m in msgs:
             self.other_robots_nnsm[m.robot_id].add_item(
                 np.asarray(m.descriptor), m.keyframe_id)
         if self.local_nnsm.n == 0:
             return []
-        queries = np.stack([np.asarray(m.descriptor) for m in msgs])
-        sims, idx = self.local_nnsm.search_batch(queries, k=1)
+        queries = np.stack([np.asarray(m.descriptor, np.float32).ravel()
+                            for m in msgs])
+        if isinstance(self.local_nnsm, DescriptorBank):
+            sims, idx = self.local_nnsm.search_batch(queries, k=1)
+            best = [(self.local_nnsm.items[int(i)], float(s))
+                    for s, i in zip(sims[:, 0], idx[:, 0])]
+        else:
+            # scan-context banks: fused two-stage batch (one dispatch)
+            best = self.local_nnsm.search_best_batch(queries)
         matches = []
         threshold = self.params["frontend.similarity_threshold"]
-        for m, s, i in zip(msgs, sims[:, 0], idx[:, 0]):
-            if s < threshold:
+        for m, (kf, s) in zip(msgs, best):
+            if kf is None or s < threshold:
                 continue
-            match = EdgeInterRobot(self.params["robot_id"],
-                                   self.local_nnsm.items[int(i)],
+            match = EdgeInterRobot(self.params["robot_id"], kf,
                                    m.robot_id, m.keyframe_id, float(s))
             self.candidate_selector.add_match(match)
             matches.append(match)

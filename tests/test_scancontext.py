@@ -155,6 +155,27 @@ class TestBank:
         assert item == 7
         assert sim > 0.99
 
+    def test_batched_best_agrees_with_single(self):
+        """search_best_batch (one fused dispatch) must equal per-query
+        search_best, including the >=1.0-distance fallback case."""
+        rng = np.random.default_rng(9)
+        bank = ScanContextBank()
+        scs = []
+        for i in range(15):
+            sc = np.asarray(sc_ops.points_to_scancontext(
+                jnp.asarray(random_cloud(rng))))
+            scs.append(sc)
+            bank.add_item(sc.reshape(-1), i)
+        probes = np.stack([scs[2].reshape(-1),
+                           np.roll(scs[9], 13, axis=1).reshape(-1),
+                           rng.random(1200).astype(np.float32)])
+        batched = bank.search_best_batch(probes)
+        singles = [bank.search_best(p) for p in probes]
+        for (bi, bs), (si, ss) in zip(batched, singles):
+            assert bi == si
+            assert bs == pytest.approx(ss, abs=1e-5)
+        assert batched[0][0] == 2 and batched[1][0] == 9
+
     def test_growth(self):
         rng = np.random.default_rng(8)
         bank = ScanContextBank(capacity=4)
