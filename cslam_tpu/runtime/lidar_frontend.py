@@ -61,6 +61,18 @@ class LidarFrontEnd:
         self.previous_odom: Optional[Odometry] = None
         self.log_comm_bytes = 0
 
+        # GPS recording (reference lidar_handler_node.py:67-89): keep the
+        # latest fix and attach it to each keyframe's odom message so the
+        # evaluation logger can write gps.csv
+        self.latest_gps = None
+        if self.params.get("evaluation.enable_gps_recording", False):
+            ctx.create_subscription(
+                self.params.get("evaluation.gps_topic", "gps/fix"),
+                self.gps_callback)
+
+    def gps_callback(self, msg) -> None:
+        self.latest_gps = msg
+
     # ------------------------------------------------------------------
 
     def lidar_callback(self, points: np.ndarray, odom: Odometry) -> None:
@@ -93,7 +105,8 @@ class LidarFrontEnd:
         self.local_descriptors_map[kf_id] = cloud
         self.keyframe_pointcloud_publisher.publish(
             KeyframePointCloud(id=kf_id, points=cloud))
-        self.keyframe_odom_publisher.publish(KeyframeOdom(id=kf_id, odom=odom))
+        self.keyframe_odom_publisher.publish(KeyframeOdom(
+            id=kf_id, odom=odom, gps=self.latest_gps))
         if self.params.get("visualization.enable", False):
             self.viz_publisher.publish(VizPointCloud(
                 robot_id=self.robot_id, keyframe_id=kf_id, points=cloud))

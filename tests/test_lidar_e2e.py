@@ -55,6 +55,7 @@ def make_robot(bus, clock, rid, nb_robots=2):
     cfg.frontend.detection_publication_period_sec = 1.0
     cfg.backend.pose_graph_optimization_start_period_ms = 4000
     cfg.neighbor_management.enable_neighbor_monitoring = False
+    cfg.evaluation.enable_gps_recording = True
     ctx = RobotContext(bus, clock, rid, cfg.flatten())
     frontend = LidarFrontEnd(ctx)
     detection = DetectionFrontEnd(ctx)  # ScanContext model via factory
@@ -88,6 +89,9 @@ def test_two_robot_lidar_pipeline():
     for i, scene in enumerate(scenes):
         p0 = pose_at(5 * i, 0.0)
         p1 = pose_at(5 * i + 0.8, 0.6, yaw=0.4)
+        bus.publish("/r0/gps/fix", (45.5 + 0.001 * i, -73.6))
+        bus.publish("/r1/gps/fix", (45.5 + 0.001 * i, -73.601))
+        bus.deliver()
         robots[0][1].lidar_callback(observe(scene, p0, rng),
                                     Odometry(pose=p0))
         robots[1][1].lidar_callback(observe(scene, p1, rng),
@@ -111,6 +115,10 @@ def test_two_robot_lidar_pipeline():
     assert det0.lcm.other_robots_nnsm[1].nb_items >= 5  # gossip arrived
 
     # at least one candidate was selected, verified by robust ICP, and fixed
+    # GPS fixes attached to keyframes reached the back end
+    assert len(be0.gps_data) == 6
+    assert be0.gps_data[0] == (45.5, -73.6)
+
     fixed = det0.lcm.candidate_selector.fixed_edges
     inter = sum(len(v) for v in be0.inter_robot_loop_closures.values())
     assert len(fixed) >= 1, "no lidar loop closures verified"
