@@ -488,18 +488,21 @@ class DecentralizedPGO:
                    and self._last_edge_weights
                    and (full_every <= 0
                         or self.optimization_count % full_every != 0))
+        barc_sq = self.params.get("backend.gnc_barc_sq", 16.81)
         if warm_ok:
             # incremental round: previous TLS weights, new edges enter at 1
             w = np.ones(arrays.num_edges, np.float64)
             for slot, k in enumerate(edge_keys):
                 w[slot] = self._last_edge_weights.get(k, 1.0)
-            result = gnc_reoptimize(arrays, w, lm_iters=lm_iters)
+            result = gnc_reoptimize(arrays, w, lm_iters=lm_iters,
+                                    barc_sq=barc_sq)
         else:
             result = gnc_optimize(
                 arrays,
                 max_outer=self.params.get(
                     "backend.gnc_max_outer_iterations", 100),
-                lm_iters=lm_iters)
+                lm_iters=lm_iters, barc_sq=barc_sq,
+                mu_step=self.params.get("backend.gnc_mu_step", 1.4))
         weights = np.asarray(result.weights)
         self._last_edge_weights = {k: float(weights[slot])
                                    for slot, k in enumerate(edge_keys)}
