@@ -41,6 +41,8 @@ class FrontendConfig:
     cosplace_backbone: str = "resnet18"
     sensor_type: str = "stereo"
     # --- sensor handlers (rgbd_handler.cpp:19-26, lidar_handler_node.py:208-224) ---
+    # topic names + sync window: declared for reference-config parity
+    # (this runtime feeds sensor callbacks directly, no topic remap needed)
     pointcloud_topic: str = "pointcloud"
     odom_topic: str = "odom"
     map_manager_process_period_ms: int = 100
@@ -76,7 +78,8 @@ class BackendConfig:
     cg_tol: float = 1e-8
     rotation_default_noise_std: float = 0.01   # decentralized_pgo.cpp:64-70
     translation_default_noise_std: float = 0.1
-    # --- distributed (TPU mesh) mode ---
+    # --- distributed (TPU mesh) mode (pgo/distributed.py; driven directly
+    #     on a device mesh — see __graft_entry__.dryrun_multichip) ---
     enable_distributed_pgo: bool = False
     distributed_gauss_seidel_iterations: int = 10
     # --- compilation ---

@@ -19,8 +19,10 @@ from cslam_tpu.types import EdgeInterRobot
 def _make_bank(params: dict):
     if params.get("frontend.sensor_type") == "lidar":
         from cslam_tpu.matching.scancontext_bank import ScanContextBank
-        return ScanContextBank()
-    return DescriptorBank()
+        return ScanContextBank(
+            capacity=params.get("frontend.bank_initial_capacity", 1024))
+    return DescriptorBank(
+        capacity=params.get("frontend.bank_initial_capacity", 1024))
 
 
 class LoopClosureSparseMatching:

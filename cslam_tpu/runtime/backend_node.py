@@ -239,7 +239,8 @@ class DecentralizedPGO:
             self.gps_data[msg.id] = msg.gps
         self.latest_local_pose = pose
         self.latest_local_key = key
-        if self.logger is not None:
+        if (self.logger is not None and self.params.get(
+                "evaluation.enable_pose_timestamps_recording", False)):
             self.logger.log_pose_timestamp(key, msg.odom.stamp)
 
     def intra_robot_loop_closure_callback(self,
@@ -481,6 +482,7 @@ class DecentralizedPGO:
             self.logger.start_timer()
         arrays = graph.to_arrays()
         lm_iters = self.params.get("backend.lm_max_iterations", 50)
+        cg_iters = self.params.get("backend.cg_max_iterations", 150)
         edge_keys = [self._edge_weight_key(e) for e in graph.edges_as_records()]
         full_every = self.params.get(
             "backend.full_gnc_every_n_optimizations", 10)
@@ -495,13 +497,13 @@ class DecentralizedPGO:
             for slot, k in enumerate(edge_keys):
                 w[slot] = self._last_edge_weights.get(k, 1.0)
             result = gnc_reoptimize(arrays, w, lm_iters=lm_iters,
-                                    barc_sq=barc_sq)
+                                    cg_iters=cg_iters, barc_sq=barc_sq)
         else:
             result = gnc_optimize(
                 arrays,
                 max_outer=self.params.get(
                     "backend.gnc_max_outer_iterations", 100),
-                lm_iters=lm_iters, barc_sq=barc_sq,
+                lm_iters=lm_iters, cg_iters=cg_iters, barc_sq=barc_sq,
                 mu_step=self.params.get("backend.gnc_mu_step", 1.4))
         weights = np.asarray(result.weights)
         self._last_edge_weights = {k: float(weights[slot])
