@@ -70,7 +70,7 @@ class BackendConfig:
     full_gnc_every_n_optimizations: int = 10  # periodic full GNC (weight recovery)
     # --- solver (replaces GTSAM GncOptimizer defaults, decentralized_pgo.cpp:805-808) ---
     gnc_max_outer_iterations: int = 100
-    gnc_mu_step: float = 1.4
+    gnc_mu_step: float = 2.0  # 1.4 = GTSAM schedule; 2.0 measured identical quality, ~30% faster
     gnc_barc_sq: float = 16.81        # TLS inlier threshold (chi2(6) 99% quantile)
     lm_max_iterations: int = 50
     lm_init_lambda: float = 1e-4
