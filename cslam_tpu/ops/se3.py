@@ -169,6 +169,84 @@ def retract(T: jax.Array, xi: jax.Array) -> jax.Array:
     return T @ exp(xi)
 
 
+def adjoint(T: jax.Array) -> jax.Array:
+    """SE(3) adjoint as a ``[..., 6, 6]`` matrix in (omega, v) ordering:
+    ``Ad(T) [w; u] = [R w; t x (R w) + R u]``."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    zero = jnp.zeros_like(R)
+    top = jnp.concatenate([R, zero], axis=-1)
+    bottom = jnp.concatenate([hat(t) @ R, R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def _so3_jl_inv(w: jax.Array) -> jax.Array:
+    """Inverse LEFT Jacobian of SO(3): ``I - W/2 + e W^2`` with
+    ``e = 1/theta^2 - cot(theta/2)/(2 theta)`` (half-angle form stays finite
+    through theta = pi)."""
+    theta_sq = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta_sq, _SMALL ** 2))
+    half = 0.5 * theta
+    small = theta_sq < _SMALL
+    e = jnp.where(
+        small, 1.0 / 12.0 + theta_sq / 720.0,
+        1.0 / jnp.maximum(theta_sq, _SMALL ** 2)
+        - jnp.cos(half) / jnp.maximum(2.0 * theta * jnp.sin(half),
+                                      _SMALL ** 2))
+    W = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3), W.shape)
+    return eye - 0.5 * W + e[..., None, None] * (W @ W)
+
+
+def _se3_Q(w: jax.Array, v: jax.Array) -> jax.Array:
+    """Coupling block of the SE(3) LEFT Jacobian (Barfoot eq. 7.86): the
+    translation-rows / rotation-columns block of ``Jl([w, v])``."""
+    theta_sq = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta_sq, _SMALL ** 2))
+    small = theta_sq < _SMALL
+    t3 = jnp.maximum(theta_sq * theta, _SMALL ** 3)
+    t4 = jnp.maximum(theta_sq * theta_sq, _SMALL ** 4)
+    t5 = jnp.maximum(t4 * theta, _SMALL ** 5)
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    c1 = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
+                   (theta - sin_t) / t3)
+    c2 = jnp.where(small, 1.0 / 24.0 - theta_sq / 720.0,
+                   (0.5 * theta_sq + cos_t - 1.0) / t4)
+    # (theta - sin t - t^3/6)/t^5, Taylor -1/120 + t^2/5040
+    c5 = jnp.where(small, -1.0 / 120.0 + theta_sq / 5040.0,
+                   (theta - sin_t - theta_sq * theta / 6.0) / t5)
+    c4 = 0.5 * (c2 + 3.0 * c5)
+    W, V = hat(w), hat(v)
+    WV, VW = W @ V, V @ W
+    WVW = WV @ W
+    Q = (0.5 * V
+         + c1[..., None, None] * (WV + VW + WVW)
+         + c2[..., None, None] * (W @ WV + VW @ W - 3.0 * WVW)
+         + c4[..., None, None] * (WVW @ W + W @ WVW))
+    return Q
+
+
+def se3_jr_inv(xi: jax.Array) -> jax.Array:
+    """Inverse RIGHT Jacobian of SE(3) as ``[..., 6, 6]`` (omega, v order):
+
+        Log(Exp(xi) Exp(eps)) ~= xi + Jr_inv(xi) eps.
+
+    Computed as ``Jl_inv(-xi)`` with the block structure
+    ``[[Jl_inv, 0], [-Jl_inv Q Jl_inv, Jl_inv]]``. Verified against
+    ``jax.jacfwd`` of the defining relation in tests/test_se3.py — this is
+    the hand-coded replacement for the jacfwd linearization in the PGO
+    solver's hot loop.
+    """
+    w, v = -xi[..., :3], -xi[..., 3:]
+    Jinv = _so3_jl_inv(w)
+    Q = _se3_Q(w, v)
+    corner = -Jinv @ Q @ Jinv
+    zero = jnp.zeros_like(Jinv)
+    top = jnp.concatenate([Jinv, zero], axis=-1)
+    bottom = jnp.concatenate([corner, Jinv], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def normalize(T: jax.Array) -> jax.Array:
     """Re-orthonormalize the rotation block (drift control after many
     retractions in float32) via symmetric orthogonalization."""

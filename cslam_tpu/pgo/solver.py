@@ -79,10 +79,44 @@ def cost(poses: jax.Array, g: PoseGraphArrays,
 
 
 def _linearize(poses: jax.Array, g: PoseGraphArrays):
-    """Batched residuals + exact Jacobians at the current estimate.
+    """Batched residuals + exact ANALYTIC Jacobians at the current estimate.
 
     Returns (r [Ne,6], Ji [Ne,6,6], Jj [Ne,6,6], rp [B,6], Jp [B,6,6]).
+
+    With right perturbations X -> X Exp(xi) and raw residual
+    ``e = Log(Z^-1 Xi^-1 Xj)``:
+
+        de/dxi_j = Jr_inv(e)                      (inverse right Jacobian)
+        de/dxi_i = -Jr_inv(e) Ad(Xj^-1 Xi)
+
+    then every row is scaled by the diagonal sqrt information. The closed
+    forms replace the vmapped ``jax.jacfwd`` through exp/log used
+    previously — equality is asserted against that jacfwd oracle in
+    tests/test_pgo.py (TestAnalyticJacobians).
     """
+    Xi = poses[g.edge_i]
+    Xj = poses[g.edge_j]
+    E = se3.inverse(g.meas) @ se3.inverse(Xi) @ Xj
+    r_raw = se3.log(E)
+    Jr_inv = se3.se3_jr_inv(r_raw)
+    Jj = g.sqrt_info[:, :, None] * Jr_inv
+    Ad = se3.adjoint(se3.inverse(Xj) @ Xi)
+    Ji = -(Jj @ Ad)
+    r = (r_raw * g.sqrt_info) * g.edge_valid[:, None]
+    Ji = Ji * g.edge_valid[:, None, None]
+    Jj = Jj * g.edge_valid[:, None, None]
+
+    Xp = poses[g.prior_idx]
+    rp_raw = se3.log(se3.inverse(g.prior_pose) @ Xp)
+    Jp = g.prior_sqrt_info[:, :, None] * se3.se3_jr_inv(rp_raw)
+    rp = (rp_raw * g.prior_sqrt_info) * g.prior_valid[:, None]
+    Jp = Jp * g.prior_valid[:, None, None]
+    return r, Ji, Jj, rp, Jp
+
+
+def _linearize_jacfwd(poses: jax.Array, g: PoseGraphArrays):
+    """jacfwd-based linearization, kept as the differential oracle for the
+    analytic Jacobians above (and as a fallback reference)."""
     Xi = poses[g.edge_i]
     Xj = poses[g.edge_j]
     zero12 = jnp.zeros(12, poses.dtype)

@@ -193,6 +193,26 @@ class TestGNC:
         assert np.all(inlier_w > 0.5)
 
 
+class TestAnalyticJacobians:
+
+    def test_matches_jacfwd_oracle(self):
+        """The analytic linearization must reproduce the jacfwd-based one
+        on a realistic graph (drifted inits, loops, outliers)."""
+        from cslam_tpu.pgo.solver import _linearize, _linearize_jacfwd
+        gt = circle_trajectory(25)
+        rng = np.random.default_rng(12)
+        graph = build_graph(gt, rng,
+                            loops=[((0, 0), (0, 12)), ((0, 4), (0, 20))],
+                            outliers=[((0, 2), (0, 15))])
+        arrays = graph.to_arrays()
+        out_a = _linearize(arrays.poses, arrays)
+        out_f = _linearize_jacfwd(arrays.poses, arrays)
+        names = ("r", "Ji", "Jj", "rp", "Jp")
+        for name, a, f in zip(names, out_a, out_f):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(f),
+                                       atol=2e-4, rtol=2e-4, err_msg=name)
+
+
 class TestWarmStart:
 
     def test_reoptimize_carries_weights(self):

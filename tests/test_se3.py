@@ -92,3 +92,33 @@ def test_normalize_restores_orthonormality():
     R = Tn[:3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
     assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-6)
+
+
+class TestAnalyticDerivatives:
+
+    def test_jr_inv_matches_jacfwd(self):
+        """Log(Exp(xi) Exp(eps)) ~= xi + Jr_inv(xi) eps across small and
+        near-pi rotations."""
+        rng = np.random.default_rng(13)
+        for scale in (1e-7, 1e-3, 0.3, 1.5, 2.9):
+            w = rng.normal(size=3)
+            w = w / np.linalg.norm(w) * scale
+            v = rng.normal(size=3) * 3
+            xi = jnp.asarray(np.concatenate([w, v]), jnp.float32)
+            J_num = jax.jacfwd(
+                lambda e: se3.log(se3.exp(xi) @ se3.exp(e)))(
+                    jnp.zeros(6, jnp.float32))
+            np.testing.assert_allclose(np.asarray(se3.se3_jr_inv(xi)),
+                                       np.asarray(J_num),
+                                       atol=3e-4, rtol=3e-4)
+
+    def test_adjoint_conjugation(self):
+        """T Exp(xi) T^-1 = Exp(Ad(T) xi)."""
+        rng = np.random.default_rng(14)
+        for _ in range(5):
+            T = se3.exp(jnp.asarray(rng.normal(size=6) * 0.8, jnp.float32))
+            xi = jnp.asarray(rng.normal(size=6) * 0.3, jnp.float32)
+            lhs = T @ se3.exp(xi) @ se3.inverse(T)
+            rhs = se3.exp((se3.adjoint(T) @ xi[:, None])[:, 0])
+            np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                       atol=1e-5)
