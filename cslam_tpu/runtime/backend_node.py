@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
+from cslam_tpu import config
 from cslam_tpu.pgo import FactorGraph
 from cslam_tpu.pgo.solver import gnc_optimize, gnc_reoptimize
 from cslam_tpu.runtime.rendezvous import SimulatedRendezVous
@@ -504,7 +505,9 @@ class DecentralizedPGO:
                 max_outer=self.params.get(
                     "backend.gnc_max_outer_iterations", 100),
                 lm_iters=lm_iters, cg_iters=cg_iters, barc_sq=barc_sq,
-                mu_step=self.params.get("backend.gnc_mu_step", 1.4))
+                mu_step=self.params.get(
+                    "backend.gnc_mu_step",
+                    config.BackendConfig.gnc_mu_step))
         weights = np.asarray(result.weights)
         self._last_edge_weights = {k: float(weights[slot])
                                    for slot, k in enumerate(edge_keys)}

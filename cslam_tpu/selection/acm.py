@@ -13,6 +13,7 @@ code.
 """
 from __future__ import annotations
 
+import logging
 from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
@@ -54,6 +55,7 @@ class AlgebraicConnectivityMaximization:
         # side-by-side greedy-vs-MAC logging (reference acm.py:526-557)
         self.log_greedy_edges: List[EdgeInterRobot] = []
         self.log_mac_edges: List[EdgeInterRobot] = []
+        self.mac_solver_failures = 0
 
     # ------------------------------------------------------------------
     # Edge bookkeeping
@@ -284,10 +286,17 @@ class AlgebraicConnectivityMaximization:
             result, _, _ = mac.fw_subset(w_init, nb_to_choose,
                                          max_iters=self.max_iters)
             return result
-        except Exception:
+        except (np.linalg.LinAlgError, FloatingPointError) as exc:
             # The dense deflated eigensolver cannot hit the reference's LU
-            # singular-matrix failure mode (acm.py:449-465); any unexpected
-            # numeric failure falls back to the initial guess.
+            # singular-matrix failure mode (acm.py:449-465); a genuinely
+            # numeric failure falls back to the initial guess — counted and
+            # logged so a degraded selection plane is visible. Programming
+            # errors (anything else) propagate.
+            self.mac_solver_failures += 1
+            logging.getLogger(__name__).warning(
+                "MAC solver numeric failure #%d (%s); selection degraded "
+                "to the greedy initialization", self.mac_solver_failures,
+                exc)
             return w_init.copy()
 
     def select_candidates(self, nb_candidates_to_choose: int,

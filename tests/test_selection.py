@@ -302,6 +302,45 @@ class TestMacSolver:
         assert (mac.evaluate_objective(rounded)
                 >= mac.evaluate_objective(greedy) - 1e-6)
 
+    def test_solver_bug_surfaces(self, monkeypatch):
+        """A programming error inside the eigensolver must propagate, not be
+        silently swallowed into the greedy fallback (round-1 VERDICT: the
+        blanket except in run_mac_solver hid any device-solver bug)."""
+        import pytest
+
+        from cslam_tpu.selection import acm as acm_mod
+        from cslam_tpu.selection.acm import (
+            AlgebraicConnectivityMaximization)
+
+        def boom(self, *a, **k):
+            raise RuntimeError("injected eigensolver bug")
+
+        monkeypatch.setattr(acm_mod.MAC, "fw_subset", boom)
+        acm = AlgebraicConnectivityMaximization(robot_id=0, max_nb_robots=2)
+        acm.total_nb_poses = 4
+        with pytest.raises(RuntimeError, match="injected"):
+            acm.run_mac_solver([Edge(0, 1, 1.0)], [Edge(1, 2, 1.0)],
+                               np.zeros(1), 1)
+
+    def test_numeric_failure_falls_back_and_counts(self, monkeypatch):
+        """Genuine numeric failures degrade to the initial guess with a
+        visible counter."""
+        from cslam_tpu.selection import acm as acm_mod
+        from cslam_tpu.selection.acm import (
+            AlgebraicConnectivityMaximization)
+
+        def singular(self, *a, **k):
+            raise np.linalg.LinAlgError("singular")
+
+        monkeypatch.setattr(acm_mod.MAC, "fw_subset", singular)
+        acm = AlgebraicConnectivityMaximization(robot_id=0, max_nb_robots=2)
+        acm.total_nb_poses = 4
+        w_init = np.array([1.0])
+        out = acm.run_mac_solver([Edge(0, 1, 1.0)], [Edge(1, 2, 1.0)],
+                                 w_init, 1)
+        np.testing.assert_array_equal(out, w_init)
+        assert acm.mac_solver_failures == 1
+
     def test_disconnected_graph_does_not_raise(self):
         """Where the reference's LU eigensolver throws on disconnected graphs
         (reference acm.py:449-465), ours returns lambda_2 = 0 gracefully."""
