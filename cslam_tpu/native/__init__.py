@@ -44,8 +44,12 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
-        return None
+    src = os.path.join(_NATIVE_DIR, "features.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if (not os.path.exists(_LIB_PATH) or stale) and not _build():
+        if not os.path.exists(_LIB_PATH):
+            return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -59,10 +63,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cslam_brief_describe.restype = None
     lib.cslam_brief_describe.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, u8p]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.cslam_steered_brief_describe.restype = None
+    lib.cslam_steered_brief_describe.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, u8p, f32p]
     lib.cslam_hamming_match.restype = ctypes.c_int
     lib.cslam_hamming_match.argtypes = [
-        u8p, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int, i32p,
-        ctypes.c_int]
+        u8p, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, i32p, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -102,17 +110,41 @@ def brief_describe(image: np.ndarray, kp_xy: np.ndarray) -> np.ndarray:
     return out
 
 
+def steered_brief_describe(image: np.ndarray, kp_xy: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """ORB-style steered BRIEF-256: the sampling pattern is rotated by
+    each keypoint's intensity-centroid orientation, for in-plane-rotation
+    robustness (rtabmap Feature2D's ORB role,
+    reference rgbd_handler.cpp:266-312). Returns
+    (descriptors [N,32] uint8, angles [N] float32 radians)."""
+    lib = _load()
+    image = np.ascontiguousarray(image, np.uint8)
+    kp_xy = np.ascontiguousarray(kp_xy, np.int32)
+    if lib is None:
+        from cslam_tpu.native import fallback
+        return fallback.steered_brief_describe(image, kp_xy)
+    h, w = image.shape
+    out = np.zeros((len(kp_xy), 32), np.uint8)
+    angles = np.zeros(len(kp_xy), np.float32)
+    if len(kp_xy):
+        lib.cslam_steered_brief_describe(image, h, w, kp_xy, len(kp_xy),
+                                         out, angles)
+    return out, angles
+
+
 def hamming_match(desc_a: np.ndarray, desc_b: np.ndarray,
-                  max_dist: int = 64) -> np.ndarray:
-    """Mutual-NN hamming matches: returns [M, 2] int32 index pairs."""
+                  max_dist: int = 64, ratio: float = 0.0) -> np.ndarray:
+    """Mutual-NN hamming matches: returns [M, 2] int32 index pairs.
+    ``ratio`` > 0 adds a Lowe ratio test (best <= ratio * second-best)."""
     lib = _load()
     desc_a = np.ascontiguousarray(desc_a, np.uint8)
     desc_b = np.ascontiguousarray(desc_b, np.uint8)
     if lib is None:
         from cslam_tpu.native import fallback
-        return fallback.hamming_match(desc_a, desc_b, max_dist)
+        return fallback.hamming_match(desc_a, desc_b, max_dist, ratio)
     max_pairs = min(len(desc_a), len(desc_b))
     out = np.zeros((max(max_pairs, 1), 2), np.int32)
     n = lib.cslam_hamming_match(desc_a, len(desc_a), desc_b, len(desc_b),
-                                max_dist, out, max_pairs)
+                                max_dist, ctypes.c_float(ratio), out,
+                                max_pairs)
     return out[:n]

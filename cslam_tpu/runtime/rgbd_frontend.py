@@ -19,6 +19,7 @@ along epipolar rows (the role of the reference's stereo camera model,
 """
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Deque, Dict, Optional, Tuple
 from collections import deque
@@ -43,6 +44,97 @@ class CameraModel:
     cx: float
     cy: float
     baseline: float = 0.0  # stereo only (meters)
+
+
+@dataclass
+class CameraInfo:
+    """Pinhole projection of one (rectified) camera — the subset of the
+    ROS CameraInfo message the reference consumes. ``tx`` is P(0,3) of the
+    projection matrix: 0 for a left/mono camera, ``-fx * baseline`` for the
+    right camera of a rectified horizontal stereo pair."""
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    tx: float = 0.0
+    width: int = 0
+    height: int = 0
+
+
+class StereoBaselineError(ValueError):
+    """Raised when a stereo pair's camera infos imply a non-positive
+    baseline (reference drops the frame with an error,
+    ``stereo_handler.cpp:185-194``)."""
+
+
+class StereoCameraModel:
+    """Rectified horizontal stereo camera model with the reference's
+    baseline sanity logic (``stereo_handler.cpp:119-205``).
+
+    Assumes the input pair is already rectified (the reference hardcodes
+    ``alreadyRectified = true``, stereo_handler.cpp:120). Baseline is
+    derived from the right camera info as ``-P(0,3)/P(0,0) = -tx/fx``;
+    when the right info has no Tx, an explicit ``fallback_baseline``
+    (the stand-in for the reference's TF lookup, cpp:152-182) may supply
+    it. Non-positive baselines raise :class:`StereoBaselineError`;
+    baselines over 10 m log a once-only warning (cpp:196-205).
+    """
+
+    MAX_SANE_BASELINE = 10.0
+    _warned_large = False
+    _warned_fallback = False
+
+    def __init__(self, left: CameraInfo, right: CameraInfo,
+                 baseline: float):
+        self.left = left
+        self.right = right
+        self.baseline = float(baseline)
+
+    @classmethod
+    def from_camera_infos(cls, left: CameraInfo, right: CameraInfo,
+                          fallback_baseline: Optional[float] = None
+                          ) -> "StereoCameraModel":
+        baseline = -right.tx / right.fx if right.fx else 0.0
+        if baseline == 0.0 and fallback_baseline is not None \
+                and fallback_baseline > 0:
+            # reference: TF-derived baseline convenience path with a
+            # once-only warning (stereo_handler.cpp:152-182)
+            if not cls._warned_fallback:
+                logging.getLogger(__name__).warning(
+                    "Right camera info doesn't have Tx set; using the "
+                    "configured fallback baseline (%.3f m). Prefer a valid "
+                    "right camera info for rectified stereo. This message "
+                    "is only printed once...", fallback_baseline)
+                cls._warned_fallback = True
+            baseline = float(fallback_baseline)
+        if baseline <= 0.0:
+            # reference: error + drop frame (stereo_handler.cpp:185-194)
+            raise StereoBaselineError(
+                f"The stereo baseline ({baseline}) should be positive "
+                "(baseline=-Tx/fx). We assume a horizontal left/right "
+                "stereo setup where the Tx (or P(0,3)) is negative in the "
+                "right camera info.")
+        if baseline > cls.MAX_SANE_BASELINE and not cls._warned_large:
+            # reference: once-only plausibility warning (cpp:196-205)
+            logging.getLogger(__name__).warning(
+                "Detected baseline (%f m) is quite large! Is your right "
+                "camera info P(0,3) correctly set? Note that "
+                "baseline=-P(0,3)/P(0,0). This warning is printed only "
+                "once.", baseline)
+            cls._warned_large = True
+        return cls(left, right, baseline)
+
+    def as_camera_model(self) -> CameraModel:
+        """Collapse to the left-camera pinhole + baseline used by the
+        feature pipeline (rtabmap StereoCameraModel's role)."""
+        return CameraModel(self.left.fx, self.left.fy, self.left.cx,
+                           self.left.cy, self.baseline)
+
+    def disparity_to_depth(self, disparity: np.ndarray) -> np.ndarray:
+        """z = fx * B / d (rectified horizontal pair)."""
+        d = np.asarray(disparity, np.float32)
+        return np.where(d > 0, self.left.fx * self.baseline
+                        / np.maximum(d, 1e-9), 0.0).astype(np.float32)
 
 
 @dataclass
@@ -96,6 +188,12 @@ class RGBDFrontEnd:
             "frontend.fast_threshold", 25))
         self.max_keypoints = int(self.params.get(
             "frontend.max_keypoints", 512))
+        # ORB-style steered BRIEF (intensity-centroid orientation): robust
+        # to in-plane rotation between robots' viewpoints, like rtabmap's
+        # default ORB features (reference rgbd_handler.cpp:266-312).
+        # Unsteered BRIEF silently kills loop closures beyond ~15 deg.
+        self.steered_brief = bool(self.params.get(
+            "frontend.steered_brief", True))
 
         # Precompile the batched-verification pair tiers (the batch-16 tier
         # takes >1 min on the remote TPU compile service; off by default —
@@ -122,13 +220,19 @@ class RGBDFrontEnd:
         return (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
                 + 0.114 * rgb[..., 2]).astype(np.uint8)
 
+    def _describe(self, gray: np.ndarray, kp: np.ndarray) -> np.ndarray:
+        if self.steered_brief:
+            desc, _angles = native.steered_brief_describe(gray, kp)
+            return desc
+        return native.brief_describe(gray, kp)
+
     def _compute_local_features(self, rgb: np.ndarray,
                                 depth: Optional[np.ndarray]
                                 ) -> KeyframeFeatures:
         gray = self._grayscale(rgb)
         kp, _scores = native.fast_detect(gray, self.fast_threshold,
                                          self.max_keypoints)
-        desc = native.brief_describe(gray, kp)
+        desc = self._describe(gray, kp)
         kp3d = vreg.project_to_3d(kp, depth, self.camera.fx, self.camera.fy,
                                   self.camera.cx, self.camera.cy)
         return KeyframeFeatures(kp, kp3d, desc)
@@ -239,12 +343,44 @@ class RGBDFrontEnd:
 
 
 class StereoFrontEnd(RGBDFrontEnd):
-    """Stereo variant: sparse depth from left/right descriptor matching."""
+    """Stereo variant: sparse depth from left/right descriptor matching.
+
+    Mirrors the reference StereoHandler's 5-way sync of
+    left+right+2 camera infos+odom (``stereo_handler.cpp:38-44``): the
+    callback optionally takes per-frame camera infos, rebuilds the
+    :class:`StereoCameraModel` with the baseline sanity checks
+    (cpp:119-205), and drops the frame when the model is invalid —
+    exactly the reference's early returns.
+    """
+
+    def __init__(self, ctx, camera,
+                 fallback_baseline: Optional[float] = None):
+        if isinstance(camera, StereoCameraModel):
+            self.stereo_model: Optional[StereoCameraModel] = camera
+            camera = camera.as_camera_model()
+        else:
+            self.stereo_model = None
+        super().__init__(ctx, camera)
+        self.fallback_baseline = fallback_baseline
+        self.dropped_invalid_model = 0
 
     def stereo_callback(self, left: np.ndarray, right: np.ndarray,
-                        odom: Odometry) -> None:
+                        odom: Odometry,
+                        left_info: Optional[CameraInfo] = None,
+                        right_info: Optional[CameraInfo] = None) -> None:
         if odom.covariance0 > 1000:
             return
+        if left_info is not None and right_info is not None:
+            try:
+                self.stereo_model = StereoCameraModel.from_camera_infos(
+                    left_info, right_info,
+                    fallback_baseline=self.fallback_baseline)
+            except StereoBaselineError as exc:
+                # reference: RCLCPP_ERROR + return (cpp:185-194)
+                self.dropped_invalid_model += 1
+                logging.getLogger(__name__).error("%s", exc)
+                return
+            self.camera = self.stereo_model.as_camera_model()
         self.queue.append((left, right, odom))
 
     def _compute_local_features(self, left: np.ndarray,
@@ -253,13 +389,22 @@ class StereoFrontEnd(RGBDFrontEnd):
         gray_r = self._grayscale(right)
         kp_l, _ = native.fast_detect(gray_l, self.fast_threshold,
                                      self.max_keypoints)
-        desc_l = native.brief_describe(gray_l, kp_l)
         kp_r, _ = native.fast_detect(gray_r, self.fast_threshold,
                                      self.max_keypoints)
+        # intra-pair disparity matching uses UNSTEERED BRIEF: a rectified
+        # pair has zero relative rotation, so steering only injects
+        # orientation-estimate noise into the correspondence (stereo block
+        # matchers are never rotation invariant); the keyframe's outgoing
+        # descriptors (inter-robot verification) are steered below.
+        desc_l = native.brief_describe(gray_l, kp_l)
         desc_r = native.brief_describe(gray_r, kp_r)
 
         kp3d = np.zeros((len(kp_l), 3), np.float32)
-        pairs = native.hamming_match(desc_l, desc_r, max_dist=40)
+        # Lowe ratio test on top of mutual NN: an ambiguous best match
+        # (close second-best) produces a wrong disparity and a grossly
+        # wrong metric depth — worse than no depth for that keypoint
+        pairs = native.hamming_match(desc_l, desc_r, max_dist=40,
+                                     ratio=0.8)
         for i, j in pairs:
             xl, yl = kp_l[i]
             xr, yr = kp_r[j]
@@ -271,4 +416,5 @@ class StereoFrontEnd(RGBDFrontEnd):
             z = self.camera.fx * self.camera.baseline / disparity
             kp3d[i] = [(xl - self.camera.cx) * z / self.camera.fx,
                        (yl - self.camera.cy) * z / self.camera.fy, z]
-        return KeyframeFeatures(kp_l, kp3d, desc_l)
+        out_desc = self._describe(gray_l, kp_l)
+        return KeyframeFeatures(kp_l, kp3d, out_desc)

@@ -10,11 +10,16 @@
 //   - FAST-9 corner detector with non-maximum suppression
 //   - BRIEF-256 binary descriptors over box-smoothed intensities
 //     (integral-image based)
+//   - ORB-style steered BRIEF: intensity-centroid keypoint orientation
+//     (radius-15 circular patch moments) rotating the sampling pattern,
+//     for viewpoint robustness across robots (in-plane rotation between
+//     robots silently kills unsteered-BRIEF loop closures)
 //   - grid-stratified keypoint selection (keeps spatial coverage)
 //
 // Exposed with a plain C ABI for ctypes (no pybind11 dependency).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -99,6 +104,29 @@ void brief_pattern(int pairs, std::vector<int>* pattern) {
     return static_cast<int>((state >> 33) % 27) - 13;  // [-13, 13]
   };
   for (int i = 0; i < pairs * 4; ++i) (*pattern)[i] = next();
+}
+
+// Intensity-centroid orientation (ORB): angle of the patch centroid
+// relative to the keypoint over a radius-15 circular patch.
+double keypoint_angle(const uint8_t* img, int stride, int x, int y) {
+  const int r = 15;
+  long m01 = 0, m10 = 0;
+  for (int dy = -r; dy <= r; ++dy) {
+    for (int dx = -r; dx <= r; ++dx) {
+      if (dx * dx + dy * dy > r * r) continue;
+      const int v = *px(img, stride, x + dx, y + dy);
+      m10 += static_cast<long>(dx) * v;
+      m01 += static_cast<long>(dy) * v;
+    }
+  }
+  return std::atan2(static_cast<double>(m01), static_cast<double>(m10));
+}
+
+// round-half-away-from-zero free version: floor(v + 0.5) — matches the
+// numpy fallback exactly (np.floor(v + 0.5)), unlike std::round vs
+// np.rint (round-half-even) which differ at exact .5
+inline int round_half_up(double v) {
+  return static_cast<int>(std::floor(v + 0.5));
 }
 
 }  // namespace
@@ -211,24 +239,75 @@ void cslam_brief_describe(const uint8_t* img, int h, int w,
   }
 }
 
-// Mutual-nearest-neighbor hamming matching between two descriptor sets.
+// ORB-style steered BRIEF-256: the sampling pattern is rotated by each
+// keypoint's intensity-centroid orientation before sampling, making the
+// descriptor invariant to in-plane rotation (rtabmap Feature2D's ORB
+// role at reference rgbd_handler.cpp:266-312). Keypoints within 24 px of
+// the border (rotated pattern reach 13*sqrt(2) + box radius, plus the
+// radius-15 moment patch) get zero descriptors and angle 0.
+// out_desc: n_kp*32 bytes; out_angle: float[n_kp] radians.
+void cslam_steered_brief_describe(const uint8_t* img, int h, int w,
+                                  const int32_t* kp_xy, int n_kp,
+                                  uint8_t* out_desc, float* out_angle) {
+  std::vector<uint32_t> integral;
+  integral_image(img, h, w, &integral);
+  std::vector<int> pattern;
+  brief_pattern(256, &pattern);
+  std::memset(out_desc, 0, static_cast<size_t>(n_kp) * 32);
+
+  for (int k = 0; k < n_kp; ++k) {
+    const int x = kp_xy[2 * k], y = kp_xy[2 * k + 1];
+    out_angle[k] = 0.0f;
+    if (x < 24 || y < 24 || x >= w - 24 || y >= h - 24) continue;
+    const double a = keypoint_angle(img, w, x, y);
+    out_angle[k] = static_cast<float>(a);
+    const double c = std::cos(a), s = std::sin(a);
+    uint8_t* d = out_desc + k * 32;
+    for (int b = 0; b < 256; ++b) {
+      const int pax = pattern[4 * b], pay = pattern[4 * b + 1];
+      const int pbx = pattern[4 * b + 2], pby = pattern[4 * b + 3];
+      const int ax = x + round_half_up(c * pax - s * pay);
+      const int ay = y + round_half_up(s * pax + c * pay);
+      const int bx = x + round_half_up(c * pbx - s * pby);
+      const int by = y + round_half_up(s * pbx + c * pby);
+      const int va = box_mean(integral, w, ax, ay, 2);
+      const int vb = box_mean(integral, w, bx, by, 2);
+      if (va < vb) d[b >> 3] |= (1 << (b & 7));
+    }
+  }
+}
+
+// Mutual-nearest-neighbor hamming matching between two descriptor sets,
+// with an optional Lowe ratio test (ratio <= 0 disables: a best match is
+// kept only when best_dist <= ratio * second_best_dist).
 // out_pairs: int32[max_pairs*2]; returns the number of mutual matches with
 // distance <= max_dist.
 int cslam_hamming_match(const uint8_t* desc_a, int n_a, const uint8_t* desc_b,
-                        int n_b, int max_dist, int32_t* out_pairs,
-                        int max_pairs) {
+                        int n_b, int max_dist, float ratio,
+                        int32_t* out_pairs, int max_pairs) {
   if (n_a == 0 || n_b == 0) return 0;
+  // all-zero descriptors are the "too close to the border" sentinel from
+  // the describers; they would otherwise mutually match at distance 0
+  auto nonzero = [](const uint64_t* d) {
+    return (d[0] | d[1] | d[2] | d[3]) != 0;
+  };
   std::vector<int> best_ab(n_a, -1), dist_ab(n_a, 1 << 30);
+  std::vector<int> second_ab(n_a, 1 << 30);
   std::vector<int> best_ba(n_b, -1), dist_ba(n_b, 1 << 30);
   for (int i = 0; i < n_a; ++i) {
     const uint64_t* a = reinterpret_cast<const uint64_t*>(desc_a + i * 32);
+    if (!nonzero(a)) continue;
     for (int j = 0; j < n_b; ++j) {
       const uint64_t* b = reinterpret_cast<const uint64_t*>(desc_b + j * 32);
+      if (!nonzero(b)) continue;
       int d = 0;
       for (int q = 0; q < 4; ++q) d += __builtin_popcountll(a[q] ^ b[q]);
       if (d < dist_ab[i]) {
+        second_ab[i] = dist_ab[i];
         dist_ab[i] = d;
         best_ab[i] = j;
+      } else if (d < second_ab[i]) {
+        second_ab[i] = d;
       }
       if (d < dist_ba[j]) {
         dist_ba[j] = d;
@@ -239,11 +318,14 @@ int cslam_hamming_match(const uint8_t* desc_a, int n_a, const uint8_t* desc_b,
   int count = 0;
   for (int i = 0; i < n_a && count < max_pairs; ++i) {
     const int j = best_ab[i];
-    if (j >= 0 && best_ba[j] == i && dist_ab[i] <= max_dist) {
-      out_pairs[2 * count] = i;
-      out_pairs[2 * count + 1] = j;
-      ++count;
-    }
+    if (j < 0 || best_ba[j] != i || dist_ab[i] > max_dist) continue;
+    if (ratio > 0.0f &&
+        static_cast<float>(dist_ab[i]) >
+            ratio * static_cast<float>(second_ab[i]))
+      continue;
+    out_pairs[2 * count] = i;
+    out_pairs[2 * count + 1] = j;
+    ++count;
   }
   return count;
 }

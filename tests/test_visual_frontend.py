@@ -193,6 +193,195 @@ class TestStereo:
         assert np.all(z > 2.0) and np.all(z < 13.0)
 
 
+class TestSteeredBrief:
+    """ORB-style steered BRIEF: in-plane-rotation robustness
+    (round-1 VERDICT item 6; rtabmap Feature2D role,
+    reference rgbd_handler.cpp:266-312)."""
+
+    @staticmethod
+    def _rotate(img, deg):
+        from scipy import ndimage
+        return ndimage.rotate(img.astype(np.float32), deg, reshape=False,
+                              order=1, mode="constant").astype(np.uint8)
+
+    @staticmethod
+    def _correct_matches(kp_a, kp_b, pairs, deg, shape, tol=3.0):
+        """Count matches consistent with the known image rotation."""
+        cy, cx = (shape[0] - 1) / 2.0, (shape[1] - 1) / 2.0
+        # scipy.ndimage.rotate(deg) maps output<-input with a rotation of
+        # -deg; a point p in the original lands at R(-deg) (p - c) + c
+        th = np.deg2rad(-deg)
+        R = np.array([[np.cos(th), -np.sin(th)],
+                      [np.sin(th), np.cos(th)]])
+        good = 0
+        for i, j in pairs:
+            pa = kp_a[i].astype(np.float64) - [cx, cy]
+            expected = R @ pa + [cx, cy]
+            if np.linalg.norm(expected - kp_b[j]) < tol:
+                good += 1
+        return good
+
+    def test_native_matches_fallback(self):
+        from cslam_tpu import native
+        from cslam_tpu.native import fallback
+        rng = np.random.default_rng(3)
+        pts, tex = make_world(rng, n=80)
+        img, _ = render(pts, tex, np.eye(4))
+        kp, _ = native.fast_detect(img, 20, 128)
+        d_n, a_n = native.steered_brief_describe(img, kp)
+        d_f, a_f = fallback.steered_brief_describe(img, kp)
+        assert np.array_equal(d_n, d_f)
+        np.testing.assert_allclose(a_n, a_f, atol=1e-6)
+
+    @pytest.mark.parametrize("deg", [30, 60, 90])
+    def test_rotation_sweep(self, deg):
+        """Steered BRIEF must keep matching under in-plane rotation where
+        unsteered BRIEF collapses."""
+        from cslam_tpu import native
+        rng = np.random.default_rng(17)
+        pts, tex = make_world(rng, n=120)
+        img, _ = render(pts, tex, np.eye(4))
+        rot = self._rotate(img, deg)
+
+        kp_a, _ = native.fast_detect(img, 20, 256)
+        kp_b, _ = native.fast_detect(rot, 20, 256)
+        assert len(kp_a) > 30 and len(kp_b) > 30
+
+        # steered
+        da, _ = native.steered_brief_describe(img, kp_a)
+        db, _ = native.steered_brief_describe(rot, kp_b)
+        pairs_s = native.hamming_match(da, db, max_dist=50)
+        good_s = self._correct_matches(kp_a, kp_b, pairs_s, deg, img.shape)
+
+        # unsteered
+        ua = native.brief_describe(img, kp_a)
+        ub = native.brief_describe(rot, kp_b)
+        pairs_u = native.hamming_match(ua, ub, max_dist=50)
+        good_u = self._correct_matches(kp_a, kp_b, pairs_u, deg, img.shape)
+
+        assert good_s >= 10, f"steered only {good_s} at {deg} deg"
+        assert good_s > 2 * good_u, (
+            f"steered {good_s} vs unsteered {good_u} at {deg} deg")
+
+
+class TestStereoCameraModel:
+    """Reference stereo_handler.cpp:119-205 parity: rectified-pair model
+    construction from camera infos, baseline sanity, fallback path."""
+
+    def _infos(self, tx):
+        from cslam_tpu.runtime.rgbd_frontend import CameraInfo
+        left = CameraInfo(fx=CAM.fx, fy=CAM.fy, cx=CAM.cx, cy=CAM.cy)
+        right = CameraInfo(fx=CAM.fx, fy=CAM.fy, cx=CAM.cx, cy=CAM.cy,
+                           tx=tx)
+        return left, right
+
+    def test_baseline_from_right_tx(self):
+        from cslam_tpu.runtime.rgbd_frontend import StereoCameraModel
+        left, right = self._infos(tx=-CAM.fx * 0.12)
+        model = StereoCameraModel.from_camera_infos(left, right)
+        assert model.baseline == pytest.approx(0.12)
+        cm = model.as_camera_model()
+        assert (cm.fx, cm.baseline) == (CAM.fx, pytest.approx(0.12))
+
+    def test_nonpositive_baseline_rejected(self):
+        from cslam_tpu.runtime.rgbd_frontend import (StereoBaselineError,
+                                                     StereoCameraModel)
+        left, right = self._infos(tx=CAM.fx * 0.12)  # positive Tx = invalid
+        with pytest.raises(StereoBaselineError):
+            StereoCameraModel.from_camera_infos(left, right)
+        left, right = self._infos(tx=0.0)  # missing Tx, no fallback
+        with pytest.raises(StereoBaselineError):
+            StereoCameraModel.from_camera_infos(left, right)
+
+    def test_missing_tx_fallback_baseline(self):
+        """The reference's TF-derived baseline convenience path
+        (stereo_handler.cpp:152-182)."""
+        from cslam_tpu.runtime.rgbd_frontend import StereoCameraModel
+        left, right = self._infos(tx=0.0)
+        model = StereoCameraModel.from_camera_infos(
+            left, right, fallback_baseline=0.2)
+        assert model.baseline == pytest.approx(0.2)
+
+    def test_large_baseline_warns_once(self, caplog):
+        from cslam_tpu.runtime.rgbd_frontend import StereoCameraModel
+        StereoCameraModel._warned_large = False
+        left, right = self._infos(tx=-CAM.fx * 25.0)
+        import logging as _logging
+        with caplog.at_level(_logging.WARNING,
+                             logger="cslam_tpu.runtime.rgbd_frontend"):
+            m = StereoCameraModel.from_camera_infos(left, right)
+            StereoCameraModel.from_camera_infos(left, right)
+        assert m.baseline == pytest.approx(25.0)  # accepted, but flagged
+        assert sum("quite large" in r.message for r in caplog.records) == 1
+
+    def test_disparity_to_depth(self):
+        from cslam_tpu.runtime.rgbd_frontend import StereoCameraModel
+        left, right = self._infos(tx=-CAM.fx * 0.12)
+        model = StereoCameraModel.from_camera_infos(left, right)
+        d = np.array([CAM.fx * 0.12 / 4.0, 0.0, -2.0])
+        z = model.disparity_to_depth(d)
+        assert z[0] == pytest.approx(4.0, rel=1e-5)
+        assert z[1] == 0.0 and z[2] == 0.0
+
+    def test_invalid_model_drops_frame(self):
+        """Per-frame camera infos with a broken right Tx must drop the
+        frame like the reference's early return (cpp:185-194)."""
+        from cslam_tpu.runtime.rgbd_frontend import StereoFrontEnd
+        bus, clock = MessageBus(), VirtualClock()
+        ctx = RobotContext(bus, clock, 0, {"robot_id": 0,
+                                           "max_nb_robots": 2})
+        fe = StereoFrontEnd(ctx, CAM)
+        left, right = self._infos(tx=CAM.fx * 0.12)
+        img = np.zeros((64, 64), np.uint8)
+        fe.stereo_callback(img, img, Odometry(pose=np.eye(4)),
+                           left_info=left, right_info=right)
+        assert len(fe.queue) == 0
+        assert fe.dropped_invalid_model == 1
+        # a valid pair rebuilds the model and enqueues
+        left, right = self._infos(tx=-CAM.fx * 0.12)
+        fe.stereo_callback(img, img, Odometry(pose=np.eye(4)),
+                           left_info=left, right_info=right)
+        assert len(fe.queue) == 1
+        assert fe.stereo_model.baseline == pytest.approx(0.12)
+        assert fe.camera.baseline == pytest.approx(0.12)
+
+    def test_metric_depth_from_camera_infos(self):
+        """End-to-end: rendered rectified pair + camera infos -> metric
+        sparse depth within tolerance of the rendered ground truth."""
+        from cslam_tpu.runtime.rgbd_frontend import (StereoCameraModel,
+                                                     StereoFrontEnd)
+        rng = np.random.default_rng(11)
+        pts, tex = make_world(rng, n=80)
+        baseline = CAM.baseline
+        left_img = render(pts, tex, np.eye(4), depth_too=False)
+        _, gt_depth = render(pts, tex, np.eye(4), depth_too=True)
+        right_img = render(pts, tex, pose_xyz_yaw(baseline, 0, 0),
+                           depth_too=False)
+
+        from cslam_tpu.runtime.rgbd_frontend import CameraInfo
+        left = CameraInfo(fx=CAM.fx, fy=CAM.fy, cx=CAM.cx, cy=CAM.cy)
+        right = CameraInfo(fx=CAM.fx, fy=CAM.fy, cx=CAM.cx, cy=CAM.cy,
+                           tx=-CAM.fx * baseline)
+        model = StereoCameraModel.from_camera_infos(left, right)
+
+        bus, clock = MessageBus(), VirtualClock()
+        ctx = RobotContext(bus, clock, 0, {"robot_id": 0,
+                                           "max_nb_robots": 2})
+        fe = StereoFrontEnd(ctx, model)
+        feats = fe._compute_local_features(left_img, right_img)
+        have = feats.keypoints3d[:, 2] > 0
+        assert have.sum() > 15
+        errs = []
+        for (x, y), (X, Y, Z) in zip(feats.keypoints[have],
+                                     feats.keypoints3d[have]):
+            gt_z = gt_depth[int(y), int(x)]
+            if gt_z > 0:
+                errs.append(abs(Z - gt_z) / gt_z)
+        assert len(errs) > 10
+        # sub-5% median metric depth error against the rendered scene
+        assert np.median(errs) < 0.05
+
+
 class TestRGBDHandlerFlow:
 
     def test_inter_robot_verification_over_bus(self):
