@@ -37,6 +37,10 @@ class FrontendConfig:
     inter_robot_matches_topic: str = "inter_robot_matches"
     enable_sparsification: bool = True
     use_vertex_cover_selection: bool = True
+    # best-effort keyframe intake (reference sensor-plane QoS,
+    # rgbd_handler.cpp:58-61): bounded drop-oldest under overload
+    keyframe_intake_best_effort: bool = True
+    keyframe_intake_depth: int = 100
     cosplace_descriptor_dim: int = 64
     cosplace_backbone: str = "resnet18"
     sensor_type: str = "stereo"

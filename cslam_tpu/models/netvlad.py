@@ -114,10 +114,10 @@ class NetVLAD:
         pca_path = params.get("frontend.netvlad.pca_checkpoint", "")
         if pca is None and pca_path:
             import pickle
+
+            from cslam_tpu.models.pca import from_sklearn
             with open(pca_path, "rb") as f:
-                sk = pickle.load(f)
-            pca = {"components": np.asarray(sk.components_),
-                   "mean": np.asarray(sk.mean_)}
+                pca = from_sklearn(pickle.load(f))
         if pca is None:
             pca = {"components": np.eye(self.DISABLED_DIM, self.RAW_DIM,
                                         dtype=np.float32),
@@ -143,3 +143,14 @@ class NetVLAD:
             return self._rng.random((images.shape[0], self.DISABLED_DIM))
         x = preprocess.preprocess(images, self.crop)
         return np.asarray(self._forward(self.variables, x))
+
+    def forward_preprocessed(self, x: np.ndarray) -> np.ndarray:
+        """Full forward (VLAD + PCA + normalize) on already-preprocessed
+        NHWC input — the checkpoint-parity harness compares this against
+        torch inference on identical tensors."""
+        return np.asarray(self._forward(self.variables, jnp.asarray(x)))
+
+    def compute_vlad(self, x: np.ndarray) -> np.ndarray:
+        """Raw (pre-PCA) VLAD descriptors for preprocessed NHWC input."""
+        return np.asarray(jax.jit(self.model.apply)(
+            self.variables, jnp.asarray(x)))

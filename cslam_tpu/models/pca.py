@@ -44,6 +44,12 @@ def fit_pca(descriptors: np.ndarray, out_dim: int,
 
 def from_sklearn(pca) -> Dict[str, np.ndarray]:
     """Convert a fitted ``sklearn.decomposition.PCA`` (what the reference
-    pickles) into the projection dict."""
-    return {"components": np.asarray(pca.components_, np.float32),
+    pickles) into the projection dict. Folds ``whiten=True`` (sklearn's
+    transform divides by sqrt(explained_variance_)) into the components so
+    the jitted projection matches ``pca.transform`` exactly."""
+    components = np.asarray(pca.components_, np.float32)
+    if getattr(pca, "whiten", False):
+        scale = np.sqrt(np.asarray(pca.explained_variance_, np.float32))
+        components = components / np.maximum(scale, 1e-12)[:, None]
+    return {"components": components,
             "mean": np.asarray(pca.mean_, np.float32)}

@@ -11,13 +11,29 @@ Fault injection: an optional ``link_filter(src_robot, topic, msg) -> bool``
 lets tests drop traffic between out-of-range robots, generalizing the
 reference's heartbeat-only gating (``SimulatedRendezVous``,
 ``decentralized_pgo.cpp:685-690``).
+
+QoS: topics are reliable (every message delivered) unless a subscriber
+declares a best-effort profile — then the topic's pending messages are
+bounded to ``depth`` with drop-oldest, the semantics of the reference's
+best-effort sensor intake (``rgbd_handler.cpp:58-61``,
+``lidar_handler_node.py:23-27``): under overload the consumer sees the
+freshest frames, and backlog never grows without bound.
 """
 from __future__ import annotations
 
 from collections import deque
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional
 
 from cslam_tpu.runtime.clock import Timer
+
+
+@dataclass(frozen=True)
+class QoSProfile:
+    """Subset of DDS QoS the reference actually uses: reliable (default)
+    vs best-effort with a bounded history depth."""
+    best_effort: bool = False
+    depth: int = 10
 
 
 class Publisher:
@@ -36,19 +52,46 @@ class MessageBus:
     def __init__(self):
         self._subs: Dict[str, List[Callable[[Any], None]]] = {}
         self._queue: deque = deque()
+        self._be_queues: Dict[str, deque] = {}  # best-effort topics
         self.link_filter: Optional[Callable[[int, str, Any], bool]] = None
         self.messages_delivered = 0
+        self.messages_dropped = 0
 
-    def subscribe(self, topic: str, callback: Callable[[Any], None]) -> None:
+    def subscribe(self, topic: str, callback: Callable[[Any], None],
+                  qos: Optional[QoSProfile] = None) -> None:
         self._subs.setdefault(topic, []).append(callback)
+        if qos is not None and qos.best_effort:
+            depth = max(int(qos.depth), 1)
+            existing = self._be_queues.get(topic)
+            if existing is None or (existing.maxlen or 0) < depth:
+                q = deque(existing or (), maxlen=depth)
+                self._be_queues[topic] = q
 
     def publish(self, topic: str, msg: Any, src_robot: int = -1) -> None:
-        self._queue.append((topic, msg, src_robot))
+        self._enqueue(topic, msg, src_robot)
+
+    def _enqueue(self, topic: str, msg: Any, src_robot: int) -> None:
+        be = self._be_queues.get(topic)
+        if be is not None:
+            if len(be) == be.maxlen:
+                self.messages_dropped += 1  # drop-oldest (deque maxlen)
+            be.append((topic, msg, src_robot))
+        else:
+            self._queue.append((topic, msg, src_robot))
+
+    def _flush_best_effort(self) -> None:
+        for q in self._be_queues.values():
+            while q:
+                self._queue.append(q.popleft())
 
     def deliver(self, max_messages: int = 100000) -> int:
         """Drain the queue (including messages published by callbacks)."""
         delivered = 0
-        while self._queue and delivered < max_messages:
+        while delivered < max_messages:
+            if not self._queue:
+                self._flush_best_effort()
+                if not self._queue:
+                    break
             topic, msg, src = self._queue.popleft()
             if self.link_filter is not None and not self.link_filter(
                     src, topic, msg):
@@ -82,8 +125,9 @@ class RobotContext:
         return Publisher(self.bus, self.resolve(topic), self.robot_id)
 
     def create_subscription(self, topic: str,
-                            callback: Callable[[Any], None]) -> None:
-        self.bus.subscribe(self.resolve(topic), callback)
+                            callback: Callable[[Any], None],
+                            qos: Optional[QoSProfile] = None) -> None:
+        self.bus.subscribe(self.resolve(topic), callback, qos=qos)
 
     def create_timer(self, period_sec: float,
                      callback: Callable[[], None]) -> Timer:

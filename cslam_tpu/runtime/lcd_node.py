@@ -71,7 +71,18 @@ class DetectionFrontEnd:
         self.inter_robot_matches_publisher = ctx.create_publisher(match_topic)
         ctx.create_subscription(match_topic, self.inter_robot_matches_callback)
 
-        ctx.create_subscription("cslam/keyframe_data", self.receive_keyframe)
+        # keyframe intake is best-effort-bounded like the reference's
+        # sensor-plane QoS (rgbd_handler.cpp:58-61): under a keyframe flood
+        # only the freshest `depth` frames are embedded, the backlog never
+        # grows, and the detection/PGO planes stay live
+        from cslam_tpu.runtime.bus import QoSProfile
+        ctx.create_subscription(
+            "cslam/keyframe_data", self.receive_keyframe,
+            qos=QoSProfile(
+                best_effort=bool(self.params.get(
+                    "frontend.keyframe_intake_best_effort", True)),
+                depth=int(self.params.get(
+                    "frontend.keyframe_intake_depth", 100))))
         self.local_match_publisher = ctx.create_publisher(
             "cslam/local_keyframe_match")
         ctx.create_subscription("/cslam/inter_robot_loop_closure",

@@ -157,8 +157,10 @@ class NetworkBus(MessageBus):
         with self._inbox_lock:
             pending = list(self._inbox)
             self._inbox.clear()
-        for frame in pending:
-            self._queue.append(frame)
+        for topic, msg, src in pending:
+            # route through QoS bounding: best-effort topics keep only the
+            # freshest `depth` frames that arrived between two delivers
+            self._enqueue(topic, msg, src)
         return super().deliver(max_messages)
 
     def close(self) -> None:

@@ -19,118 +19,11 @@ from cslam_tpu.models.convert import (convert_cosplace, convert_netvlad,
 from cslam_tpu.models.cosplace import CosPlace, GeoLocalizationNet
 from cslam_tpu.models.netvlad import NetVLADLayer, NetVLADNet
 
+from cslam_tpu.models.torch_ref import (TCosPlace, TNetVLAD, TNetVLADLayer,
+                                        torch_resnet18_trunk,
+                                        torch_vgg16_trunk)
+
 torch.manual_seed(0)
-
-
-# --- plain-torch replicas with torchvision naming (weights are random; we
-#     only need structural + numeric parity, not pretrained accuracy) ---
-
-class TBasicBlock(tnn.Module):
-    def __init__(self, cin, cout, stride=1):
-        super().__init__()
-        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
-        self.bn1 = tnn.BatchNorm2d(cout)
-        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
-        self.bn2 = tnn.BatchNorm2d(cout)
-        self.downsample = None
-        if stride != 1 or cin != cout:
-            self.downsample = tnn.Sequential(
-                tnn.Conv2d(cin, cout, 1, stride, bias=False),
-                tnn.BatchNorm2d(cout))
-
-    def forward(self, x):
-        idt = x if self.downsample is None else self.downsample(x)
-        y = F.relu(self.bn1(self.conv1(x)))
-        y = self.bn2(self.conv2(y))
-        return F.relu(y + idt)
-
-
-def torch_resnet18_trunk():
-    layers = [
-        tnn.Conv2d(3, 64, 7, 2, 3, bias=False),
-        tnn.BatchNorm2d(64),
-        tnn.ReLU(inplace=True),
-        tnn.MaxPool2d(3, 2, 1),
-        tnn.Sequential(TBasicBlock(64, 64), TBasicBlock(64, 64)),
-        tnn.Sequential(TBasicBlock(64, 128, 2), TBasicBlock(128, 128)),
-        tnn.Sequential(TBasicBlock(128, 256, 2), TBasicBlock(256, 256)),
-        tnn.Sequential(TBasicBlock(256, 512, 2), TBasicBlock(512, 512)),
-    ]
-    return tnn.Sequential(*layers)
-
-
-def torch_vgg16_trunk():
-    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
-           512, 512, 512, "M", 512, 512, 512]
-    layers, cin = [], 3
-    for item in cfg:
-        if item == "M":
-            layers.append(tnn.MaxPool2d(2, 2))
-        else:
-            layers.append(tnn.Conv2d(cin, item, 3, padding=1))
-            layers.append(tnn.ReLU(inplace=True))
-            cin = item
-    return tnn.Sequential(*layers[:-1])  # drop last ReLU (features[:-2])
-
-
-class TGeM(tnn.Module):
-    def __init__(self, p=3.0):
-        super().__init__()
-        self.p = tnn.Parameter(torch.ones(1) * p)
-
-    def forward(self, x):
-        return F.avg_pool2d(x.clamp(min=1e-6).pow(self.p),
-                            (x.size(-2), x.size(-1))).pow(1.0 / self.p)
-
-
-class TCosPlace(tnn.Module):
-    def __init__(self, dim=64):
-        super().__init__()
-        self.backbone = torch_resnet18_trunk()
-        # aggregation: 0 L2Norm, 1 GeM, 2 Flatten, 3 Linear, 4 L2Norm
-        self.aggregation = tnn.ModuleDict()
-        self.gem = TGeM()
-        self.fc = tnn.Linear(512, dim)
-
-    def state_dict_reference_layout(self):
-        sd = {}
-        for k, v in self.backbone.state_dict().items():
-            sd[f"backbone.{k}"] = v
-        sd["aggregation.1.p"] = self.gem.p.data
-        sd["aggregation.3.weight"] = self.fc.weight.data
-        sd["aggregation.3.bias"] = self.fc.bias.data
-        return sd
-
-    def forward(self, x):
-        x = self.backbone(x)
-        x = F.normalize(x, p=2, dim=1)
-        x = self.gem(x)
-        x = x[:, :, 0, 0]
-        x = self.fc(x)
-        return F.normalize(x, p=2, dim=1)
-
-
-class TNetVLADLayer(tnn.Module):
-    def __init__(self, K=8, C=16):
-        super().__init__()
-        self.conv = tnn.Conv2d(C, K, 1, bias=False)
-        self.centroids = tnn.Parameter(torch.rand(K, C))
-        self.K, self.C = K, C
-
-    def forward(self, x):
-        N, C = x.shape[:2]
-        x = F.normalize(x, p=2, dim=1)
-        soft = F.softmax(self.conv(x).view(N, self.K, -1), dim=1)
-        xf = x.view(N, C, -1)
-        vlad = torch.zeros(N, self.K, C)
-        for k in range(self.K):  # the reference's per-cluster loop
-            residual = xf.unsqueeze(0).permute(1, 0, 2, 3) - \
-                self.centroids[k:k + 1].expand(xf.size(-1), -1, -1) \
-                    .permute(1, 2, 0).unsqueeze(0)
-            residual = residual * soft[:, k:k + 1, :].unsqueeze(2)
-            vlad[:, k:k + 1, :] = residual.sum(dim=-1)
-        vlad = F.normalize(vlad, p=2, dim=2).view(N, -1)
-        return F.normalize(vlad, p=2, dim=1)
 
 
 def to_jax_nhwc(x_torch):
@@ -312,3 +205,51 @@ class TestPCA:
             rng.integers(0, 255, (128, 128, 3)).astype(np.uint8))
         assert d.shape == (16,)
         assert np.linalg.norm(d) == pytest.approx(1.0, abs=1e-4)
+
+
+class TestCheckpointParity:
+    """End-to-end .pth checkpoint round-trip through the product loading
+    path (round-1 VERDICT item 5): save a reference-layout checkpoint,
+    load + convert via the real config path, assert descriptor cosine
+    parity vs torch inference — incl. the reference's sklearn-PCA (with
+    whitening) + L2-normalize postprocessing (netvlad.py:209-237). The
+    same harness takes a REAL downloaded checkpoint via
+    tools/vpr_checkpoint_parity.py."""
+
+    def test_cosplace_pth_roundtrip(self, tmp_path):
+        from cslam_tpu.models.torch_ref import check_cosplace_parity
+        tmodel = TCosPlace(dim=32).eval()
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.7, 1.5)
+        path = tmp_path / "cosplace_resnet18_32.pth"
+        torch.save(tmodel.state_dict_reference_layout(), str(path))
+        res = check_cosplace_parity(str(path), fc_output_dim=32,
+                                    batch=2, size=64)
+        assert res["min_cosine"] > 0.999
+        assert res["descriptor_dim"] == 32
+
+    def test_netvlad_pth_with_whitened_pca(self, tmp_path):
+        import pickle
+
+        from sklearn.decomposition import PCA as SkPCA
+
+        from cslam_tpu.models.torch_ref import (TNetVLAD,
+                                                check_netvlad_parity)
+        tmodel = TNetVLAD().eval()
+        path = tmp_path / "netvlad.pth"
+        # the reference payload format: dict with epoch/best_score/state_dict
+        # (netvlad.py:190-194)
+        torch.save({"epoch": 3, "best_score": 0.5,
+                    "state_dict": tmodel.state_dict()}, str(path))
+        rng = np.random.default_rng(9)
+        sample = rng.standard_normal((40, 64 * 512)).astype(np.float32)
+        pca = SkPCA(n_components=16, whiten=True).fit(sample)
+        pca_path = tmp_path / "netvlad_pca.pkl"
+        with open(pca_path, "wb") as f:
+            pickle.dump(pca, f)
+        res = check_netvlad_parity(str(path), pca_path=str(pca_path),
+                                   batch=1, size=64)
+        assert res["min_cosine"] > 0.999
+        assert res["descriptor_dim"] == 16

@@ -58,6 +58,72 @@ def neighbor_params(robot_id=0, nb=3, monitoring=True):
     }
 
 
+class TestBestEffortQoS:
+    """Bounded drop-oldest topic delivery (reference sensor-intake QoS,
+    rgbd_handler.cpp:58-61, lidar_handler_node.py:23-27)."""
+
+    def test_best_effort_keeps_freshest(self):
+        from cslam_tpu.runtime.bus import QoSProfile
+        bus = MessageBus()
+        got = []
+        bus.subscribe("/sensor", got.append,
+                      qos=QoSProfile(best_effort=True, depth=5))
+        for i in range(50):
+            bus.publish("/sensor", i)
+        bus.deliver()
+        assert got == [45, 46, 47, 48, 49]
+        assert bus.messages_dropped == 45
+        assert bus.messages_delivered == 5
+
+    def test_reliable_topics_unaffected(self):
+        from cslam_tpu.runtime.bus import QoSProfile
+        bus = MessageBus()
+        sensor, control = [], []
+        bus.subscribe("/sensor", sensor.append,
+                      qos=QoSProfile(best_effort=True, depth=2))
+        bus.subscribe("/control", control.append)
+        for i in range(20):
+            bus.publish("/sensor", i)
+            bus.publish("/control", i)
+        bus.deliver()
+        assert control == list(range(20))  # every reliable message
+        assert sensor == [18, 19]
+
+    def test_keyframe_flood_keeps_detection_plane_live(self):
+        """Flood the LCD node with far more keyframes than its intake
+        depth: memory stays bounded, the freshest frames are embedded, and
+        the detection round still runs (round-1 VERDICT item 8)."""
+        from cslam_tpu.runtime.lcd_node import DetectionFrontEnd
+
+        from cslam_tpu.config import CslamConfig
+        bus, clock = MessageBus(), VirtualClock()
+        params = CslamConfig().flatten()
+        params.update({"robot_id": 0, "max_nb_robots": 2,
+                       "frontend.sensor_type": "stereo",
+                       "frontend.nn_checkpoint": "disable",
+                       "frontend.keyframe_intake_depth": 20})
+        ctx = RobotContext(bus, clock, 0, params)
+        node = DetectionFrontEnd(ctx)
+
+        class KF:
+            def __init__(self, i):
+                self.id = i
+                self.image = np.zeros((8, 8, 3), np.uint8)
+
+        for i in range(500):
+            bus.publish("/r0/cslam/keyframe_data", KF(i))
+        bus.deliver()
+        # only the freshest `depth` frames were embedded
+        embedded = sorted(node.global_descriptors_buffer)
+        assert embedded == list(range(480, 500))
+        assert bus.messages_dropped == 480
+        # the detection plane still runs on top of the flood
+        clock.advance(1.5)
+        ctx.poll_timers()
+        bus.deliver()  # no exception, gossip fired
+        assert node.lcm.local_nnsm.n == 20
+
+
 class TestNeighborManagement:
 
     def make(self, monitoring=True):

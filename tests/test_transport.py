@@ -39,6 +39,30 @@ class TestTransport:
         finally:
             hub.close()
 
+    def test_best_effort_bounds_network_backlog(self):
+        """Best-effort topics on a NetworkBus keep only the freshest
+        `depth` frames that arrived between two delivers (reference
+        sensor-intake QoS, rgbd_handler.cpp:58-61)."""
+        from cslam_tpu.runtime.bus import QoSProfile
+        hub = TransportHub()
+        try:
+            tx = NetworkBus(hub.address)
+            rx = NetworkBus(hub.address)
+            got = []
+            rx.subscribe("/cslam/sensor", got.append,
+                         qos=QoSProfile(best_effort=True, depth=4))
+            for i in range(100):
+                tx.publish("/cslam/sensor", i, src_robot=0)
+            # wait until the flood has crossed the wire, then deliver once
+            assert wait_for(lambda: len(rx._inbox) >= 100, timeout=10.0)
+            rx.deliver()
+            assert got == [96, 97, 98, 99]
+            assert rx.messages_dropped == 96
+        finally:
+            tx.close()
+            rx.close()
+            hub.close()
+
     def test_full_node_stack_over_network(self):
         """Two robots' detection front ends gossiping over real sockets:
         descriptors cross the wire and a candidate match forms."""
