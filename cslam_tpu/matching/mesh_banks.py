@@ -31,11 +31,17 @@ def make_mesh_search(mesh: Mesh, k: int):
     """Build the jitted sharded search: every device searches its local bank,
     results are gathered. Returns f(banks, inv_norms, counts, queries) ->
     (sims [R, B, k], idx [R, B, k])."""
+    if all(d.platform == "tpu" for d in mesh.devices.flat):
+        # same fused Pallas bank-scan kernel as the single-bank hot path
+        # (measured 234k -> 384k q/s at 131k rows vs the XLA top_k)
+        from cslam_tpu.ops.nns_pallas import cosine_topk_fused as _search
+    else:
+        _search = topk_ops.cosine_topk
 
     def local_search(banks, inv_norms, counts, queries):
         # per-device block: banks [1, cap, D], counts [1]
-        sims, idx = topk_ops.cosine_topk(banks[0], inv_norms[0], counts[0],
-                                         queries, k)
+        sims, idx = _search(banks[0], inv_norms[0], counts[0],
+                            queries, k)
         sims_all = jax.lax.all_gather(sims, AXIS)   # [R, B, k]
         idx_all = jax.lax.all_gather(idx, AXIS)
         return sims_all, idx_all
