@@ -76,6 +76,12 @@ class BackendConfig:
     gnc_max_outer_iterations: int = 100
     gnc_mu_step: float = 2.0  # 1.4 = GTSAM schedule; 2.0 measured identical quality, ~30% faster
     gnc_barc_sq: float = 16.81        # TLS inlier threshold (chi2(6) 99% quantile)
+    # "centralized" = GNC at the elected optimizer (reference semantics);
+    # "distributed" = mesh-sharded block Gauss-Seidel (one robot subgraph
+    # per device, cslam_tpu.pgo.distributed) with centralized fallback
+    # when fewer devices than robots are available
+    pgo_mode: str = "centralized"
+    distributed_max_sweeps: int = 30
     lm_max_iterations: int = 50
     lm_init_lambda: float = 1e-4
     cg_max_iterations: int = 200

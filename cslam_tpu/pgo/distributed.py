@@ -75,10 +75,11 @@ class ShardedPoseGraph:
                                                  pose)
 
     def add_local_between(self, robot_id: int, kf0: int, kf1: int,
-                          measurement: np.ndarray,
-                          sigmas: np.ndarray) -> None:
+                          measurement: np.ndarray, sigmas: np.ndarray,
+                          robust: bool = False) -> None:
         self.local_graphs[robot_id].add_between(
-            (robot_id, kf0), (robot_id, kf1), measurement, sigmas)
+            (robot_id, kf0), (robot_id, kf1), measurement, sigmas,
+            robust=robust)
 
     def add_separator(self, edge: PoseGraphEdge) -> None:
         assert edge.key_from.robot_id != edge.key_to.robot_id

@@ -478,9 +478,67 @@ class DecentralizedPGO:
         a, b = e.key_from.as_tuple(), e.key_to.as_tuple()
         return (a, b) if a <= b else (b, a)
 
+    def _optimize_distributed(self, graph: FactorGraph):
+        """Solve the aggregated multi-robot graph with the mesh-sharded
+        block Gauss-Seidel mode (``backend.pgo_mode: distributed``) — one
+        robot's subgraph per device, the whole robust solve in one jitted
+        dispatch (``cslam_tpu.pgo.distributed``). Returns None when fewer
+        devices than robots are available (caller falls back to the
+        centralized GNC solve, the reference's only mode)."""
+        import jax
+        from jax.sharding import Mesh
+
+        from cslam_tpu.pgo.distributed import (AXIS, ShardedPoseGraph,
+                                               distributed_optimize)
+
+        keys = graph.keys()
+        # this robot first: the distributed mode strongly anchors the
+        # slot-0 robot's first pose, matching the centralized prior on
+        # (self.robot_id, 0)
+        rids = sorted({k[0] for k in keys},
+                      key=lambda r: (r != self.robot_id, r))
+        devices = jax.devices()
+        if len(devices) < len(rids):
+            return None
+        slot = {r: i for i, r in enumerate(rids)}
+        problem = ShardedPoseGraph(len(rids))
+        for key in keys:
+            problem.add_variable(slot[key[0]], key[1], graph.get_pose(key))
+        inv = {v: k for k, v in graph._index.items()}
+        for (i, j, z, s, robust) in graph._edges:
+            kf, kt = inv[i], inv[j]
+            if kf[0] == kt[0]:
+                problem.add_local_between(slot[kf[0]], kf[1], kt[1], z, s,
+                                          robust=robust)
+            else:
+                problem.add_separator(PoseGraphEdge(
+                    key_from=PoseKey(slot[kf[0]], kf[1]),
+                    key_to=PoseKey(slot[kt[0]], kt[1]),
+                    measurement=z, noise_sigmas=s))
+        mesh = Mesh(np.array(devices[:len(rids)]), (AXIS,))
+        values = distributed_optimize(
+            problem, mesh,
+            sweeps=self.params.get("backend.distributed_max_sweeps", 30),
+            barc_sq=self.params.get("backend.gnc_barc_sq", 16.81))
+        # back into the aggregate graph's padded pose layout
+        arrays = graph.to_arrays()
+        poses = np.asarray(arrays.poses).copy()
+        for key, idx in graph._index.items():
+            poses[idx] = values[(slot[key[0]], key[1])]
+        return poses
+
     def _optimize(self, graph: FactorGraph):
         if self.logger is not None:
             self.logger.start_timer()
+        if self.params.get("backend.pgo_mode", "centralized") == "distributed":
+            poses_d = self._optimize_distributed(graph)
+            if poses_d is not None:
+                self._last_edge_weights = {}  # modes don't share warm state
+                if self.logger is not None:
+                    self.logger.stop_timer()
+                    self.logger.log_optimized_global_pose_graph(
+                        graph, poses_d, self.robot_id)
+                return graph, poses_d
         arrays = graph.to_arrays()
         lm_iters = self.params.get("backend.lm_max_iterations", 50)
         cg_iters = self.params.get("backend.cg_max_iterations", 150)

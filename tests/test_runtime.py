@@ -344,6 +344,67 @@ class TestFiveRobotSwarm:
             assert opt_ate <= odo_ate + 0.05
 
 
+class TestTenRobotSwarm:
+    """Round-2 roadmap: larger scene. 10 robots, rendezvous churn (three
+    of them lose comms mid-run), the swarm keeps producing estimates."""
+
+    def test_ten_robots_with_rendezvous_churn(self, tmp_path):
+        sched = tmp_path / "rendezvous.csv"
+        # robots 7-9 are alive only for the first 12 s of the run; the
+        # rest are always up (window far beyond the run)
+        lines = []
+        for r in range(10):
+            if r >= 7:
+                lines.append(f"{r},0,12")
+            else:
+                lines.append(f"{r},0,10000")
+        sched.write_text("\n".join(lines) + "\n")
+
+        world = SyntheticWorld(nb_places=50, descriptor_dim=32, seed=3)
+        trajs = [circle_trajectory(20, radius=10.0 + 0.2 * r, nb_places=50,
+                                   start_angle=0.02 * r, z=0.1 * r)
+                 for r in range(10)]
+        sim = SwarmSimulator(
+            10, world, trajs,
+            config_overrides={
+                "frontend.inter_robot_detection_period_sec": 3.0,
+                "frontend.inter_robot_loop_closure_budget": 10,
+                "backend.pose_graph_optimization_start_period_ms": 3000,
+                # a collection round caught by the churn (neighbor dies
+                # mid-request) must abort fast, not stall to the 60 s
+                # default (the run is only 40 s)
+                "backend.max_waiting_time_sec": 5.0,
+                "evaluation.enable_simulated_rendezvous": True,
+                "evaluation.rendezvous_schedule_file": str(sched),
+                "neighbor_management.max_heartbeat_delay_sec": 3.0,
+            }, keyframe_period=0.5)
+        sim.run(40.0, dt=0.25)
+
+        # the always-up robots gossiped and the optimizer ran
+        assert sim.robots[0].backend.optimization_count > 0
+        live = range(7)
+        for rid in live:
+            assert sim.robots[rid].detection.lcm.local_nnsm.n > 5
+        # most live robots joined the optimized component within the run
+        # (a robot whose loop closures never verified in time legitimately
+        # keeps only its own estimate — BFS connectivity excludes it)
+        linked = sum(
+            len(sim.robots[rid].backend.current_pose_estimates) > 1
+            for rid in live)
+        assert linked >= 5, f"only {linked}/7 live robots got estimates"
+        # robots 7-9 went silent: after their window the live robots see
+        # them as dead
+        nm = sim.robots[0].detection.neighbor_manager
+        in_range, _ = nm.check_neighbors_in_range()
+        for dead in (7, 8, 9):
+            assert not in_range.get(dead, False), f"r{dead} still in range"
+        # estimates stay sane for live robots
+        for rid in live:
+            odo_ate, opt_ate = sim.ate(rid)
+            assert np.isfinite(opt_ate)
+            assert opt_ate <= odo_ate + 0.1
+
+
 class TestWarmStartChaining:
 
     def test_new_keys_chain_off_last_optimized_pose(self):
@@ -377,6 +438,78 @@ class TestWarmStartChaining:
         ctx.params["backend.enable_warm_start"] = False
         out = be._warm_start_values(raw)
         np.testing.assert_allclose(out[(0, 0)], pose(0, 0))
+
+
+class TestDistributedBackendMode:
+    """backend.pgo_mode = 'distributed': the elected optimizer solves the
+    aggregated graph with the mesh-sharded mode (one robot per device)."""
+
+    @staticmethod
+    def _aggregate_graph(rng, nb_robots=4, nb_poses=12):
+        from cslam_tpu.pgo import FactorGraph
+        gt = {}
+        for r in range(nb_robots):
+            for k in range(nb_poses):
+                T = np.eye(4)
+                T[:3, 3] = [k * 0.8, 0.4 * r, 0.0]
+                gt[(r, k)] = T
+        g = FactorGraph()
+        for r in range(nb_robots):
+            cur = gt[(r, 0)]
+            g.add_variable((r, 0), cur)
+            for k in range(nb_poses - 1):
+                z = np.linalg.inv(gt[(r, k)]) @ gt[(r, k + 1)]
+                z[:3, 3] += rng.normal(scale=0.02, size=3)
+                cur = cur @ z
+                g.add_variable((r, k + 1), cur)
+                g.add_between((r, k), (r, k + 1), z,
+                              np.array([0.01] * 3 + [0.1] * 3))
+        for r in range(nb_robots - 1):
+            for k in (2, nb_poses - 3):
+                z = np.linalg.inv(gt[(r, k)]) @ gt[(r + 1, k)]
+                g.add_between((r, k), (r + 1, k), z,
+                              np.array([0.01] * 3 + [0.1] * 3),
+                              robust=True)
+        g.add_prior((0, 0), gt[(0, 0)], np.array([0.01] * 3 + [0.1] * 3))
+        return g, gt
+
+    def test_distributed_mode_matches_centralized(self):
+        from cslam_tpu.runtime.backend_node import DecentralizedPGO
+        rng = np.random.default_rng(5)
+        graph, gt = self._aggregate_graph(rng)
+        bus, clock = MessageBus(), VirtualClock()
+        params = {"robot_id": 0, "max_nb_robots": 4,
+                  "backend.pgo_mode": "distributed"}
+        be = DecentralizedPGO(RobotContext(bus, clock, 0, dict(params)))
+        _, poses_d = be._optimize(graph)
+
+        params["backend.pgo_mode"] = "centralized"
+        be_c = DecentralizedPGO(RobotContext(bus, clock, 0, dict(params)))
+        _, poses_c = be_c._optimize(graph)
+
+        def ate_of(poses):
+            keys = graph.keys()
+            return float(np.sqrt(np.mean(
+                [np.sum((poses[i][:3, 3] - gt[k][:3, 3]) ** 2)
+                 for i, k in enumerate(keys)])))
+
+        assert np.all(np.isfinite(poses_d[:len(graph)]))
+        assert ate_of(poses_d) < ate_of(poses_c) + 0.05
+
+    def test_falls_back_below_device_count(self, monkeypatch):
+        """More robots than devices -> centralized fallback, not a crash."""
+        import jax
+
+        from cslam_tpu.runtime.backend_node import DecentralizedPGO
+        rng = np.random.default_rng(6)
+        graph, _ = self._aggregate_graph(rng, nb_robots=3, nb_poses=6)
+        bus, clock = MessageBus(), VirtualClock()
+        be = DecentralizedPGO(RobotContext(
+            bus, clock, 0, {"robot_id": 0, "max_nb_robots": 3,
+                            "backend.pgo_mode": "distributed"}))
+        monkeypatch.setattr(jax, "devices", lambda *a: jax.local_devices()[:1])
+        _, poses = be._optimize(graph)
+        assert np.all(np.isfinite(poses[:len(graph)]))
 
 
 class TestBackendMonitoring:
