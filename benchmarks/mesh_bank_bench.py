@@ -57,7 +57,7 @@ def main():
     banks = jnp.asarray(bank_host)[None]          # [1 robot, rows, D]
     inv_norms = jnp.ones((1, args.rows), jnp.float32)
     counts = jnp.asarray([args.rows], jnp.int32)
-    mesh_search = make_mesh_search(mesh, K)
+    mesh_search = make_mesh_search(mesh, K, capacity=args.rows)
 
     queries = jnp.asarray(rng.standard_normal(
         (SCAN_BATCHES, BATCH, DIM)).astype(np.float32))

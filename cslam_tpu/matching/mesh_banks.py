@@ -27,13 +27,18 @@ from cslam_tpu.ops import topk as topk_ops
 AXIS = "robots"
 
 
-def make_mesh_search(mesh: Mesh, k: int):
+def make_mesh_search(mesh: Mesh, k: int, capacity: Optional[int] = None):
     """Build the jitted sharded search: every device searches its local bank,
     results are gathered. Returns f(banks, inv_norms, counts, queries) ->
     (sims [R, B, k], idx [R, B, k])."""
-    if all(d.platform == "tpu" for d in mesh.devices.flat):
+    fused_ok = (all(d.platform == "tpu" for d in mesh.devices.flat)
+                and k <= 10
+                and capacity is not None and capacity % 4096 == 0)
+    if fused_ok:
         # same fused Pallas bank-scan kernel as the single-bank hot path
-        # (measured 234k -> 384k q/s at 131k rows vs the XLA top_k)
+        # (measured 234k -> 646k q/s at 131k rows vs the XLA top_k); the
+        # kernel needs 4096-row-aligned capacity and k <= 10, otherwise
+        # fall back to the XLA path
         from cslam_tpu.ops.nns_pallas import cosine_topk_fused as _search
     else:
         _search = topk_ops.cosine_topk
@@ -72,7 +77,7 @@ class MeshDescriptorBanks:
         self._banks: Optional[jax.Array] = None
         self._inv_norms: Optional[jax.Array] = None
         self._device_counts = np.zeros(self._R, np.int32)
-        self._search = make_mesh_search(mesh, k)
+        self._search = make_mesh_search(mesh, k, capacity=capacity)
 
     def add_item(self, robot_id: int, vector: np.ndarray, item: Any) -> None:
         n = self._counts[robot_id]

@@ -54,6 +54,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    # an outdated .so kept after a failed rebuild may lack newer symbols;
+    # degrade to the numpy fallback rather than crashing at bind time
+    try:
+        lib.cslam_steered_brief_describe
+    except AttributeError:
+        return None
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.cslam_fast_detect.restype = ctypes.c_int

@@ -248,13 +248,10 @@ def _separator_priors(me: jax.Array, all_poses: jax.Array, sep: dict):
 
 
 def _tls(chi2, mu, barc_sq):
-    upper = (mu + 1.0) / mu * barc_sq
-    lower = mu / (mu + 1.0) * barc_sq
-    mid = jnp.sqrt(barc_sq * mu * (mu + 1.0)
-                   / jnp.maximum(chi2, 1e-12)) - mu
-    return jnp.where(chi2 >= upper, 0.0,
-                     jnp.where(chi2 <= lower, 1.0,
-                               jnp.clip(mid, 0.0, 1.0)))
+    """GNC-TLS weights — single implementation shared with the centralized
+    solver so the two modes can never silently diverge."""
+    from cslam_tpu.pgo.solver import _tls_weights
+    return _tls_weights(chi2, mu, barc_sq)
 
 
 def _sep_residuals(all_poses, sep):
@@ -380,16 +377,21 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
     nb_robots = mesh.shape[AXIS]
 
     def sweep(local: PoseGraphArrays, sep: dict, mu: jax.Array,
-              coarse_on: jax.Array):
+              coarse_on: jax.Array, unweighted: jax.Array):
         # inside shard_map: leading axis is this device's single robot
         me = jax.lax.axis_index(AXIS)
         g = jax.tree_util.tree_map(lambda x: x[0], local)
         all_poses = jax.lax.all_gather(g.poses, AXIS)  # [R, Np, 4, 4]
 
+        def tls_or_ones(chi2):
+            # ``unweighted`` = the init phase: TRUE weight-1 everywhere
+            # (the TLS surrogate's mid-zone weight goes to ~0 as mu -> 0,
+            # NOT to 1 — it cannot express "unweighted")
+            return jnp.where(unweighted, 1.0, _tls(chi2, mu, barc_sq))
+
         # GNC weights at the current estimate (for the coarse stage)
         _, chi2_pre = _sep_residuals(all_poses, sep)
-        w_pre = jnp.where(sep["valid"] > 0,
-                          _tls(chi2_pre, mu, barc_sq), 0.0)
+        w_pre = jnp.where(sep["valid"] > 0, tls_or_ones(chi2_pre), 0.0)
         # coarse two-level accelerator (identical replicated computation
         # on every device); bias-free, so it can run every sweep —
         # ``coarse_on`` exists to disable it for A/B measurements
@@ -402,13 +404,15 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
 
         idx, target, info, valid = _separator_priors(me, all_poses, sep)
         # re-derive TLS weights post-alignment (rigid modes removed, so
-        # genuine separators recover weight before the local solve);
-        # chi2 is measured against the UNDAMPED neighbor-implied target
-        r_sep = jax.vmap(
-            lambda X, tgt, si: se3.log(se3.between(tgt, X)) * si)(
-            my_poses[idx], target, info)
-        chi2_sep = jnp.sum(r_sep * r_sep, axis=-1)
-        w_sep = jnp.where(valid > 0, _tls(chi2_sep, mu, barc_sq), 0.0)
+        # genuine separators recover weight before the local solve).
+        # chi2 is the CANONICAL whitened residual computed from the global
+        # pose blocks — identical on both endpoint devices. (The two
+        # per-endpoint prior residuals are Ad(Z)-conjugate, not equal, so
+        # weighting each endpoint by its own chi2 can cut an edge on one
+        # device and keep it on the other near the TLS boundary.)
+        _, chi2_canon = _sep_residuals(all_poses, sep)
+        w_canon = jnp.where(sep["valid"] > 0, tls_or_ones(chi2_canon), 0.0)
+        w_sep = jnp.where(valid > 0, w_canon, 0.0)
         info = info * jnp.sqrt(w_sep)[:, None]
         # damped consensus: pull each endpoint only to the geodesic
         # midpoint between its current pose and the neighbor-implied pose.
@@ -426,10 +430,9 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
             lambda A, T: A @ se3.exp(0.5 * se3.log(se3.between(A, T))))(
             mine, target)
         info = info * jnp.sqrt(2.0)
-        # both endpoints compute identical chi2 (the residuals are inverses
-        # of each other); pmax turns the per-device incident weights into
-        # one replicated global weight vector for convergence checks
-        w_sep_global = jax.lax.pmax(w_sep, AXIS)
+        # the canonical weights are computed from the replicated global
+        # arrays, so they are already identical on every device
+        w_sep_global = w_canon
         g = PoseGraphArrays(
             my_poses, g.node_valid, g.edge_i, g.edge_j, g.meas,
             g.sqrt_info, g.edge_valid, g.robust, g.prior_idx, g.prior_pose,
@@ -451,7 +454,7 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
         from cslam_tpu.pgo.solver import edge_residuals
         r_loc = edge_residuals(g.poses, g_local)
         chi2_loc = jnp.sum(r_loc * r_loc, axis=-1)
-        weights = jnp.where(g.robust > 0, _tls(chi2_loc, mu, barc_sq), 1.0)
+        weights = jnp.where(g.robust > 0, tls_or_ones(chi2_loc), 1.0)
         res = lm_optimize(g_local, weights,
                           max_iters=lm_iters, cg_iters=cg_iters)
         return res.poses[None], w_sep_global
@@ -461,7 +464,7 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
         in_specs=(jax.tree_util.tree_map(lambda _: pspec_local,
                                          _template_spec()),
                   pspec_repl,  # pytree prefix: whole sep dict replicated
-                  pspec_repl, pspec_repl),
+                  pspec_repl, pspec_repl, pspec_repl),
         out_specs=(pspec_local, pspec_repl), check_vma=False)
 
 
@@ -491,7 +494,8 @@ def make_distributed_step(mesh: Mesh, lm_iters: int = 15,
 
             @jax.jit
             def _step(local, sep, mu, coarse):
-                new_poses, _ = sharded(local, sep, mu, coarse)
+                new_poses, _ = sharded(local, sep, mu, coarse,
+                                       jnp.bool_(False))
                 return PoseGraphArrays(
                     new_poses, local.node_valid, local.edge_i,
                     local.edge_j, local.meas, local.sqrt_info,
@@ -581,23 +585,38 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
 
         nb_sep = sep["valid"].shape[0]
 
-        # phase 0: unweighted init sweeps (mu -> 0 makes every TLS weight
-        # 1), the analogue of gnc_optimize's initial unweighted LM solve —
-        # without it a fixed mu0 cuts genuine separators whose chi2 is
-        # large only because the dead-reckoned init is bad (measured on
-        # 8x256: permanent false rejections + no convergence)
+        # phase 0: TRUE unweighted init sweeps (every weight forced to 1
+        # via the `unweighted` flag — the TLS surrogate cannot express
+        # this at any mu), the analogue of gnc_optimize's initial
+        # unweighted LM solve. Without it a fixed mu0 cuts genuine
+        # separators whose chi2 is large only because the dead-reckoned
+        # init is bad (measured on 8x256: permanent false rejections +
+        # no convergence).
         def init_body(_, poses):
             new_poses, _w = sharded(with_poses(poses), sep,
-                                    jnp.float32(1e-6), jnp.bool_(True))
+                                    jnp.float32(1.0), jnp.bool_(True),
+                                    jnp.bool_(True))
             return new_poses
         poses0 = jax.lax.fori_loop(0, init_sweeps, init_body, local.poses)
 
         # adaptive mu0 from the initialized estimate, GTSAM-style
-        # (GncOptimizer::initializeMu with the chi2 cap of gnc_optimize)
+        # (GncOptimizer::initializeMu with the chi2 cap of gnc_optimize).
+        # The max runs over EVERY robust residual — separators AND robust
+        # intra-robot loop closures — since the same mu drives TLS on
+        # both; separator-only mu0 would hard-threshold genuine intra
+        # loop closures from sweep 1 when the separators happen to be
+        # clean.
         if mu0 is None:
-            _, chi2 = _sep_residuals(poses0, sep)
-            masked = jnp.where(sep["valid"] > 0, chi2, 0.0)
-            max_chi2 = jnp.minimum(jnp.max(masked), mu0_chi2_cap * barc_sq)
+            from cslam_tpu.pgo.solver import edge_residuals
+            _, chi2_sep = _sep_residuals(poses0, sep)
+            sep_max = jnp.max(jnp.where(sep["valid"] > 0, chi2_sep, 0.0))
+            local0 = with_poses(poses0)
+            r_loc = jax.vmap(lambda g: edge_residuals(g.poses, g))(local0)
+            chi2_loc = jnp.sum(r_loc * r_loc, axis=-1)  # [R, Ne]
+            rob_mask = local0.robust * local0.edge_valid
+            loc_max = jnp.max(jnp.where(rob_mask > 0, chi2_loc, 0.0))
+            max_chi2 = jnp.minimum(jnp.maximum(sep_max, loc_max),
+                                   mu0_chi2_cap * barc_sq)
             mu_init = jnp.where(max_chi2 > barc_sq,
                                 barc_sq / (2.0 * max_chi2 - barc_sq), 1e6)
             mu_init = jnp.maximum(mu_init, 1e-6).astype(jnp.float32)
@@ -611,7 +630,7 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
         def body(state):
             poses, mu, it, w_prev, _, _ = state
             new_poses, w = sharded(with_poses(poses), sep, mu,
-                                   it < coarse_sweeps)
+                                   it < coarse_sweeps, jnp.bool_(False))
             delta = jnp.max(jnp.abs(new_poses - poses))
             binary = jnp.all(jnp.logical_or(w < 1e-3, w > 1.0 - 1e-3))
             stable = jnp.max(jnp.abs(w - w_prev)) < 1e-3
@@ -626,7 +645,7 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
         poses, mu, sweeps, w, _, delta = jax.lax.while_loop(cond, body, init)
         # final polish sweep at full LM budget and the converged mu
         poses, w = final_sharded(with_poses(poses), sep, mu,
-                                 jnp.bool_(False))
+                                 jnp.bool_(False), jnp.bool_(False))
         return poses, sweeps, delta, w
 
     return solve
@@ -637,6 +656,9 @@ def _template_spec() -> PoseGraphArrays:
     building in_specs."""
     z = jnp.zeros(())
     return PoseGraphArrays(z, z, z, z, z, z, z, z, z, z, z, z)
+
+
+_SOLVER_CACHE: Dict[Tuple, object] = {}
 
 
 class DistributedInfo:
@@ -673,9 +695,17 @@ def distributed_optimize(problem: ShardedPoseGraph, mesh: Mesh,
     sharding = NamedSharding(mesh, P(AXIS))
     local = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), local)
-    solve = make_distributed_solve(
-        mesh, max_sweeps=sweeps, lm_iters=lm_iters, cg_iters=cg_iters,
-        barc_sq=barc_sq, mu0=mu0, mu_step=mu_step, tol=tol)
+    # reuse the built solver across calls (steady-state rounds must not
+    # rebuild the jit closure and retrace the most expensive program in
+    # the repo every optimization)
+    key = (tuple(d.id for d in mesh.devices.flat), sweeps, lm_iters,
+           cg_iters, barc_sq, mu0, mu_step, tol)
+    solve = _SOLVER_CACHE.get(key)
+    if solve is None:
+        solve = make_distributed_solve(
+            mesh, max_sweeps=sweeps, lm_iters=lm_iters, cg_iters=cg_iters,
+            barc_sq=barc_sq, mu0=mu0, mu_step=mu_step, tol=tol)
+        _SOLVER_CACHE[key] = solve
     poses, sweeps_used, delta, w = solve(local, sep)
     values = problem.values_from_arrays(np.asarray(poses))
     if return_info:

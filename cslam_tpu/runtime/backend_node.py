@@ -519,6 +519,10 @@ class DecentralizedPGO:
         values = distributed_optimize(
             problem, mesh,
             sweeps=self.params.get("backend.distributed_max_sweeps", 30),
+            lm_iters=self.params.get("backend.lm_max_iterations", 50),
+            cg_iters=self.params.get("backend.cg_max_iterations", 150),
+            mu_step=self.params.get("backend.gnc_mu_step",
+                                    config.BackendConfig.gnc_mu_step),
             barc_sq=self.params.get("backend.gnc_barc_sq", 16.81))
         # back into the aggregate graph's padded pose layout
         arrays = graph.to_arrays()

@@ -46,58 +46,83 @@ class Publisher:
         self.bus.publish(self.topic, msg, self.src_robot)
 
 
+class _Subscription:
+    """One subscriber on one topic. Best-effort subscribers own a bounded
+    drop-oldest queue; reliable subscribers share the bus-wide queue —
+    per-SUBSCRIPTION reliability, like DDS/ROS, so one best-effort
+    consumer never makes a topic lossy for a reliable one."""
+
+    __slots__ = ("callback", "queue")
+
+    def __init__(self, callback: Callable[[Any], None],
+                 qos: Optional[QoSProfile]):
+        self.callback = callback
+        self.queue: Optional[deque] = (
+            deque(maxlen=max(int(qos.depth), 1))
+            if qos is not None and qos.best_effort else None)
+
+
 class MessageBus:
     """Topic-based queued pub/sub shared by all in-process robots."""
 
     def __init__(self):
-        self._subs: Dict[str, List[Callable[[Any], None]]] = {}
+        self._subs: Dict[str, List[_Subscription]] = {}
         self._queue: deque = deque()
-        self._be_queues: Dict[str, deque] = {}  # best-effort topics
         self.link_filter: Optional[Callable[[int, str, Any], bool]] = None
         self.messages_delivered = 0
         self.messages_dropped = 0
 
     def subscribe(self, topic: str, callback: Callable[[Any], None],
                   qos: Optional[QoSProfile] = None) -> None:
-        self._subs.setdefault(topic, []).append(callback)
-        if qos is not None and qos.best_effort:
-            depth = max(int(qos.depth), 1)
-            existing = self._be_queues.get(topic)
-            if existing is None or (existing.maxlen or 0) < depth:
-                q = deque(existing or (), maxlen=depth)
-                self._be_queues[topic] = q
+        self._subs.setdefault(topic, []).append(_Subscription(callback, qos))
 
     def publish(self, topic: str, msg: Any, src_robot: int = -1) -> None:
         self._enqueue(topic, msg, src_robot)
 
     def _enqueue(self, topic: str, msg: Any, src_robot: int) -> None:
-        be = self._be_queues.get(topic)
-        if be is not None:
-            if len(be) == be.maxlen:
-                self.messages_dropped += 1  # drop-oldest (deque maxlen)
-            be.append((topic, msg, src_robot))
-        else:
+        subs = self._subs.get(topic, ())
+        reliable = not subs or any(s.queue is None for s in subs)
+        for s in subs:
+            if s.queue is not None:
+                if len(s.queue) == s.queue.maxlen:
+                    self.messages_dropped += 1  # drop-oldest (deque maxlen)
+                s.queue.append((msg, src_robot))
+        if reliable:
+            # topics without subscribers keep the original queued behavior
             self._queue.append((topic, msg, src_robot))
 
-    def _flush_best_effort(self) -> None:
-        for q in self._be_queues.values():
-            while q:
-                self._queue.append(q.popleft())
+    def _flush_best_effort(self) -> int:
+        flushed = 0
+        for topic, subs in self._subs.items():
+            for s in subs:
+                if s.queue is None:
+                    continue
+                while s.queue:
+                    msg, src = s.queue.popleft()
+                    if self.link_filter is not None and not self.link_filter(
+                            src, topic, msg):
+                        continue
+                    s.callback(msg)
+                    flushed += 1
+        return flushed
 
     def deliver(self, max_messages: int = 100000) -> int:
         """Drain the queue (including messages published by callbacks)."""
         delivered = 0
         while delivered < max_messages:
             if not self._queue:
-                self._flush_best_effort()
-                if not self._queue:
+                flushed = self._flush_best_effort()
+                delivered += flushed
+                if not self._queue and flushed == 0:
                     break
+                continue
             topic, msg, src = self._queue.popleft()
             if self.link_filter is not None and not self.link_filter(
                     src, topic, msg):
                 continue
-            for cb in self._subs.get(topic, ()):
-                cb(msg)
+            for s in self._subs.get(topic, ()):
+                if s.queue is None:  # reliable subscribers only
+                    s.callback(msg)
             delivered += 1
         self.messages_delivered += delivered
         return delivered

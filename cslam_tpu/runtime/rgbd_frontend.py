@@ -416,5 +416,6 @@ class StereoFrontEnd(RGBDFrontEnd):
             z = self.camera.fx * self.camera.baseline / disparity
             kp3d[i] = [(xl - self.camera.cx) * z / self.camera.fx,
                        (yl - self.camera.cy) * z / self.camera.fy, z]
-        out_desc = self._describe(gray_l, kp_l)
+        out_desc = (self._describe(gray_l, kp_l) if self.steered_brief
+                    else desc_l)  # unsteered: the disparity descriptors ARE
         return KeyframeFeatures(kp_l, kp3d, out_desc)
