@@ -585,17 +585,20 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
 
         nb_sep = sep["valid"].shape[0]
 
-        # phase 0: TRUE unweighted init sweeps (every weight forced to 1
-        # via the `unweighted` flag — the TLS surrogate cannot express
-        # this at any mu), the analogue of gnc_optimize's initial
-        # unweighted LM solve. Without it a fixed mu0 cuts genuine
-        # separators whose chi2 is large only because the dead-reckoned
-        # init is bad (measured on 8x256: permanent false rejections +
-        # no convergence).
+        # phase 0: ROBUST init sweeps at mu = 1 — TLS weight 1 for edges
+        # with chi2 below 2*barc, 0 beyond barc/2... i.e. plausible edges
+        # count fully while gross outliers are already excluded. This is
+        # deliberately NOT the centralized solver's unweighted initial LM:
+        # forcing weight 1 on everything lets a 15 m outlier separator
+        # yank two blocks together during init, and the sweep recovers far
+        # slower than centralized LM does (measured on 8x256 + 2 outliers:
+        # final ATE 1.76 vs 0.17 with robust init). A genuinely-strained
+        # genuine edge cut here re-enters later: mu0 below is derived from
+        # its post-init chi2, so graduation starts permissive enough.
         def init_body(_, poses):
             new_poses, _w = sharded(with_poses(poses), sep,
                                     jnp.float32(1.0), jnp.bool_(True),
-                                    jnp.bool_(True))
+                                    jnp.bool_(False))
             return new_poses
         poses0 = jax.lax.fori_loop(0, init_sweeps, init_body, local.poses)
 
