@@ -682,7 +682,8 @@ def distributed_optimize(problem: ShardedPoseGraph, mesh: Mesh,
                          sweeps: int = 30, lm_iters: int = 15,
                          cg_iters: int = 100, mu0: Optional[float] = None,
                          mu_step: float = 1.6, barc_sq: float = 16.81,
-                         tol: float = 1e-3, return_info: bool = False):
+                         tol: float = 1e-3, return_info: bool = False,
+                         warm: bool = False):
     """Run robust block Gauss-Seidel PGO over the mesh — one dispatch.
 
     The whole robust solve (GNC mu schedule, separator reweighting,
@@ -691,6 +692,14 @@ def distributed_optimize(problem: ShardedPoseGraph, mesh: Mesh,
     bound, the separator-residual criterion (see
     :func:`make_distributed_solve`) usually stops well short of it.
 
+    ``warm=True`` is the incremental steady-state mode: the problem's
+    variable poses are a previous round's solution, so the robust init
+    sweeps are skipped and graduation starts at saturated mu (hard TLS —
+    chi2 at the warm poses classifies in/outliers correctly from sweep 1).
+    This carries the GNC state through the poses, the distributed
+    analogue of the centralized ``gnc_reoptimize`` (round-1 fact: the
+    information worth carrying is the classification, not the schedule).
+
     Returns the optimized values dict, or ``(values, DistributedInfo)``
     when ``return_info`` is set.
     """
@@ -698,16 +707,21 @@ def distributed_optimize(problem: ShardedPoseGraph, mesh: Mesh,
     sharding = NamedSharding(mesh, P(AXIS))
     local = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), local)
+    if warm:
+        mu0, init_sweeps = 1e6, 0
+    else:
+        init_sweeps = 2
     # reuse the built solver across calls (steady-state rounds must not
     # rebuild the jit closure and retrace the most expensive program in
     # the repo every optimization)
     key = (tuple(d.id for d in mesh.devices.flat), sweeps, lm_iters,
-           cg_iters, barc_sq, mu0, mu_step, tol)
+           cg_iters, barc_sq, mu0, mu_step, tol, init_sweeps)
     solve = _SOLVER_CACHE.get(key)
     if solve is None:
         solve = make_distributed_solve(
             mesh, max_sweeps=sweeps, lm_iters=lm_iters, cg_iters=cg_iters,
-            barc_sq=barc_sq, mu0=mu0, mu_step=mu_step, tol=tol)
+            barc_sq=barc_sq, mu0=mu0, mu_step=mu_step, tol=tol,
+            init_sweeps=init_sweeps)
         _SOLVER_CACHE[key] = solve
     poses, sweeps_used, delta, w = solve(local, sep)
     values = problem.values_from_arrays(np.asarray(poses))

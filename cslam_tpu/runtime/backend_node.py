@@ -516,6 +516,16 @@ class DecentralizedPGO:
                     key_to=PoseKey(slot[kt[0]], kt[1]),
                     measurement=z, noise_sigmas=s))
         mesh = Mesh(np.array(devices[:len(rids)]), (AXIS,))
+        # steady-state rounds: the aggregate graph's variables carry the
+        # previous solution (warm_start_values), so the hard-TLS warm mode
+        # applies — the distributed analogue of gnc_reoptimize; a periodic
+        # full solve guards against drift, like the centralized path
+        full_every = self.params.get(
+            "backend.full_gnc_every_n_optimizations", 10)
+        warm = (getattr(self, "_warmed_this_round", False)
+                and self.optimization_count > 0
+                and (full_every <= 0
+                     or self.optimization_count % full_every != 0))
         values = distributed_optimize(
             problem, mesh,
             sweeps=self.params.get("backend.distributed_max_sweeps", 30),
@@ -523,7 +533,8 @@ class DecentralizedPGO:
             cg_iters=self.params.get("backend.cg_max_iterations", 150),
             mu_step=self.params.get("backend.gnc_mu_step",
                                     config.BackendConfig.gnc_mu_step),
-            barc_sq=self.params.get("backend.gnc_barc_sq", 16.81))
+            barc_sq=self.params.get("backend.gnc_barc_sq", 16.81),
+            warm=warm)
         # back into the aggregate graph's padded pose layout
         arrays = graph.to_arrays()
         poses = np.asarray(arrays.poses).copy()

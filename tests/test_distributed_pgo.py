@@ -168,6 +168,39 @@ def test_scaling_8robots_256poses():
     assert np.all(info.sep_weights[:len(problem.separators)] > 0.9)
 
 
+def test_warm_resolve_converges_faster_at_same_quality():
+    """Incremental mode (warm=True): starting from a previous solution,
+    the hard-TLS re-solve stops in fewer sweeps at the same ATE with the
+    outlier still rejected — the distributed gnc_reoptimize analogue."""
+    rng = np.random.default_rng(33)
+    nb_robots, nb_poses = 4, 20
+    gt, problem, central = build_problem(nb_robots, nb_poses, rng,
+                                         sep_every=4)
+    bad = np.eye(4)
+    bad[:3, 3] = [11.0, -9.0, 3.0]
+    problem.add_separator(PoseGraphEdge(
+        key_from=PoseKey(0, 5), key_to=PoseKey(nb_robots - 1, 15),
+        measurement=bad, noise_sigmas=SIGMAS))
+    mesh = make_mesh(nb_robots)
+
+    est, info_cold = distributed_optimize(problem, mesh, sweeps=30,
+                                          return_info=True)
+    ate_cold = ate(est, gt)
+    assert info_cold.sep_weights[-1] < 0.01  # outlier out
+
+    # feed the solution back as the next round's initialization
+    for rid, g in enumerate(problem.local_graphs):
+        for key in list(g._index):
+            g._poses[g._index[key]] = est[key]
+    est2, info_warm = distributed_optimize(problem, mesh, sweeps=30,
+                                           warm=True, return_info=True)
+    ate_warm = ate(est2, gt)
+    assert info_warm.sweeps_used < info_cold.sweeps_used
+    assert info_warm.sweeps_used <= 3
+    assert ate_warm < ate_cold + 0.02
+    assert info_warm.sep_weights[-1] < 0.01  # still rejected
+
+
 def test_distributed_gnc_rejects_outlier_separator():
     """A gross outlier inter-robot loop closure must be graduated out by the
     per-device TLS reweighting (no central aggregation involved)."""
