@@ -138,3 +138,87 @@ def test_two_robot_lidar_pipeline():
             Z_gt = np.linalg.inv(X_from) @ X_to
             err = np.linalg.norm(e.measurement[:3, 3] - Z_gt[:3, 3])
             assert err < 0.3, f"loop closure transform off by {err:.2f} m"
+
+
+@pytest.mark.slow
+def test_three_robot_lidar_swarm_scale():
+    """Scaled lidar slice (round-2 roadmap): 3 robots x 12 scenes with
+    odometry drift; scan-context detection + robust ICP verification +
+    full decentralized PGO must reduce the drift."""
+    bus = MessageBus()
+    clock = VirtualClock()
+    robots = [make_robot(bus, clock, r, nb_robots=3) for r in range(3)]
+
+    n_scenes = 12
+    scenes = [scene_cloud(100 + s) for s in range(n_scenes)]
+
+    def pose_at(x, y, yaw=0.0):
+        T = np.eye(4)
+        T[:3, :3] = [[np.cos(yaw), -np.sin(yaw), 0],
+                     [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]]
+        T[:3, 3] = [x, y, 0]
+        return T
+
+    def observe(scene, pose, noise_rng):
+        inv = np.linalg.inv(pose)
+        pts = scene @ inv[:3, :3].T + inv[:3, 3]
+        return pts + noise_rng.normal(scale=0.03, size=pts.shape)
+
+    rng = np.random.default_rng(1)
+    gt = {r: [] for r in range(3)}
+    drifted = {r: [] for r in range(3)}
+    for r in range(3):
+        cur = None
+        for i in range(n_scenes):
+            p = pose_at(5 * i + 0.5 * r, 0.5 * r, yaw=0.15 * r)
+            gt[r].append(p)
+            if cur is None:
+                cur = p.copy()
+            else:
+                z = np.linalg.inv(gt[r][i - 1]) @ p
+                z[:3, 3] += rng.normal(scale=0.05, size=3)
+                cur = cur @ z
+            drifted[r].append(cur.copy())
+
+    for i in range(n_scenes):
+        for r in range(3):
+            robots[r][1].lidar_callback(
+                observe(scenes[i], gt[r][i], rng),
+                Odometry(pose=drifted[r][i]))
+        for _ in range(4):
+            clock.advance(0.25)
+            for ctx, *_ in robots:
+                ctx.poll_timers()
+            bus.deliver()
+
+    for _ in range(80):
+        clock.advance(0.25)
+        for ctx, *_ in robots:
+            ctx.poll_timers()
+        bus.deliver()
+
+    # every robot ingested every scene; gossip reached all banks
+    for r in range(3):
+        assert robots[r][1].nb_local_keyframes == n_scenes
+    det0, be0 = robots[0][2], robots[0][3]
+    for other in (1, 2):
+        assert det0.lcm.other_robots_nnsm[other].nb_items >= n_scenes - 2
+
+    inter = sum(len(v) for v in be0.inter_robot_loop_closures.values())
+    assert inter >= 2, f"only {inter} verified lidar loop closures"
+    assert be0.optimization_count > 0
+
+    # the optimized estimate reduces odometry drift for robot 0
+    est = {k[1]: p for k, p in be0.current_pose_estimates.items()
+           if k[0] == 0}
+    assert len(est) == n_scenes
+
+    def rmse(poses_map, gt_list):
+        errs = [np.linalg.norm(poses_map[i][:3, 3] - gt_list[i][:3, 3])
+                for i in poses_map]
+        return float(np.sqrt(np.mean(np.square(errs))))
+
+    ate_odo = rmse({i: drifted[0][i] for i in range(n_scenes)}, gt[0])
+    ate_opt = rmse(est, gt[0])
+    assert np.isfinite(ate_opt)
+    assert ate_opt <= ate_odo + 0.05
