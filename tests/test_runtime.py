@@ -496,6 +496,33 @@ class TestDistributedBackendMode:
         assert np.all(np.isfinite(poses_d[:len(graph)]))
         assert ate_of(poses_d) < ate_of(poses_c) + 0.05
 
+    def test_swarm_end_to_end_with_distributed_mode(self):
+        """Full swarm loop with pgo_mode=distributed: election,
+        aggregation, the mesh-sharded solve at the elected optimizer, and
+        estimate redistribution to every robot."""
+        world = SyntheticWorld(nb_places=40, descriptor_dim=32, seed=2)
+        trajs = [circle_trajectory(15, radius=10.0 + 0.2 * r, nb_places=40,
+                                   start_angle=0.02 * r, z=0.1 * r)
+                 for r in range(3)]
+        sim = SwarmSimulator(
+            3, world, trajs,
+            config_overrides={
+                "frontend.inter_robot_detection_period_sec": 3.0,
+                "frontend.inter_robot_loop_closure_budget": 6,
+                "backend.pose_graph_optimization_start_period_ms": 3000,
+                "backend.pgo_mode": "distributed",
+                "backend.distributed_max_sweeps": 12,
+            }, keyframe_period=0.5)
+        sim.run(30.0, dt=0.25)
+
+        assert sim.robots[0].backend.optimization_count > 0
+        for rid in range(3):
+            est = sim.robots[rid].backend.current_pose_estimates
+            assert len(est) > 1, f"r{rid} got no distributed estimates"
+            odo_ate, opt_ate = sim.ate(rid)
+            assert np.isfinite(opt_ate)
+            assert opt_ate <= odo_ate + 0.05
+
     def test_falls_back_below_device_count(self, monkeypatch):
         """More robots than devices -> centralized fallback, not a crash."""
         import jax
