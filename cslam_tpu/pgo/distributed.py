@@ -377,21 +377,20 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
     nb_robots = mesh.shape[AXIS]
 
     def sweep(local: PoseGraphArrays, sep: dict, mu: jax.Array,
-              coarse_on: jax.Array, unweighted: jax.Array):
+              coarse_on: jax.Array):
         # inside shard_map: leading axis is this device's single robot
         me = jax.lax.axis_index(AXIS)
         g = jax.tree_util.tree_map(lambda x: x[0], local)
         all_poses = jax.lax.all_gather(g.poses, AXIS)  # [R, Np, 4, 4]
 
-        def tls_or_ones(chi2):
-            # ``unweighted`` = the init phase: TRUE weight-1 everywhere
-            # (the TLS surrogate's mid-zone weight goes to ~0 as mu -> 0,
-            # NOT to 1 — it cannot express "unweighted")
-            return jnp.where(unweighted, 1.0, _tls(chi2, mu, barc_sq))
-
-        # GNC weights at the current estimate (for the coarse stage)
+        # GNC weights at the current estimate (for the coarse stage).
+        # NOTE: the TLS surrogate's mid-zone weight goes to ~0 as mu -> 0,
+        # NOT to 1 — it cannot express "unweighted"; any phase needing
+        # weight 1 must run at mu where lower = mu/(mu+1)*barc_sq covers
+        # the expected chi2 (the init sweeps use mu = 1).
         _, chi2_pre = _sep_residuals(all_poses, sep)
-        w_pre = jnp.where(sep["valid"] > 0, tls_or_ones(chi2_pre), 0.0)
+        w_pre = jnp.where(sep["valid"] > 0, _tls(chi2_pre, mu, barc_sq),
+                          0.0)
         # coarse two-level accelerator (identical replicated computation
         # on every device); bias-free, so it can run every sweep —
         # ``coarse_on`` exists to disable it for A/B measurements
@@ -411,7 +410,8 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
         # weighting each endpoint by its own chi2 can cut an edge on one
         # device and keep it on the other near the TLS boundary.)
         _, chi2_canon = _sep_residuals(all_poses, sep)
-        w_canon = jnp.where(sep["valid"] > 0, tls_or_ones(chi2_canon), 0.0)
+        w_canon = jnp.where(sep["valid"] > 0,
+                            _tls(chi2_canon, mu, barc_sq), 0.0)
         w_sep = jnp.where(valid > 0, w_canon, 0.0)
         info = info * jnp.sqrt(w_sep)[:, None]
         # damped consensus: pull each endpoint only to the geodesic
@@ -454,7 +454,7 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
         from cslam_tpu.pgo.solver import edge_residuals
         r_loc = edge_residuals(g.poses, g_local)
         chi2_loc = jnp.sum(r_loc * r_loc, axis=-1)
-        weights = jnp.where(g.robust > 0, tls_or_ones(chi2_loc), 1.0)
+        weights = jnp.where(g.robust > 0, _tls(chi2_loc, mu, barc_sq), 1.0)
         res = lm_optimize(g_local, weights,
                           max_iters=lm_iters, cg_iters=cg_iters)
         return res.poses[None], w_sep_global
@@ -464,7 +464,7 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
         in_specs=(jax.tree_util.tree_map(lambda _: pspec_local,
                                          _template_spec()),
                   pspec_repl,  # pytree prefix: whole sep dict replicated
-                  pspec_repl, pspec_repl, pspec_repl),
+                  pspec_repl, pspec_repl),
         out_specs=(pspec_local, pspec_repl), check_vma=False)
 
 
@@ -494,8 +494,7 @@ def make_distributed_step(mesh: Mesh, lm_iters: int = 15,
 
             @jax.jit
             def _step(local, sep, mu, coarse):
-                new_poses, _ = sharded(local, sep, mu, coarse,
-                                       jnp.bool_(False))
+                new_poses, _ = sharded(local, sep, mu, coarse)
                 return PoseGraphArrays(
                     new_poses, local.node_valid, local.edge_i,
                     local.edge_j, local.meas, local.sqrt_info,
@@ -531,7 +530,7 @@ def make_distributed_solve(mesh: Mesh, max_sweeps: int = 30,
                            mu0: Optional[float] = None,
                            mu_step: float = 1.6, tol: float = 1e-3,
                            final_lm_iters: int = 25, init_sweeps: int = 2,
-                           mu0_chi2_cap: float = 50.0,
+                           mu0_chi2_cap: float = 500.0,
                            coarse_sweeps: int = 1 << 30):
     """Build the jitted FULL robust distributed solve: one device dispatch.
 
@@ -586,19 +585,20 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
         nb_sep = sep["valid"].shape[0]
 
         # phase 0: ROBUST init sweeps at mu = 1 — TLS weight 1 for edges
-        # with chi2 below 2*barc, 0 beyond barc/2... i.e. plausible edges
-        # count fully while gross outliers are already excluded. This is
-        # deliberately NOT the centralized solver's unweighted initial LM:
-        # forcing weight 1 on everything lets a 15 m outlier separator
-        # yank two blocks together during init, and the sweep recovers far
-        # slower than centralized LM does (measured on 8x256 + 2 outliers:
-        # final ATE 1.76 vs 0.17 with robust init). A genuinely-strained
-        # genuine edge cut here re-enters later: mu0 below is derived from
-        # its post-init chi2, so graduation starts permissive enough.
+        # with chi2 below barc_sq/2, smoothly to 0 beyond 2*barc_sq, i.e.
+        # plausible edges count fully while gross outliers are excluded.
+        # This is deliberately NOT the centralized solver's unweighted
+        # initial LM: forcing weight 1 on everything lets a 15 m outlier
+        # separator yank two blocks together during init, and the sweep
+        # recovers far slower than a centralized LM does (measured on
+        # 8x256 + 2 outliers: final ATE 1.76 vs 0.17 with robust init).
+        # A genuine edge cut here re-enters later: mu0 below is derived
+        # from its post-init chi2 with a wide cap (mu0_chi2_cap), so
+        # graduation starts permissive enough for everything short of
+        # outlier-magnitude drift.
         def init_body(_, poses):
             new_poses, _w = sharded(with_poses(poses), sep,
-                                    jnp.float32(1.0), jnp.bool_(True),
-                                    jnp.bool_(False))
+                                    jnp.float32(1.0), jnp.bool_(True))
             return new_poses
         poses0 = jax.lax.fori_loop(0, init_sweeps, init_body, local.poses)
 
@@ -633,7 +633,7 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
         def body(state):
             poses, mu, it, w_prev, _, _ = state
             new_poses, w = sharded(with_poses(poses), sep, mu,
-                                   it < coarse_sweeps, jnp.bool_(False))
+                                   it < coarse_sweeps)
             delta = jnp.max(jnp.abs(new_poses - poses))
             binary = jnp.all(jnp.logical_or(w < 1e-3, w > 1.0 - 1e-3))
             stable = jnp.max(jnp.abs(w - w_prev)) < 1e-3
@@ -648,7 +648,7 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
         poses, mu, sweeps, w, _, delta = jax.lax.while_loop(cond, body, init)
         # final polish sweep at full LM budget and the converged mu
         poses, w = final_sharded(with_poses(poses), sep, mu,
-                                 jnp.bool_(False), jnp.bool_(False))
+                                 jnp.bool_(False))
         return poses, sweeps, delta, w
 
     return solve
@@ -708,7 +708,12 @@ def distributed_optimize(problem: ShardedPoseGraph, mesh: Mesh,
     local = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), local)
     if warm:
-        mu0, init_sweeps = 1e6, 0
+        # one mu = 1 gating sweep first (new genuine loop closures with
+        # accumulated drift get a nonzero mid-zone weight and pull the
+        # blocks before the hard refresh — mirroring gnc_reoptimize's
+        # init-gated weighted LM + hard-TLS refresh), then saturated mu
+        assert mu0 is None, "warm=True sets mu0=1e6 (hard TLS); don't mix"
+        mu0, init_sweeps = 1e6, 1
     else:
         init_sweeps = 2
     # reuse the built solver across calls (steady-state rounds must not

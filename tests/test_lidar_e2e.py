@@ -221,4 +221,6 @@ def test_three_robot_lidar_swarm_scale():
     ate_odo = rmse({i: drifted[0][i] for i in range(n_scenes)}, gt[0])
     ate_opt = rmse(est, gt[0])
     assert np.isfinite(ate_opt)
-    assert ate_opt <= ate_odo + 0.05
+    # strict: loop closures verified, so the solve must actually improve
+    # on dead reckoning (a no-op optimizer returning odometry fails here)
+    assert ate_opt < ate_odo, f"no improvement: {ate_opt} vs {ate_odo}" 
