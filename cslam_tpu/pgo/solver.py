@@ -403,7 +403,7 @@ class GncResult(NamedTuple):
 def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
                  lm_iters: int = 30, cg_iters: int = 150,
                  barc_sq: float = 16.81, mu_step: float = 2.0,
-                 graduation_lm_iters: int = 3,
+                 graduation_lm_iters: int = 4,
                  mu0_chi2_cap: float = 50.0) -> GncResult:
     """Graduated non-convexity (TLS) robust PGO.
 
@@ -422,11 +422,12 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
     ``backend.gnc_mu_step: 1.4`` to restore the GTSAM schedule.
 
     Wall-clock design: each graduation step runs a short warm-started LM
-    (``graduation_lm_iters``, default 3 — across 20 randomized
-    multi-loop/outlier scenarios plus the 500-pose benchmark graph, 3
-    produced bit-identical ATE / outlier rejection / false rejections to
-    4 at 21% less wall-clock; 2 degraded ATE and falsely rejected a
-    genuine loop), only the final weights get the full LM polish; and
+    (``graduation_lm_iters``; do NOT lower the default 4 — 3 measured
+    bit-identical quality at 21% less wall-clock on 20 randomized
+    scenarios up to ~550 poses, but on a 2048-pose 8-robot graph it
+    degraded ATE 0.154 -> 0.237 m and falsely rejected a genuine loop
+    closure; the short inner solves under-track graduation on large
+    graphs), only the final weights get the full LM polish; and
     ``mu0`` is initialized from chi2 capped at ``mu0_chi2_cap * barc_sq``
     instead of the raw maximum — gross outliers beyond the cap start at
     weight 0 immediately (they need no graduation), which bounds the
