@@ -71,6 +71,23 @@ class TestNativeFeatures:
         desc_f = fallback.brief_describe(img, xy_n)
         np.testing.assert_array_equal(desc_n, desc_f)
 
+    def test_ratio_match_native_matches_fallback(self):
+        """Lowe-ratio + zero-descriptor exclusion: C++ and numpy paths
+        must produce identical match sets."""
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 256, (60, 32), dtype=np.uint8)
+        b = rng.integers(0, 256, (70, 32), dtype=np.uint8)
+        b[5] = a[3]          # exact match
+        b[11] = a[3]         # ambiguous duplicate (ratio test target)
+        a[7] = 0             # border sentinel must be excluded
+        b[9] = 0
+        for ratio in (0.0, 0.8, 1.0):
+            m_native = native.hamming_match(a, b, max_dist=200, ratio=ratio)
+            m_fb = fallback.hamming_match(a, b, max_dist=200, ratio=ratio)
+            np.testing.assert_array_equal(m_native, m_fb)
+            for i, j in m_native:
+                assert a[i].any() and b[j].any()  # no sentinel matches
+
     def test_matching_across_translated_view(self):
         rng = np.random.default_rng(1)
         pts, tex = make_world(rng)
