@@ -128,8 +128,13 @@ def main():
         f"need {args.robots} devices, have {len(devices)}")
     mesh = Mesh(np.array(devices[:args.robots]), (AXIS,))
     rng = np.random.default_rng(0)
-    gt, problem, central, n_sep = build(args.robots, args.poses, rng,
-                                        args.sep_every)
+    # input construction uses device se3 ops: on TPU it MUST run at
+    # highest matmul precision or the measurements themselves are
+    # contaminated (bf16 passes), masquerading as solver bugs (CLAUDE.md:
+    # ATE 20 m / 19 false rejections from exactly this).
+    with jax.default_matmul_precision("highest"):
+        gt, problem, central, n_sep = build(args.robots, args.poses, rng,
+                                            args.sep_every)
     init_est = {k: central.get_pose(k) for k in gt}
     ate_init = ate(init_est, gt)
 

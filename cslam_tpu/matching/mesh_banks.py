@@ -31,9 +31,10 @@ def make_mesh_search(mesh: Mesh, k: int, capacity: Optional[int] = None):
     """Build the jitted sharded search: every device searches its local bank,
     results are gathered. Returns f(banks, inv_norms, counts, queries) ->
     (sims [R, B, k], idx [R, B, k])."""
+    from cslam_tpu.ops.nns_pallas import KERNEL_K, TILE_N
     fused_ok = (all(d.platform == "tpu" for d in mesh.devices.flat)
-                and k <= 10
-                and capacity is not None and capacity % 4096 == 0)
+                and k <= KERNEL_K
+                and capacity is not None and capacity % TILE_N == 0)
     if fused_ok:
         # same fused Pallas bank-scan kernel as the single-bank hot path
         # (measured 234k -> 646k q/s at 131k rows vs the XLA top_k); the

@@ -129,8 +129,11 @@ class TCosPlace(tnn.Module):
 
 
 class TNetVLADLayer(tnn.Module):
-    """NetVLAD pooling replica incl. the reference's per-cluster residual
-    loop (netvlad.py:94-130)."""
+    """NetVLAD pooling torch oracle, state_dict-compatible with the
+    reference layout (netvlad.py:94-130) but computed as one batched
+    matmul: vlad[n,k,:] = sum_p a[n,k,p] * (x[n,:,p] - centroid[k]), which
+    distributes to  a @ x^T - (sum_p a) * centroid  — no per-cluster loop.
+    """
 
     def __init__(self, K=64, C=512):
         super().__init__()
@@ -141,15 +144,10 @@ class TNetVLADLayer(tnn.Module):
     def forward(self, x):
         N, C = x.shape[:2]
         x = F.normalize(x, p=2, dim=1)
-        soft = F.softmax(self.conv(x).view(N, self.K, -1), dim=1)
-        xf = x.view(N, C, -1)
-        vlad = torch.zeros(N, self.K, C)
-        for k in range(self.K):  # the reference's per-cluster loop
-            residual = xf.unsqueeze(0).permute(1, 0, 2, 3) - \
-                self.centroids[k:k + 1].expand(xf.size(-1), -1, -1) \
-                    .permute(1, 2, 0).unsqueeze(0)
-            residual = residual * soft[:, k:k + 1, :].unsqueeze(2)
-            vlad[:, k:k + 1, :] = residual.sum(dim=-1)
+        soft = F.softmax(self.conv(x).view(N, self.K, -1), dim=1)  # [N,K,P]
+        xf = x.view(N, C, -1)                                      # [N,C,P]
+        vlad = (torch.bmm(soft, xf.transpose(1, 2))
+                - soft.sum(dim=2, keepdim=True) * self.centroids[None])
         vlad = F.normalize(vlad, p=2, dim=2).view(N, -1)
         return F.normalize(vlad, p=2, dim=1)
 

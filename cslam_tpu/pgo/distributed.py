@@ -44,7 +44,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cslam_tpu.ops import se3
+from cslam_tpu.ops import highest_precision, se3
 from cslam_tpu.pgo.factor_graph import FactorGraph, PoseGraphArrays, _tier
 from cslam_tpu.pgo.solver import lm_optimize
 from cslam_tpu.types import PoseGraphEdge
@@ -146,9 +146,9 @@ class ShardedPoseGraph:
         seg_len = max((np_tier + M - 1) // M, 1)
         crossing = []
         for rid, graph in enumerate(self.local_graphs):
-            for (i, j, z, s, _rb) in graph._edges:
+            for (i, j, z, s, rb) in graph._edges:
                 if min(i // seg_len, M - 1) != min(j // seg_len, M - 1):
-                    crossing.append((rid, i, j, z, s))
+                    crossing.append((rid, i, j, z, s, rb))
         nc = _tier(max(len(crossing), 1), minimum=8)
         cr_r = np.zeros(nc, np.int32)
         cr_ki = np.zeros(nc, np.int32)
@@ -156,11 +156,13 @@ class ShardedPoseGraph:
         cr_meas = np.tile(np.eye(4, dtype=np.float32), (nc, 1, 1))
         cr_info = np.ones((nc, 6), np.float32)
         cr_valid = np.zeros(nc, np.float32)
-        for i, (rid, ki, kj, z, s) in enumerate(crossing):
+        cr_robust = np.zeros(nc, np.float32)
+        for i, (rid, ki, kj, z, s, rb) in enumerate(crossing):
             cr_r[i], cr_ki[i], cr_kj[i] = rid, ki, kj
             cr_meas[i] = z.astype(np.float32)
             cr_info[i] = (1.0 / np.maximum(s, 1e-9)).astype(np.float32)
             cr_valid[i] = 1.0
+            cr_robust[i] = 1.0 if rb else 0.0
 
         separators = {
             "r0": jnp.asarray(sep_r0), "k0": jnp.asarray(sep_k0),
@@ -173,6 +175,7 @@ class ShardedPoseGraph:
                 "kj": jnp.asarray(cr_kj), "meas": jnp.asarray(cr_meas),
                 "sqrt_info": jnp.asarray(cr_info),
                 "valid": jnp.asarray(cr_valid),
+                "robust": jnp.asarray(cr_robust),
             },
         }
         return stacked, separators
@@ -270,7 +273,8 @@ def _sep_residuals(all_poses, sep):
 
 
 def _coarse_alignment(all_poses, sep, w_sep, cross, nb_robots: int,
-                      segments: int, seg_len: int, iters: int = 3):
+                      segments: int, seg_len: int, mu=None,
+                      barc_sq: float = 16.81, iters: int = 3):
     """Aggregation-multigrid coarse level: one rigid SE(3) correction per
     CHAIN SEGMENT (``segments`` per robot), solved as a replicated tiny
     Gauss-Newton problem and applied to the gathered pose blocks.
@@ -301,6 +305,27 @@ def _coarse_alignment(all_poses, sep, w_sep, cross, nb_robots: int,
                  "sqrt_info": jnp.ones((1, 6), dtype),
                  "valid": jnp.zeros(1, dtype)}
 
+    # TLS-reweight robust crossing edges (intra-robot loop closures that
+    # cross segment boundaries) from their current chi2 at the same mu the
+    # fine level uses. Without this, an outlier intra loop closure that the
+    # local solve has TLS-cut (weight 0) would still enter the coarse GN
+    # at full weight every sweep — dragging the segments toward it while
+    # the local solves pull back, which breaks the "joint optimum is a
+    # stationary point of the coarse problem" property. Non-robust
+    # odometry crossing edges keep weight 1.
+    w_cross = cross["valid"]
+    if mu is not None and "robust" in cross:
+        def cr_res(r, ki, kj, Z, si_e):
+            e = se3.log(se3.inverse(Z) @ se3.inverse(all_poses[r, ki])
+                        @ all_poses[r, kj])
+            return e * si_e
+        r_cr = jax.vmap(cr_res)(cross["r"], cross["ki"], cross["kj"],
+                                cross["meas"], cross["sqrt_info"])
+        chi2_cr = jnp.sum(r_cr * r_cr, axis=-1)
+        w_cross = jnp.where(cross["robust"] > 0,
+                            _tls(chi2_cr, mu, barc_sq),
+                            1.0) * cross["valid"]
+
     # unified coarse edge list: separators + crossing intra edges
     # endpoints as (robot, local pose index); separator weights dynamic
     r0 = jnp.concatenate([sep["r0"], cross["r"]])
@@ -309,7 +334,7 @@ def _coarse_alignment(all_poses, sep, w_sep, cross, nb_robots: int,
     k1 = jnp.concatenate([sep["k1"], cross["kj"]])
     meas = jnp.concatenate([sep["meas"], cross["meas"]])
     si = jnp.concatenate([sep["sqrt_info"], cross["sqrt_info"]])
-    w = jnp.concatenate([w_sep, cross["valid"]])
+    w = jnp.concatenate([w_sep, w_cross])
     v0 = r0 * M + jnp.minimum(k0 // seg_len, M - 1)
     v1 = r1 * M + jnp.minimum(k1 // seg_len, M - 1)
     E = int(v0.shape[0])
@@ -397,7 +422,8 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
         if coarse_iters > 0:
             aligned = _coarse_alignment(
                 all_poses, sep, w_pre, sep.get("cross"), nb_robots,
-                segments, seg_len, iters=coarse_iters)
+                segments, seg_len, mu=mu, barc_sq=barc_sq,
+                iters=coarse_iters)
             all_poses = jnp.where(coarse_on, aligned, all_poses)
         my_poses = all_poses[me]
 
@@ -493,6 +519,7 @@ def make_distributed_step(mesh: Mesh, lm_iters: int = 15,
                                           seg_len=seg_len)
 
             @jax.jit
+            @highest_precision
             def _step(local, sep, mu, coarse):
                 new_poses, _ = sharded(local, sep, mu, coarse)
                 return PoseGraphArrays(
@@ -574,7 +601,13 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
                        barc_sq, tol, init_sweeps, mu0_chi2_cap,
                        coarse_sweeps):
     @jax.jit
+    @highest_precision
     def solve(local: PoseGraphArrays, sep: dict):
+        # highest_precision: ALL device math traced here (coarse GN normal
+        # equations, canonical separator chi2, geodesic midpoints, adaptive
+        # mu0) must run at full f32 on TPU — bf16 matmul passes degrade
+        # chi2 enough to flip TLS weights near the inlier boundary
+        # (CLAUDE.md hard-won fact; CPU tests cannot catch this).
         def with_poses(poses):
             return PoseGraphArrays(
                 poses, local.node_valid, local.edge_i, local.edge_j,

@@ -82,14 +82,20 @@ class MessageBus:
     def _enqueue(self, topic: str, msg: Any, src_robot: int) -> None:
         subs = self._subs.get(topic, ())
         reliable = not subs or any(s.queue is None for s in subs)
+        seen_best_effort = []
         for s in subs:
             if s.queue is not None:
                 if len(s.queue) == s.queue.maxlen:
                     self.messages_dropped += 1  # drop-oldest (deque maxlen)
                 s.queue.append((msg, src_robot))
+                seen_best_effort.append(s)
         if reliable:
-            # topics without subscribers keep the original queued behavior
-            self._queue.append((topic, msg, src_robot))
+            # topics without subscribers keep the original queued behavior;
+            # seen_best_effort records which bounded queues already took
+            # the message so deliver() can route it to best-effort
+            # subscribers added between publish and deliver without
+            # double-delivering.
+            self._queue.append((topic, msg, src_robot, seen_best_effort))
 
     def _flush_best_effort(self) -> int:
         flushed = 0
@@ -116,13 +122,19 @@ class MessageBus:
                 if not self._queue and flushed == 0:
                     break
                 continue
-            topic, msg, src = self._queue.popleft()
+            topic, msg, src, seen = self._queue.popleft()
             if self.link_filter is not None and not self.link_filter(
                     src, topic, msg):
                 continue
             for s in self._subs.get(topic, ()):
-                if s.queue is None:  # reliable subscribers only
+                if s.queue is None:  # reliable subscribers
                     s.callback(msg)
+                elif s not in seen:
+                    # best-effort subscriber added after publish: route
+                    # through its bounded queue (flushed this same drain)
+                    if len(s.queue) == s.queue.maxlen:
+                        self.messages_dropped += 1
+                    s.queue.append((msg, src))
             delivered += 1
         self.messages_delivered += delivered
         return delivered

@@ -101,26 +101,25 @@ class StereoCameraModel:
             # once-only warning (stereo_handler.cpp:152-182)
             if not cls._warned_fallback:
                 logging.getLogger(__name__).warning(
-                    "Right camera info doesn't have Tx set; using the "
-                    "configured fallback baseline (%.3f m). Prefer a valid "
-                    "right camera info for rectified stereo. This message "
-                    "is only printed once...", fallback_baseline)
+                    "right camera info carries no Tx; falling back to the "
+                    "configured baseline of %.3f m — a rectified right "
+                    "camera info with Tx set is preferable (warned once)",
+                    fallback_baseline)
                 cls._warned_fallback = True
             baseline = float(fallback_baseline)
         if baseline <= 0.0:
             # reference: error + drop frame (stereo_handler.cpp:185-194)
             raise StereoBaselineError(
-                f"The stereo baseline ({baseline}) should be positive "
-                "(baseline=-Tx/fx). We assume a horizontal left/right "
-                "stereo setup where the Tx (or P(0,3)) is negative in the "
-                "right camera info.")
+                f"computed stereo baseline {baseline} m is not positive; "
+                "for a horizontal rectified pair the right camera's "
+                "P(0,3) (= Tx) must be negative so that -Tx/fx > 0")
         if baseline > cls.MAX_SANE_BASELINE and not cls._warned_large:
             # reference: once-only plausibility warning (cpp:196-205)
             logging.getLogger(__name__).warning(
-                "Detected baseline (%f m) is quite large! Is your right "
-                "camera info P(0,3) correctly set? Note that "
-                "baseline=-P(0,3)/P(0,0). This warning is printed only "
-                "once.", baseline)
+                "stereo baseline of %f m (from -P(0,3)/P(0,0)) exceeds "
+                "the %.0f m plausibility bound — check the right camera "
+                "projection matrix (warned once)",
+                baseline, cls.MAX_SANE_BASELINE)
             cls._warned_large = True
         return cls(left, right, baseline)
 

@@ -329,7 +329,8 @@ class TestStereoCameraModel:
             m = StereoCameraModel.from_camera_infos(left, right)
             StereoCameraModel.from_camera_infos(left, right)
         assert m.baseline == pytest.approx(25.0)  # accepted, but flagged
-        assert sum("quite large" in r.message for r in caplog.records) == 1
+        assert sum("plausibility bound" in r.message
+                   for r in caplog.records) == 1
 
     def test_disparity_to_depth(self):
         from cslam_tpu.runtime.rgbd_frontend import StereoCameraModel
