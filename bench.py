@@ -3,9 +3,13 @@
 
 This is the reference's ranked-#1 hot loop (``cslam/nns_matching.py:42`` —
 "searching from 100000 items consume 30ms" on CPU, i.e. ~33 q/s) rebuilt as
-the fused Pallas bank-scan kernel (``cslam_tpu.ops.nns_pallas``): one MXU
-similarity matmul + in-VMEM iterative top-k per tile, one HBM pass over the
-bank.
+the streaming Pallas bank-scan kernel (``cslam_tpu.ops.nns_pallas``
+``cosine_topk_fused2``): one MXU similarity matmul per tile, per-column
+compare-select top-2 chains on the VPU (no cross-lane argmax iterations),
+candidates held in VMEM scratch and merged to the exact top-k at the last
+grid step. Roofline: 459 GB/s effective at batch 256 = 56% of a v5e's
+~819 GB/s HBM peak (a matmul+single-max probe measures 81%; see
+benchmarks/nns_kernel_probe.py and BENCH.md for the full statement).
 
 Measurement protocol (the TPU here sits behind a relay with ~30 ms
 round-trip latency, and dispatch loops do not reliably serialize through
@@ -27,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cslam_tpu.ops import topk as topk_ops
-from cslam_tpu.ops.nns_pallas import cosine_topk_fused
+from cslam_tpu.ops.nns_pallas import cosine_topk_fused2_pre
 
 BANK_CAPACITY = 131072      # 2^17 rows (covers the 100k-keyframe scenario)
 VALID_ROWS = 100000
@@ -46,7 +50,13 @@ def main():
     inv_norms = jnp.ones((BANK_CAPACITY,), jnp.float32)
     n = jnp.int32(VALID_ROWS)
     on_tpu = jax.devices()[0].platform != "cpu"
-    search = cosine_topk_fused if on_tpu else topk_ops.cosine_topk
+    if on_tpu:
+        # bank rows are unit vectors; the streaming kernel takes the
+        # prenormalized bank directly (no per-dispatch inv multiply)
+        def search(bank, inv_norms, n, queries, k):
+            return cosine_topk_fused2_pre(bank, n, queries, k)
+    else:
+        search = topk_ops.cosine_topk
 
     # correctness cross-check + top-1 self-retrieval sanity
     probe = bank[:8]

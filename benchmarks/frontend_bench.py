@@ -23,7 +23,7 @@ import jax.numpy as jnp  # noqa: E402
 from cslam_tpu.models.cosplace import CosPlace  # noqa: E402
 from cslam_tpu.models.netvlad import NetVLAD  # noqa: E402
 from cslam_tpu.ops import topk as topk_ops  # noqa: E402
-from cslam_tpu.ops.nns_pallas import cosine_topk_fused  # noqa: E402
+from cslam_tpu.ops.nns_pallas import cosine_topk_fused2  # noqa: E402
 
 BANK_CAPACITY = 131072
 VALID_ROWS = 100000
@@ -76,7 +76,7 @@ def main():
         def step(variables, imgs, bank, inv_norms, n):
             desc = forward(variables, imgs)
             if on_tpu:
-                sims, idx = cosine_topk_fused(bank, inv_norms, n, desc, K)
+                sims, idx = cosine_topk_fused2(bank, inv_norms, n, desc, K)
             else:
                 sims, idx = topk_ops.cosine_topk(bank, inv_norms, n, desc, K)
             new_bank, new_inv = topk_ops.update_rows(bank, inv_norms, desc, n)

@@ -29,7 +29,7 @@ from jax.sharding import Mesh  # noqa: E402
 
 from cslam_tpu.matching.mesh_banks import AXIS, make_mesh_search  # noqa: E402
 from cslam_tpu.ops import topk as topk_ops  # noqa: E402
-from cslam_tpu.ops.nns_pallas import cosine_topk_fused  # noqa: E402
+from cslam_tpu.ops.nns_pallas import cosine_topk_fused2  # noqa: E402
 
 DIM = 64
 K = 8
@@ -62,7 +62,7 @@ def main():
     queries = jnp.asarray(rng.standard_normal(
         (SCAN_BATCHES, BATCH, DIM)).astype(np.float32))
 
-    direct = cosine_topk_fused if on_tpu else topk_ops.cosine_topk
+    direct = cosine_topk_fused2 if on_tpu else topk_ops.cosine_topk
 
     # correctness: sharded result == direct result
     sims_m, idx_m = mesh_search(banks, inv_norms, counts, queries[0])

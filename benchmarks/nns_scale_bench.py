@@ -24,7 +24,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from cslam_tpu.ops import topk as topk_ops  # noqa: E402
-from cslam_tpu.ops.nns_pallas import cosine_topk_fused  # noqa: E402
+from cslam_tpu.ops.nns_pallas import cosine_topk_fused2_pre  # noqa: E402
 
 DIM = 64
 BATCH = 256
@@ -42,7 +42,13 @@ def _timed(fn):
 def main():
     rng = np.random.default_rng(0)
     on_tpu = jax.devices()[0].platform != "cpu"
-    search = cosine_topk_fused if on_tpu else topk_ops.cosine_topk
+    if on_tpu:
+        # unit bank rows -> prenormalized kernel entry (no per-dispatch
+        # bank rewrite; see BENCH.md round-3 notes)
+        def search(bank, inv_norms, n, queries, k):
+            return cosine_topk_fused2_pre(bank, n, queries, k)
+    else:
+        search = topk_ops.cosine_topk
 
     @jax.jit
     def rtt_probe(x):

@@ -31,16 +31,19 @@ def make_mesh_search(mesh: Mesh, k: int, capacity: Optional[int] = None):
     """Build the jitted sharded search: every device searches its local bank,
     results are gathered. Returns f(banks, inv_norms, counts, queries) ->
     (sims [R, B, k], idx [R, B, k])."""
-    from cslam_tpu.ops.nns_pallas import KERNEL_K, TILE_N
+    from cslam_tpu.ops.nns_pallas import MAX_K, TILE_N
     fused_ok = (all(d.platform == "tpu" for d in mesh.devices.flat)
-                and k <= KERNEL_K
+                and k <= MAX_K
                 and capacity is not None and capacity % TILE_N == 0)
     if fused_ok:
-        # same fused Pallas bank-scan kernel as the single-bank hot path
-        # (measured 234k -> 646k q/s at 131k rows vs the XLA top_k); the
-        # kernel needs 4096-row-aligned capacity and k <= 10, otherwise
-        # fall back to the XLA path
-        from cslam_tpu.ops.nns_pallas import cosine_topk_fused as _search
+        # same streaming Pallas bank-scan kernel as the single-bank hot
+        # path; banks are stored as unit rows, so the prenormalized entry
+        # point applies. The kernel needs TILE_N-row-aligned capacity and
+        # k <= MAX_K, otherwise fall back to the XLA path.
+        from cslam_tpu.ops.nns_pallas import cosine_topk_fused2_pre
+
+        def _search(bank, inv_norms, count, queries, k):
+            return cosine_topk_fused2_pre(bank, count, queries, k)
     else:
         _search = topk_ops.cosine_topk
 
@@ -96,10 +99,12 @@ class MeshDescriptorBanks:
     def _sync(self) -> None:
         if (self._banks is None
                 or np.any(self._device_counts != self._counts)):
-            banks = jnp.asarray(self._host)
-            norms = np.linalg.norm(self._host, axis=-1)
-            inv = (1.0 / np.maximum(norms, 1e-12)).astype(np.float32)
-            self._banks = jax.device_put(banks, self._sharding)
+            # device banks store UNIT rows (see topk.update_rows_unit);
+            # inv_norms is all-ones for the XLA fallback path
+            norms = np.linalg.norm(self._host, axis=-1, keepdims=True)
+            unit = (self._host / np.maximum(norms, 1e-12)).astype(np.float32)
+            inv = np.ones(self._host.shape[:2], np.float32)
+            self._banks = jax.device_put(jnp.asarray(unit), self._sharding)
             self._inv_norms = jax.device_put(jnp.asarray(inv), self._sharding)
             self._counts_dev = jax.device_put(jnp.asarray(self._counts),
                                               self._sharding)

@@ -98,15 +98,17 @@ class DescriptorBank:
         self._device_n = 0
 
     def _sync_device(self) -> None:
+        # the device mirror stores UNIT rows (inv_norms stays all-ones):
+        # the streaming kernel then needs no per-dispatch normalization
+        # pass, and the XLA paths' inv multiply is a no-op
         if self._bank is None:
             self._bank = jnp.zeros((self._capacity, self.dim), jnp.float32)
             self._inv_norms = jnp.ones((self._capacity,), jnp.float32)
             self._device_n = 0
         if self._device_n < self.n:
             chunk = self._host[self._device_n:self.n]
-            self._bank, self._inv_norms = topk_ops.update_rows(
-                self._bank, self._inv_norms, jnp.asarray(chunk),
-                jnp.int32(self._device_n))
+            self._bank = topk_ops.update_rows_unit(
+                self._bank, jnp.asarray(chunk), jnp.int32(self._device_n))
             self._device_n = self.n
 
     # ------------------------------------------------------------------
@@ -145,8 +147,8 @@ class DescriptorBank:
         queries = jnp.asarray(queries, dtype=jnp.float32)
         if self._use_fused_kernel(k):
             from cslam_tpu.ops import nns_pallas
-            sims, idx = nns_pallas.cosine_topk_fused(
-                self._bank, self._inv_norms, jnp.int32(self.n), queries, k)
+            sims, idx = nns_pallas.cosine_topk_fused2_pre(
+                self._bank, jnp.int32(self.n), queries, k)
             return np.asarray(sims), np.asarray(idx)
         kb = min(_k_bucket(k), self._capacity)
         sims, idx = topk_ops.cosine_topk(
@@ -155,7 +157,7 @@ class DescriptorBank:
 
     def _use_fused_kernel(self, k: int) -> bool:
         from cslam_tpu.ops import nns_pallas
-        if (k > nns_pallas.KERNEL_K
+        if (k > nns_pallas.MAX_K
                 or self._capacity % nns_pallas.TILE_N != 0):
             return False
         return jax.devices()[0].platform not in ("cpu",)

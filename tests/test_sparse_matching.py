@@ -265,3 +265,64 @@ class TestFusedPallasKernel:
         np.testing.assert_array_equal(np.asarray(ri)[:, :5],
                                       np.asarray(fi)[:, :5])
         assert np.isneginf(np.asarray(fv)[:, 5:]).all()
+
+
+class TestStreamingFusedKernel:
+    """Interpret-mode checks of the round-3 streaming kernel
+    (``cosine_topk_fused2``) against the XLA path: exact indices and
+    values including duplicate descriptors (ties), partial validity, and
+    randomized bank/count fuzz."""
+
+    def _check(self, bank, n, q, k):
+        import jax.numpy as jnp
+        from cslam_tpu.ops import topk as topk_ops
+        from cslam_tpu.ops.nns_pallas import cosine_topk_fused2
+        inv = (1.0 / np.maximum(np.linalg.norm(bank, axis=1),
+                                1e-12)).astype(np.float32)
+        rv, ri = topk_ops.cosine_topk(jnp.asarray(bank), jnp.asarray(inv),
+                                      jnp.int32(n), jnp.asarray(q), k)
+        fv, fi = cosine_topk_fused2(jnp.asarray(bank), jnp.asarray(inv),
+                                    jnp.int32(n), jnp.asarray(q), k,
+                                    interpret=True)
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(fi))
+        np.testing.assert_allclose(np.asarray(rv), np.asarray(fv),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_exact_agreement_with_xla_path(self):
+        from cslam_tpu.ops.nns_pallas import TILE_N
+        rng = np.random.default_rng(7)
+        N = 2 * TILE_N
+        bank = rng.standard_normal((N, 32)).astype(np.float32)
+        q = rng.standard_normal((8, 32)).astype(np.float32)
+        self._check(bank, N - TILE_N // 2, q, 10)
+
+    def test_duplicate_descriptors_tie_order(self):
+        """Triplicated bank rows: ascending-index tie order must match
+        lax.top_k exactly (the in-kernel merge's lex rule)."""
+        from cslam_tpu.ops.nns_pallas import TILE_N
+        rng = np.random.default_rng(9)
+        N = 2 * TILE_N
+        bank = rng.standard_normal((N, 32)).astype(np.float32)
+        bank[300] = bank[100]
+        bank[TILE_N + 17] = bank[100]
+        q = rng.standard_normal((6, 32)).astype(np.float32)
+        q[2] = bank[100]
+        self._check(bank, N, q, 10)
+
+    def test_tiny_and_partial_counts(self):
+        from cslam_tpu.ops.nns_pallas import TILE_N
+        rng = np.random.default_rng(10)
+        bank = rng.standard_normal((TILE_N, 16)).astype(np.float32)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        for n in (1, 5, 129, TILE_N):
+            self._check(bank, n, q, 8)
+
+    def test_fuzz_random_counts(self):
+        from cslam_tpu.ops.nns_pallas import TILE_N
+        for trial in range(4):
+            rng = np.random.default_rng(100 + trial)
+            N = 2 * TILE_N
+            bank = rng.standard_normal((N, 24)).astype(np.float32)
+            q = rng.standard_normal((5, 24)).astype(np.float32)
+            self._check(bank, int(rng.integers(1, N + 1)), q,
+                        int(rng.integers(1, 12)))
