@@ -1,13 +1,16 @@
 #!/usr/bin/env python3
-"""Secondary benchmark: 5-robot robust PGO wall-clock on real hardware.
+"""Secondary benchmark: multi-robot robust PGO wall-clock on real hardware.
 
 North-star #2 (BASELINE.md): sub-second 5-robot decentralized PGO to
-reference-ATE parity. Builds a 5-robot, 100-keyframes-per-robot graph with
+reference-ATE parity. Builds an N-robot, K-keyframes-per-robot graph with
 noisy odometry, inter-robot loop closures every 10 keyframes and 2 gross
 outliers, then times one cached ``gnc_optimize`` dispatch.
 
-    python benchmarks/pgo_bench.py
+    python benchmarks/pgo_bench.py                      # 5 x 100 headline
+    python benchmarks/pgo_bench.py --robots 8 --poses 256   # 2048, PCG tier
+    python benchmarks/pgo_bench.py --robots 8 --poses 512   # 4096, PCG tier
 """
+import argparse
 import json
 import sys
 import time
@@ -22,7 +25,11 @@ from cslam_tpu.ops import se3  # noqa: E402
 from cslam_tpu.pgo import FactorGraph, gnc_optimize  # noqa: E402
 
 SIGMAS = np.array([0.01] * 3 + [0.1] * 3)
-NB_ROBOTS, NB_POSES = 5, 100
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--robots", type=int, default=5)
+_ap.add_argument("--poses", type=int, default=100)
+_args, _ = _ap.parse_known_args()
+NB_ROBOTS, NB_POSES = _args.robots, _args.poses
 
 
 def circle(robot, n, radius):
@@ -119,7 +126,8 @@ def main():
     ridx = np.nonzero(rb)[0]
     ww = np.asarray(res_w.weights)
     print(json.dumps({
-        "metric": "pgo_5robot_500pose_gnc_wallclock",
+        "metric": (f"pgo_{NB_ROBOTS}robot_"
+                   f"{NB_ROBOTS * NB_POSES}pose_gnc_wallclock"),
         "value": round(dt, 3), "unit": "seconds",
         "ate_init_m": round(init_ate, 3),
         "ate_final_m": round(ate(res.poses), 3),
