@@ -28,10 +28,11 @@ import numpy as np
 
 from cslam_tpu import native
 from cslam_tpu.ops import visual_registration as vreg
+from cslam_tpu.runtime.visualization import create_colored_pointcloud
 from cslam_tpu.types import (InterRobotLoopClosure, IntraRobotLoopClosure,
                              KeyframeOdom, KeyframeRGB, KeyValue,
                              LocalDescriptorsRequest, LocalImageDescriptors,
-                             Odometry)
+                             Odometry, VizPointCloud)
 
 KEYPOINT_BYTES = 28   # reference comm accounting, rgbd_handler.cpp:423-425
 POINT3D_BYTES = 12
@@ -169,6 +170,8 @@ class RGBDFrontEnd:
         self.inter_lc_publisher = ctx.create_publisher(
             "/cslam/inter_robot_loop_closure")
         self.log_publisher = ctx.create_publisher("cslam/log_info")
+        self.viz_publisher = ctx.create_publisher(
+            "/cslam/viz/keyframe_pointcloud")
         ctx.create_timer(
             self.params.get("frontend.map_manager_process_period_ms", 100)
             / 1000.0, self.process_new_sensor_data)
@@ -265,7 +268,25 @@ class RGBDFrontEnd:
         self.keyframe_data_publisher.publish(KeyframeRGB(id=kf_id, image=rgb))
         self.keyframe_odom_publisher.publish(KeyframeOdom(id=kf_id,
                                                           odom=odom))
+        self._publish_viz(kf_id, rgb, depth)
         self.nb_local_keyframes += 1
+
+    def _publish_viz(self, kf_id: int, rgb: np.ndarray,
+                     depth: Optional[np.ndarray]) -> None:
+        """Per-keyframe colored cloud on the viz plane (parity with
+        ``rgbd_handler.cpp:613-682``, which back-projects and publishes a
+        subsampled cloud for each new keyframe when visualization is on)."""
+        if depth is None or not self.params.get("visualization.enable",
+                                                False):
+            return
+        stride = int(self.params.get("visualization.stride", 4))
+        cloud = create_colored_pointcloud(
+            depth, rgb, self.camera.fx, self.camera.fy,
+            self.camera.cx, self.camera.cy,
+            max_depth=self.params.get("visualization.max_depth_m", 50.0),
+            stride=max(stride, 1))
+        self.viz_publisher.publish(VizPointCloud(
+            robot_id=self.robot_id, keyframe_id=kf_id, points=cloud))
 
     # ------------------------------------------------------------------
     # Descriptor exchange (rgbd_handler.cpp:404-431)
@@ -418,3 +439,24 @@ class StereoFrontEnd(RGBDFrontEnd):
         out_desc = (self._describe(gray_l, kp_l) if self.steered_brief
                     else desc_l)  # unsteered: the disparity descriptors ARE
         return KeyframeFeatures(kp_l, kp3d, out_desc)
+
+    def _publish_viz(self, kf_id: int, left: np.ndarray,
+                     right: Optional[np.ndarray]) -> None:
+        """Stereo has no dense depth image; publish the triangulated sparse
+        keypoints colored from the left frame instead of a dense
+        back-projection."""
+        if not self.params.get("visualization.enable", False):
+            return
+        feats = self.features.get(kf_id)
+        if feats is None:
+            return
+        valid = feats.keypoints3d[:, 2] > 0
+        pts = feats.keypoints3d[valid]
+        kp = feats.keypoints[valid]
+        img = np.asarray(left)
+        samples = img[kp[:, 1], kp[:, 0]]
+        colors = (np.stack([samples] * 3, axis=1) if samples.ndim == 1
+                  else samples).astype(np.float32)
+        self.viz_publisher.publish(VizPointCloud(
+            robot_id=self.robot_id, keyframe_id=kf_id,
+            points=np.concatenate([pts.astype(np.float32), colors], axis=1)))

@@ -21,6 +21,7 @@ import pickle
 import socket
 import struct
 import threading
+import time
 from collections import deque
 from typing import Any, Dict, Optional, Tuple
 
@@ -44,6 +45,21 @@ def _read_frame(sock: socket.socket) -> Optional[Tuple[str, Any, int]]:
     if payload is None:
         return None
     return pickle.loads(payload)
+
+
+def _shutdown_close(sock: socket.socket) -> None:
+    """shutdown() before close(): a bare close() while another thread is
+    blocked in recv() on the same fd defers the kernel-side teardown until
+    that recv returns — which it never does. shutdown() sends FIN and wakes
+    the blocked reader immediately."""
+    try:
+        sock.shutdown(socket.SHUT_RDWR)
+    except OSError:
+        pass
+    try:
+        sock.close()
+    except OSError:
+        pass
 
 
 def _read_exact(sock: socket.socket, n: int) -> Optional[bytes]:
@@ -105,34 +121,46 @@ class TransportHub:
     def _drop(self, client: socket.socket) -> None:
         with self._lock:
             self._clients.pop(client, None)
-        try:
-            client.close()
-        except OSError:
-            pass
+        _shutdown_close(client)
 
     def close(self) -> None:
         self._running = False
-        try:
-            self._server.close()
-        except OSError:
-            pass
+        _shutdown_close(self._server)
         with self._lock:
-            for c in self._clients:
-                try:
-                    c.close()
-                except OSError:
-                    pass
+            clients = list(self._clients)
             self._clients.clear()
+        for c in clients:
+            _shutdown_close(c)
 
 
 class NetworkBus(MessageBus):
-    """MessageBus whose queue is fed by a TransportHub connection."""
+    """MessageBus whose queue is fed by a TransportHub connection.
 
-    def __init__(self, hub_address: Tuple[str, int]):
+    The hub is a single broker (the reference's DDS is masterless); to keep
+    the swarm's liveness story at least as strong as the reference's
+    failure model, a dropped hub connection is NOT terminal: the reader
+    thread reconnects with exponential backoff, frames published while
+    disconnected land in a bounded drop-oldest buffer that is flushed on
+    reconnect, and the connection state is surfaced via
+    :meth:`connection_stats` so node heartbeat logic can report it.
+    """
+
+    #: outgoing frames buffered while the hub is unreachable (drop-oldest)
+    PENDING_DEPTH = 1024
+
+    def __init__(self, hub_address: Tuple[str, int],
+                 reconnect: bool = True,
+                 backoff_initial: float = 0.05, backoff_max: float = 2.0):
         super().__init__()
-        self._sock = socket.create_connection(hub_address, timeout=10.0)
-        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        self._sock.settimeout(None)
+        self._address = hub_address
+        self._reconnect = reconnect
+        self._backoff = (backoff_initial, backoff_max)
+        self._sock = self._connect()
+        self.connected = True
+        self.disconnects = 0
+        self.reconnects = 0
+        self.dropped_frames = 0
+        self._pending_out: deque = deque(maxlen=self.PENDING_DEPTH)
         self._inbox: deque = deque()
         self._inbox_lock = threading.Lock()
         self._send_lock = threading.Lock()  # publish() may be multi-threaded
@@ -140,18 +168,83 @@ class NetworkBus(MessageBus):
         self._reader = threading.Thread(target=self._reader_loop, daemon=True)
         self._reader.start()
 
+    def _connect(self) -> socket.socket:
+        sock = socket.create_connection(self._address, timeout=10.0)
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        sock.settimeout(None)
+        return sock
+
     def _reader_loop(self) -> None:
         while self._running:
             frame = _read_frame(self._sock)
-            if frame is None:
+            if frame is not None:
+                with self._inbox_lock:
+                    self._inbox.append(frame)
+                continue
+            # connection lost (or close() shut the socket down)
+            if not self._running:
                 return
-            with self._inbox_lock:
-                self._inbox.append(frame)
+            with self._send_lock:
+                if self.connected:  # publish() may have noticed first
+                    self.connected = False
+                    self.disconnects += 1
+            if not self._reconnect:
+                return
+            delay, cap = self._backoff
+            while self._running:
+                try:
+                    sock = self._connect()
+                except OSError:
+                    # hub still down: back off and retry (daemon thread, so
+                    # a permanently-dead hub costs one sleeping thread)
+                    time.sleep(delay)
+                    delay = min(delay * 2, cap)
+                    continue
+                with self._send_lock:
+                    self._sock = sock
+                    self.connected = True
+                    self.reconnects += 1
+                    pending = list(self._pending_out)
+                    self._pending_out.clear()
+                    try:
+                        for data in pending:
+                            sock.sendall(data)
+                    except OSError:
+                        # hub died again mid-flush: requeue what's left
+                        self._pending_out.extend(pending)
+                        self.connected = False
+                        self.disconnects += 1
+                        continue
+                break
+
+    def connection_stats(self) -> Dict[str, Any]:
+        """Surfaced connection state for heartbeat/metrics planes."""
+        with self._send_lock:
+            return {"connected": self.connected,
+                    "disconnects": self.disconnects,
+                    "reconnects": self.reconnects,
+                    "pending_out": len(self._pending_out),
+                    "dropped_frames": self.dropped_frames}
+
+    def _buffer_out(self, data: bytes) -> None:
+        # caller holds _send_lock; deque maxlen drops oldest silently, so
+        # count the overflow explicitly
+        if len(self._pending_out) == self._pending_out.maxlen:
+            self.dropped_frames += 1
+        self._pending_out.append(data)
 
     def publish(self, topic: str, msg: Any, src_robot: int = -1) -> None:
         data = _encode(topic, msg, src_robot)
         with self._send_lock:
-            self._sock.sendall(data)
+            if not self.connected:
+                self._buffer_out(data)
+                return
+            try:
+                self._sock.sendall(data)
+            except OSError:
+                self.connected = False
+                self.disconnects += 1
+                self._buffer_out(data)
 
     def deliver(self, max_messages: int = 100000) -> int:
         with self._inbox_lock:
@@ -165,7 +258,4 @@ class NetworkBus(MessageBus):
 
     def close(self) -> None:
         self._running = False
-        try:
-            self._sock.close()
-        except OSError:
-            pass
+        _shutdown_close(self._sock)

@@ -181,3 +181,60 @@ class TestTransportStress:
             for b in buses:
                 b.close()
             hub.close()
+
+
+class TestHubResilience:
+    """The hub is a single broker; a dropped hub must not silently
+    partition the swarm forever (round-2 review, transport weak #4)."""
+
+    def test_hub_restart_swarm_resumes(self):
+        hub = TransportHub()
+        host, port = hub.address
+        bus_a = NetworkBus(hub.address)
+        bus_b = NetworkBus(hub.address)
+        try:
+            got_b = []
+            bus_b.subscribe("/cslam/x", got_b.append)
+            bus_a.publish("/cslam/x", 1, src_robot=0)
+            assert wait_for(lambda: bus_b.deliver() or got_b)
+
+            hub.close()
+            # both clients notice the drop and surface it
+            assert wait_for(
+                lambda: not bus_a.connection_stats()["connected"])
+            assert wait_for(
+                lambda: not bus_b.connection_stats()["connected"])
+            # frames published while down are buffered, not lost/raised
+            bus_a.publish("/cslam/x", 2, src_robot=0)
+            stats = bus_a.connection_stats()
+            assert stats["disconnects"] >= 1
+            assert stats["pending_out"] == 1
+
+            hub = TransportHub(host, port)  # same address, new broker
+            assert wait_for(
+                lambda: bus_a.connection_stats()["connected"]
+                and bus_b.connection_stats()["connected"], timeout=10.0)
+            # the buffered frame flushes through the new hub
+            assert wait_for(lambda: bus_b.deliver() or len(got_b) >= 2,
+                            timeout=10.0)
+            # and fresh traffic flows again
+            bus_a.publish("/cslam/x", 3, src_robot=0)
+            assert wait_for(lambda: bus_b.deliver() or len(got_b) >= 3)
+            assert got_b == [1, 2, 3]
+            assert bus_a.connection_stats()["reconnects"] >= 1
+        finally:
+            bus_a.close()
+            bus_b.close()
+            hub.close()
+
+    def test_no_reconnect_mode_stays_down(self):
+        hub = TransportHub()
+        bus = NetworkBus(hub.address, reconnect=False)
+        try:
+            hub.close()
+            assert wait_for(lambda: not bus.connection_stats()["connected"])
+            bus.publish("/cslam/x", 1, src_robot=0)  # buffered, no raise
+            assert bus.connection_stats()["pending_out"] == 1
+        finally:
+            bus.close()
+            hub.close()

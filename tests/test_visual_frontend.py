@@ -510,3 +510,75 @@ class TestRGBDHandlerFlow:
         clock.advance(0.2)
         ctx.poll_timers()
         assert fe.nb_local_keyframes == 2
+
+
+class TestVizPublishing:
+    """Per-keyframe viz clouds (reference rgbd_handler.cpp:613-682)."""
+
+    def test_rgbd_keyframe_publishes_colored_cloud(self):
+        rng = np.random.default_rng(11)
+        pts, tex = make_world(rng)
+        bus, clock = MessageBus(), VirtualClock()
+        ctx = RobotContext(bus, clock, 0, {
+            "robot_id": 0, "max_nb_robots": 2,
+            "frontend.map_manager_process_period_ms": 100,
+            "visualization.enable": True, "visualization.stride": 2})
+        fe = RGBDFrontEnd(ctx, CAM)
+        viz = []
+        bus.subscribe("/cslam/viz/keyframe_pointcloud", viz.append)
+        img, dep = render(pts, tex, np.eye(4))
+        fe.rgbd_callback(img, dep, Odometry(pose=np.eye(4)))
+        clock.advance(0.2)
+        ctx.poll_timers()
+        bus.deliver()
+        assert len(viz) == 1
+        msg = viz[0]
+        assert (msg.robot_id, msg.keyframe_id) == (0, 0)
+        cloud = msg.points
+        assert cloud.ndim == 2 and cloud.shape[1] == 6
+        # every strided valid depth pixel back-projects into the cloud
+        assert cloud.shape[0] == int((dep[::2, ::2] > 0).sum())
+        # back-projection consistency: z column equals the depth samples
+        zs = np.sort(cloud[:, 2])
+        ref = np.sort(dep[::2, ::2][dep[::2, ::2] > 0])
+        np.testing.assert_allclose(zs, ref, atol=1e-5)
+
+    def test_viz_disabled_publishes_nothing(self):
+        rng = np.random.default_rng(11)
+        pts, tex = make_world(rng)
+        bus, clock = MessageBus(), VirtualClock()
+        ctx = RobotContext(bus, clock, 0, {
+            "robot_id": 0, "max_nb_robots": 2,
+            "frontend.map_manager_process_period_ms": 100})
+        fe = RGBDFrontEnd(ctx, CAM)
+        viz = []
+        bus.subscribe("/cslam/viz/keyframe_pointcloud", viz.append)
+        img, dep = render(pts, tex, np.eye(4))
+        fe.rgbd_callback(img, dep, Odometry(pose=np.eye(4)))
+        clock.advance(0.2)
+        ctx.poll_timers()
+        bus.deliver()
+        assert fe.nb_local_keyframes == 1 and not viz
+
+    def test_stereo_keyframe_publishes_sparse_cloud(self):
+        rng = np.random.default_rng(5)
+        pts, tex = make_world(rng, n=60)
+        left = render(pts, tex, np.eye(4), depth_too=False)
+        right = render(pts, tex, pose_xyz_yaw(CAM.baseline, 0, 0),
+                       depth_too=False)
+        bus, clock = MessageBus(), VirtualClock()
+        ctx = RobotContext(bus, clock, 0, {
+            "robot_id": 0, "max_nb_robots": 2,
+            "frontend.map_manager_process_period_ms": 100,
+            "visualization.enable": True})
+        fe = StereoFrontEnd(ctx, CAM)
+        viz = []
+        bus.subscribe("/cslam/viz/keyframe_pointcloud", viz.append)
+        fe.stereo_callback(left, right, Odometry(pose=np.eye(4)))
+        clock.advance(0.2)
+        ctx.poll_timers()
+        bus.deliver()
+        assert len(viz) == 1
+        cloud = viz[0].points
+        assert cloud.shape[1] == 6 and cloud.shape[0] > 15
+        assert np.all(cloud[:, 2] > 0)  # only triangulated points
