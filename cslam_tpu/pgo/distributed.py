@@ -169,6 +169,11 @@ class ShardedPoseGraph:
             "r1": jnp.asarray(sep_r1), "k1": jnp.asarray(sep_k1),
             "meas": jnp.asarray(sep_meas), "sqrt_info": jnp.asarray(sep_info),
             "valid": jnp.asarray(sep_valid),
+            # carried-classification slots (steady-state warm solves fill
+            # these from the previous round; neutral defaults otherwise)
+            "w_carry": jnp.ones(nb_sep, jnp.float32),
+            "carry_known": jnp.zeros(nb_sep, jnp.float32),
+            "carry_on": jnp.float32(0.0),
             "coarse_segments": M, "coarse_seg_len": seg_len,
             "cross": {
                 "r": jnp.asarray(cr_r), "ki": jnp.asarray(cr_ki),
@@ -179,6 +184,15 @@ class ShardedPoseGraph:
             },
         }
         return stacked, separators
+
+    def separator_keys(self) -> List[Tuple[Tuple[int, int],
+                                           Tuple[int, int]]]:
+        """Stable identity of each separator (array slot i <-> key i):
+        ((robot_from, kf_from), (robot_to, kf_to)). Used to carry TLS
+        classification across rounds as the graph grows."""
+        return [((e.key_from.robot_id, e.key_from.keyframe_id),
+                 (e.key_to.robot_id, e.key_to.keyframe_id))
+                for e in self.separators]
 
     def values_from_arrays(self, poses_stacked: np.ndarray
                            ) -> Dict[Tuple[int, int], np.ndarray]:
@@ -413,9 +427,21 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
         # NOT to 1 — it cannot express "unweighted"; any phase needing
         # weight 1 must run at mu where lower = mu/(mu+1)*barc_sq covers
         # the expected chi2 (the init sweeps use mu = 1).
+        def _sep_weights(chi2):
+            """TLS weights at the current mu, optionally overridden by a
+            previous round's carried classification (steady-state warm
+            solves: ``carry_on`` is 1 only during the init gating sweep,
+            and only separators present last round — ``carry_known`` —
+            are overridden; new edges get the normal mu-gate)."""
+            w = _tls(chi2, mu, barc_sq)
+            if "w_carry" in sep:
+                carried = jnp.where(sep["carry_known"] > 0,
+                                    sep["w_carry"], w)
+                w = jnp.where(sep["carry_on"] > 0, carried, w)
+            return jnp.where(sep["valid"] > 0, w, 0.0)
+
         _, chi2_pre = _sep_residuals(all_poses, sep)
-        w_pre = jnp.where(sep["valid"] > 0, _tls(chi2_pre, mu, barc_sq),
-                          0.0)
+        w_pre = _sep_weights(chi2_pre)
         # coarse two-level accelerator (identical replicated computation
         # on every device); bias-free, so it can run every sweep —
         # ``coarse_on`` exists to disable it for A/B measurements
@@ -436,8 +462,7 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
         # weighting each endpoint by its own chi2 can cut an edge on one
         # device and keep it on the other near the TLS boundary.)
         _, chi2_canon = _sep_residuals(all_poses, sep)
-        w_canon = jnp.where(sep["valid"] > 0,
-                            _tls(chi2_canon, mu, barc_sq), 0.0)
+        w_canon = _sep_weights(chi2_canon)
         w_sep = jnp.where(valid > 0, w_canon, 0.0)
         info = info * jnp.sqrt(w_sep)[:, None]
         # damped consensus: pull each endpoint only to the geodesic
@@ -617,6 +642,15 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
 
         nb_sep = sep["valid"].shape[0]
 
+        def _with_carry(on):
+            """Enable the carried-classification override (warm steady
+            state) only during the init gating sweep(s)."""
+            if "w_carry" not in sep:
+                return sep
+            return {**sep, "carry_on": jnp.asarray(on, jnp.float32)}
+
+        sep_init, sep_run = _with_carry(1.0), _with_carry(0.0)
+
         # phase 0: ROBUST init sweeps at mu = 1 — TLS weight 1 for edges
         # with chi2 below barc_sq/2, smoothly to 0 beyond 2*barc_sq, i.e.
         # plausible edges count fully while gross outliers are excluded.
@@ -630,7 +664,7 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
         # graduation starts permissive enough for everything short of
         # outlier-magnitude drift.
         def init_body(_, poses):
-            new_poses, _w = sharded(with_poses(poses), sep,
+            new_poses, _w = sharded(with_poses(poses), sep_init,
                                     jnp.float32(1.0), jnp.bool_(True))
             return new_poses
         poses0 = jax.lax.fori_loop(0, init_sweeps, init_body, local.poses)
@@ -665,7 +699,7 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
 
         def body(state):
             poses, mu, it, w_prev, _, _ = state
-            new_poses, w = sharded(with_poses(poses), sep, mu,
+            new_poses, w = sharded(with_poses(poses), sep_run, mu,
                                    it < coarse_sweeps)
             delta = jnp.max(jnp.abs(new_poses - poses))
             binary = jnp.all(jnp.logical_or(w < 1e-3, w > 1.0 - 1e-3))
@@ -680,7 +714,7 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
                 jnp.float32(jnp.inf))
         poses, mu, sweeps, w, _, delta = jax.lax.while_loop(cond, body, init)
         # final polish sweep at full LM budget and the converged mu
-        poses, w = final_sharded(with_poses(poses), sep, mu,
+        poses, w = final_sharded(with_poses(poses), sep_run, mu,
                                  jnp.bool_(False))
         return poses, sweeps, delta, w
 
@@ -701,10 +735,14 @@ class DistributedInfo:
     """Convergence diagnostics of one distributed solve."""
 
     def __init__(self, sweeps_used: int, final_delta: float,
-                 sep_weights: np.ndarray):
+                 sep_weights: np.ndarray,
+                 sep_weight_by_key: Optional[Dict] = None):
         self.sweeps_used = sweeps_used
         self.final_delta = final_delta
         self.sep_weights = sep_weights
+        #: {((r0, kf0), (r1, kf1)): weight} — feed back into the next
+        #: round's ``distributed_optimize(carried_weights=...)``
+        self.sep_weight_by_key = sep_weight_by_key or {}
 
     def __repr__(self):
         return (f"DistributedInfo(sweeps_used={self.sweeps_used}, "
@@ -716,7 +754,8 @@ def distributed_optimize(problem: ShardedPoseGraph, mesh: Mesh,
                          cg_iters: int = 100, mu0: Optional[float] = None,
                          mu_step: float = 1.6, barc_sq: float = 16.81,
                          tol: float = 1e-3, return_info: bool = False,
-                         warm: bool = False):
+                         warm: bool = False,
+                         carried_weights: Optional[Dict] = None):
     """Run robust block Gauss-Seidel PGO over the mesh — one dispatch.
 
     The whole robust solve (GNC mu schedule, separator reweighting,
@@ -733,10 +772,32 @@ def distributed_optimize(problem: ShardedPoseGraph, mesh: Mesh,
     analogue of the centralized ``gnc_reoptimize`` (round-1 fact: the
     information worth carrying is the classification, not the schedule).
 
+    ``carried_weights`` (warm mode) maps separator identity
+    ``((r0, kf0), (r1, kf1))`` — see :meth:`ShardedPoseGraph.separator_keys`
+    — to the previous round's TLS weight. During the warm init gating
+    sweep those separators use the carried classification directly (a
+    previously-rejected outlier stays rejected with NO re-graduation, a
+    previously-accepted edge pulls at full weight even if drift moved its
+    instantaneous chi2); separators not in the map (new loop closures) get
+    the normal mu = 1 gate. After the gating sweep every weight is
+    re-derived hard-TLS from the current estimate, so a falsely-carried
+    classification self-corrects rather than persisting forever.
+
     Returns the optimized values dict, or ``(values, DistributedInfo)``
     when ``return_info`` is set.
     """
     local, sep = problem.to_device_arrays(mesh)
+    sep_keys = problem.separator_keys()
+    if carried_weights:
+        nb_sep = sep["valid"].shape[0]
+        w_carry = np.ones(nb_sep, np.float32)
+        known = np.zeros(nb_sep, np.float32)
+        for i, k in enumerate(sep_keys):
+            if k in carried_weights:
+                w_carry[i] = carried_weights[k]
+                known[i] = 1.0
+        sep = {**sep, "w_carry": jnp.asarray(w_carry),
+               "carry_known": jnp.asarray(known)}
     sharding = NamedSharding(mesh, P(AXIS))
     local = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), local)
@@ -764,7 +825,9 @@ def distributed_optimize(problem: ShardedPoseGraph, mesh: Mesh,
     poses, sweeps_used, delta, w = solve(local, sep)
     values = problem.values_from_arrays(np.asarray(poses))
     if return_info:
-        info = DistributedInfo(int(sweeps_used), float(delta),
-                               np.asarray(w))
+        w_np = np.asarray(w)
+        info = DistributedInfo(
+            int(sweeps_used), float(delta), w_np,
+            {k: float(w_np[i]) for i, k in enumerate(sep_keys)})
         return values, info
     return values

@@ -473,7 +473,48 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
     res0_poses = lm_optimize(g, ones, max_iters=lm_iters,
                              cg_iters=cg_iters, rel_tol=1e-5).poses
     chi2 = _edge_chi2(res0_poses, g)
-    masked_chi2 = jnp.where(g.robust * g.edge_valid > 0, chi2, 0.0)
+    robust_mask = g.robust * g.edge_valid > 0
+
+    # De-masking IRLS at fixed mu = 1: the unweighted init ACCOMMODATES
+    # gross outliers — they drag the solution toward themselves, so at the
+    # init solution their own chi2 hides among the genuine loops they
+    # inflated (measured on an 8x256 graph: outlier chi2 335 = max genuine
+    # chi2; 13/182 genuine inter-robot loops falsely rejected by the
+    # mu0-round classification, final ATE worse than odometry). A few
+    # reweighted re-solves at mu = 1 unmask them: everything suspicious
+    # (chi2 > 2*barc_sq) is cut, the re-solve snaps back to the inlier
+    # optimum, the genuine edges' chi2 collapses (335 -> <2 measured) and
+    # they re-enter, while true outliers' chi2 explodes (-> 3.6e5) and
+    # stays cut. Runs only when something exceeds barc_sq at init; stops
+    # as soon as the cut set is stable.
+    def irls_cond(state):
+        i, _, w_prev, w_cur = state
+        changed = jnp.any(jnp.logical_xor(w_prev < 0.5, w_cur < 0.5))
+        return jnp.logical_and(i < 4, changed)
+
+    def irls_body(state):
+        i, poses, _, w_cur = state
+        g_i = PoseGraphArrays(poses, g.node_valid, g.edge_i, g.edge_j,
+                              g.meas, g.sqrt_info, g.edge_valid, g.robust,
+                              g.prior_idx, g.prior_pose, g.prior_sqrt_info,
+                              g.prior_valid)
+        poses = lm_optimize(g_i, w_cur, max_iters=lm_iters,
+                            cg_iters=cg_iters, rel_tol=1e-5).poses
+        w_next = jnp.where(robust_mask,
+                           _tls_weights(_edge_chi2(poses, g),
+                                        jnp.asarray(1.0, chi2.dtype),
+                                        barc_sq), 1.0)
+        return i + 1, poses, w_cur, w_next
+
+    w_irls0 = jnp.where(robust_mask,
+                        _tls_weights(chi2, jnp.asarray(1.0, chi2.dtype),
+                                     barc_sq), 1.0)
+    needs_irls = jnp.any(jnp.where(robust_mask, chi2, 0.0) > barc_sq)
+    _, res0_poses, _, _ = jax.lax.while_loop(
+        irls_cond, irls_body,
+        (jnp.where(needs_irls, 0, 4), res0_poses, ones, w_irls0))
+    chi2 = _edge_chi2(res0_poses, g)
+    masked_chi2 = jnp.where(robust_mask, chi2, 0.0)
     max_chi2 = jnp.minimum(jnp.max(masked_chi2), mu0_chi2_cap * barc_sq)
     # TLS mu init (GTSAM GncOptimizer::initializeMu): barc^2/(2 r_max^2 - barc^2)
     mu0 = jnp.where(max_chi2 > barc_sq,

@@ -526,7 +526,17 @@ class DecentralizedPGO:
                 and self.optimization_count > 0
                 and (full_every <= 0
                      or self.optimization_count % full_every != 0))
-        values = distributed_optimize(
+        # previous round's separator classification, stored by REAL robot
+        # ids (slots renumber when the connected set changes), translated
+        # to this round's slot keys
+        carried = None
+        prev = getattr(self, "_last_sep_weights", None)
+        if warm and prev:
+            carried = {}
+            for ((r0, k0), (r1, k1)), wv in prev.items():
+                if r0 in slot and r1 in slot:
+                    carried[((slot[r0], k0), (slot[r1], k1))] = wv
+        values, dinfo = distributed_optimize(
             problem, mesh,
             sweeps=self.params.get("backend.distributed_max_sweeps", 30),
             lm_iters=self.params.get("backend.lm_max_iterations", 50),
@@ -534,7 +544,11 @@ class DecentralizedPGO:
             mu_step=self.params.get("backend.gnc_mu_step",
                                     config.BackendConfig.gnc_mu_step),
             barc_sq=self.params.get("backend.gnc_barc_sq", 16.81),
-            warm=warm)
+            warm=warm, carried_weights=carried, return_info=True)
+        unslot = {i: r for r, i in slot.items()}
+        self._last_sep_weights = {
+            ((unslot[s0], k0), (unslot[s1], k1)): wv
+            for ((s0, k0), (s1, k1)), wv in dinfo.sep_weight_by_key.items()}
         # back into the aggregate graph's padded pose layout
         arrays = graph.to_arrays()
         poses = np.asarray(arrays.poses).copy()

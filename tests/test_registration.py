@@ -82,3 +82,83 @@ class TestRegistration:
         T, success = compute_transform(src[:600], dst, voxel_size=0.3,
                                        min_inliers=60, pad_size=1024)
         assert success
+
+
+class TestGlobalRegistration:
+    """Prior-free registration: pairs whose viewpoints differ by large
+    translation + arbitrary yaw (the regime TEASER++ covers in the
+    reference, icp_utils.py:103-139). The yaw-sweep multi-start's
+    center-of-mass init is biased by partial overlap here."""
+
+    @staticmethod
+    def _world(rng, n=2600):
+        """A 40 m urban-ish block: randomized walls at several angles +
+        clutter, distinctive enough for feature correspondences (and
+        different per rng, so cross-scene pairs share no layout)."""
+        pieces = []
+        ends = rng.uniform(-20, 18, (5, 4))
+        ends[:, 2:] = ends[:, :2] + rng.uniform(8, 30, (5, 2)) * \
+            rng.choice([-1.0, 1.0], (5, 2))
+        for (x0, y0, x1, y1) in ends:
+            m = n // 8
+            s = rng.uniform(0, 1, m)[:, None]
+            base = (np.array([[x0, y0]]) * (1 - s) + np.array([[x1, y1]]) * s)
+            pieces.append(np.concatenate(
+                [base + rng.normal(scale=0.05, size=(m, 2)),
+                 rng.uniform(0, 4, (m, 1))], axis=1))
+        m = n - sum(len(p) for p in pieces)
+        clutter = np.stack([rng.uniform(-18, 14, m), rng.uniform(-13, 16, m),
+                            rng.uniform(0, 0.6, m)], 1)
+        return np.concatenate(pieces + [clutter]).astype(np.float32)
+
+    @staticmethod
+    def _view(world, t, yaw_deg, radius, rng):
+        """Points visible from a sensor at ``t`` (world frame), expressed
+        in the sensor frame (z-up yaw orientation)."""
+        a = np.radians(yaw_deg)
+        R = np.array([[np.cos(a), -np.sin(a), 0],
+                      [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+        vis = world[np.linalg.norm(world[:, :2] - np.asarray(t)[:2],
+                                   axis=1) < radius]
+        local = (vis - np.asarray(t)) @ R  # R^T applied to rows
+        return (local + rng.normal(scale=0.02, size=local.shape)
+                ).astype(np.float32)
+
+    @pytest.mark.parametrize("offset,yaw_b", [([6.0, 3.0, 0.0], 137.0),
+                                              ([-5.5, 4.0, 0.0], 265.0)])
+    def test_large_offset_arbitrary_yaw_verifies(self, offset, yaw_b):
+        rng = np.random.default_rng(11)
+        world = self._world(rng)
+        t_a, yaw_a = np.zeros(3), 20.0
+        src = self._view(world, t_a, yaw_a, 17.0, rng)
+        dst = self._view(world, np.asarray(offset), yaw_b, 17.0, rng)
+        assert np.linalg.norm(offset) >= 5.0
+        Z, success = compute_transform(src, dst, voxel_size=0.4,
+                                       min_inliers=60, pad_size=1024,
+                                       min_inlier_ratio=0.45)
+        assert success
+        # ground-truth point map src->dst: p_B = R_B^T (R_A p_A + tA - tB)
+
+        def rotz(deg):
+            a = np.radians(deg)
+            return np.array([[np.cos(a), -np.sin(a), 0],
+                             [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+
+        Ra, Rb = rotz(yaw_a), rotz(yaw_b)
+        P = np.linalg.inv(Z)
+        R_gt = Rb.T @ Ra
+        t_gt = Rb.T @ (t_a - np.asarray(offset))
+        assert np.linalg.norm(P[:3, 3] - t_gt) < 0.5
+        assert np.abs(P[:3, :3] - R_gt).max() < 0.05
+
+    def test_cross_scene_large_offset_rejects(self):
+        rng = np.random.default_rng(12)
+        world_a = self._world(rng)
+        world_b = self._world(np.random.default_rng(99))  # different scene
+        src = self._view(world_a, np.zeros(3), 20.0, 17.0, rng)
+        dst = self._view(world_b, np.array([6.0, 3.0, 0.0]), 137.0, 17.0,
+                         rng)
+        _, success = compute_transform(src, dst, voxel_size=0.4,
+                                       min_inliers=60, pad_size=1024,
+                                       min_inlier_ratio=0.45)
+        assert not success
