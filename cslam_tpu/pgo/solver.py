@@ -475,44 +475,75 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
     chi2 = _edge_chi2(res0_poses, g)
     robust_mask = g.robust * g.edge_valid > 0
 
-    # De-masking IRLS at fixed mu = 1: the unweighted init ACCOMMODATES
-    # gross outliers — they drag the solution toward themselves, so at the
-    # init solution their own chi2 hides among the genuine loops they
-    # inflated (measured on an 8x256 graph: outlier chi2 335 = max genuine
-    # chi2; 13/182 genuine inter-robot loops falsely rejected by the
-    # mu0-round classification, final ATE worse than odometry). A few
-    # reweighted re-solves at mu = 1 unmask them: everything suspicious
-    # (chi2 > 2*barc_sq) is cut, the re-solve snaps back to the inlier
-    # optimum, the genuine edges' chi2 collapses (335 -> <2 measured) and
-    # they re-enter, while true outliers' chi2 explodes (-> 3.6e5) and
-    # stays cut. Runs only when something exceeds barc_sq at init; stops
-    # as soon as the cut set is stable.
+    # De-masking IRLS: the unweighted init ACCOMMODATES gross outliers —
+    # they drag the solution toward themselves, so at the init solution
+    # their own chi2 hides among the genuine loops they inflated (measured
+    # on an 8x256 graph: outlier chi2 335 = max genuine chi2; 13/182
+    # genuine inter-robot loops falsely rejected by the mu0-round
+    # classification, final ATE worse than odometry). A few re-solves with
+    # SOFT Geman-McClure-style weights w = c2/(c2 + chi2) unmask them:
+    # true outliers are crushed (w ~ 1e-4 once chi2 explodes to ~3e5)
+    # while drag-inflated genuine edges keep enough weight (~0.1-0.2 at
+    # chi2 50-335) to stay anchored as the solution snaps to the inlier
+    # optimum — a hard mu = 1 TLS gate here cut them outright and the
+    # graph drifted away from the cut set before it could recover
+    # (measured: 8 of 11 hard-cut genuine edges never returned). Runs
+    # only when something exceeds barc_sq at init; stops when the
+    # suspicious set (chi2 > 2 * barc_sq) is stable.
+    c2 = 4.0 * barc_sq
+
+    def _gm_weights(chi2_now):
+        return jnp.where(robust_mask, c2 / (c2 + chi2_now), 1.0)
+
     def irls_cond(state):
-        i, _, w_prev, w_cur = state
-        changed = jnp.any(jnp.logical_xor(w_prev < 0.5, w_cur < 0.5))
-        return jnp.logical_and(i < 4, changed)
+        i, _, cut_prev, cut_cur = state
+        return jnp.logical_and(i < 4,
+                               jnp.any(cut_prev != cut_cur))
 
     def irls_body(state):
-        i, poses, _, w_cur = state
+        i, poses, _, cut_cur = state
         g_i = PoseGraphArrays(poses, g.node_valid, g.edge_i, g.edge_j,
                               g.meas, g.sqrt_info, g.edge_valid, g.robust,
                               g.prior_idx, g.prior_pose, g.prior_sqrt_info,
                               g.prior_valid)
-        poses = lm_optimize(g_i, w_cur, max_iters=lm_iters,
+        chi2_i = _edge_chi2(poses, g)
+        poses = lm_optimize(g_i, _gm_weights(chi2_i), max_iters=lm_iters,
                             cg_iters=cg_iters, rel_tol=1e-5).poses
-        w_next = jnp.where(robust_mask,
-                           _tls_weights(_edge_chi2(poses, g),
-                                        jnp.asarray(1.0, chi2.dtype),
-                                        barc_sq), 1.0)
-        return i + 1, poses, w_cur, w_next
+        cut_next = jnp.where(robust_mask,
+                             _edge_chi2(poses, g) > 2.0 * barc_sq, False)
+        return i + 1, poses, cut_cur, cut_next
 
-    w_irls0 = jnp.where(robust_mask,
-                        _tls_weights(chi2, jnp.asarray(1.0, chi2.dtype),
-                                     barc_sq), 1.0)
     needs_irls = jnp.any(jnp.where(robust_mask, chi2, 0.0) > barc_sq)
+    cut0 = jnp.where(robust_mask, chi2 > 2.0 * barc_sq, False)
     _, res0_poses, _, _ = jax.lax.while_loop(
         irls_cond, irls_body,
-        (jnp.where(needs_irls, 0, 4), res0_poses, ones, w_irls0))
+        (jnp.where(needs_irls, 0, 4), res0_poses,
+         jnp.zeros_like(cut0), cut0))
+
+    # Chordal restart: dead-reckoned inits on large graphs strand LM in
+    # rotation local minima that de-masking alone cannot escape (measured
+    # on the 8x256 bench graph: 4 genuine loops stuck at chi2 100-215 at
+    # the converged solution vs 4-17 at ground truth, regardless of CG
+    # budget). Re-initialize by weighted chordal relaxation — the GM
+    # weights from the de-masked solution keep gross outliers out of the
+    # otherwise non-robust linear solve — then re-polish and keep
+    # whichever solution has lower robust cost. Runs only when the
+    # de-masking phase ran (something looked like an outlier).
+    def _chordal_restart(poses):
+        from cslam_tpu.pgo.chordal import chordal_initialize
+        w_gm = _gm_weights(_edge_chi2(poses, g))
+        poses_c = chordal_initialize(g, w_gm)
+        g_c = PoseGraphArrays(poses_c, g.node_valid, g.edge_i, g.edge_j,
+                              g.meas, g.sqrt_info, g.edge_valid, g.robust,
+                              g.prior_idx, g.prior_pose, g.prior_sqrt_info,
+                              g.prior_valid)
+        poses_c = lm_optimize(g_c, w_gm, max_iters=lm_iters,
+                              cg_iters=cg_iters, rel_tol=1e-5).poses
+        better = (cost(poses_c, g, w_gm) < cost(poses, g, w_gm))
+        return jnp.where(better, poses_c, poses)
+
+    res0_poses = jax.lax.cond(needs_irls, _chordal_restart,
+                              lambda poses: poses, res0_poses)
     chi2 = _edge_chi2(res0_poses, g)
     masked_chi2 = jnp.where(robust_mask, chi2, 0.0)
     max_chi2 = jnp.minimum(jnp.max(masked_chi2), mu0_chi2_cap * barc_sq)
