@@ -177,6 +177,26 @@ def main():
     outliers_rejected = int(np.sum(w[n_sep:n_sep + 2] < 0.01))
     false_rejects = int(np.sum(w[:n_sep] < 0.5))
 
+    # steady-state incremental round (VERDICT r2 #7): previous solution
+    # fed back as init + previous separator TLS classification carried
+    # via carried_weights — mirrors what backend_node does every round
+    # after the first. Measures sweeps + wall-clock vs the cold solve.
+    for rid, g in enumerate(problem.local_graphs):
+        for key in list(g._index):
+            g._poses[g._index[key]] = est[key]
+    est_w, info_w = distributed_optimize(
+        problem, mesh, sweeps=30, lm_iters=8, cg_iters=60, warm=True,
+        carried_weights=info.sep_weight_by_key, return_info=True)
+    t0 = time.perf_counter()
+    est_w, info_w = distributed_optimize(
+        problem, mesh, sweeps=30, lm_iters=8, cg_iters=60, warm=True,
+        carried_weights=info.sep_weight_by_key, return_info=True)
+    t_warm = time.perf_counter() - t0
+    ate_warm = ate(est_w, gt)
+    w_w = info_w.sep_weights
+    warm_outliers = int(np.sum(w_w[n_sep:n_sep + 2] < 0.01))
+    warm_false = int(np.sum(w_w[:n_sep] < 0.5))
+
     print(f"# {args.robots} robots x {args.poses} poses "
           f"({args.robots * args.poses} total), {n_sep} separators + 2 "
           f"outliers, platform={devices[0].platform}")
@@ -190,6 +210,11 @@ def main():
           f"{info.final_delta:.1e}, warm wall-clock {t_dist:.2f} s, "
           f"outliers rejected {outliers_rejected}/2, false rejections "
           f"{false_rejects}/{n_sep}")
+    print(f"# steady-state round (carried TLS weights): {info_w.sweeps_used}"
+          f" sweeps (cold {info.sweeps_used}), wall-clock {t_warm:.2f} s "
+          f"(cold {t_dist:.2f}), ATE {ate_warm:.3f} m, outliers still "
+          f"rejected {warm_outliers}/2, false rejections "
+          f"{warm_false}/{n_sep}")
     print(json.dumps({
         "metric": "distributed_pgo_sweeps_to_centralized_parity",
         "value": parity_sweep if parity_sweep is not None else -1,
@@ -201,6 +226,11 @@ def main():
         "outliers_rejected": outliers_rejected,
         "false_rejections": false_rejects,
         "warm_wall_clock_s": round(t_dist, 3),
+        "steady_state_sweeps": info_w.sweeps_used,
+        "steady_state_wall_clock_s": round(t_warm, 3),
+        "steady_state_ate_m": round(ate_warm, 3),
+        "steady_state_outliers_rejected": warm_outliers,
+        "steady_state_false_rejections": warm_false,
     }))
 
 

@@ -379,11 +379,24 @@ def _coarse_alignment(all_poses, sep, w_sep, cross, nb_robots: int,
                  ).reshape(E, 6, 6 * V)
         Hmat = jnp.einsum("eai,eaj->ij", Jfull, Jfull)
         b = jnp.einsum("eai,ea->i", Jfull, ew)
-        # gauge prior: pin robot 0 segment 0 hard, weak pull to I elsewhere
+        # gauge prior: pin robot 0 segment 0 hard, weak pull to I elsewhere.
+        # The weak jitter must scale with the Hessian magnitude: crossing-
+        # edge rows contribute O(1e8) diagonal entries (sqrt_info^2 * |J|^2)
+        # and a FIXED 1e-3 sits below f32 epsilon relative to that, so when
+        # every separator is TLS-cut (hard-mu sweeps mid-recovery) the
+        # inter-robot blocks are exactly singular and the f32 LU returns
+        # NaN — which then poisons the pose state through the masked
+        # (weight-0) residual products.
+        weak = jnp.maximum(1e-3, 1e-6 * jnp.max(jnp.abs(jnp.diag(Hmat))))
         prior = jnp.concatenate(
-            [jnp.full(6, 1e6), jnp.full(6 * (V - 1), 1e-3)]).astype(dtype)
+            [jnp.full(6, 1e6, dtype),
+             jnp.full(6 * (V - 1), 1.0, dtype) * weak.astype(dtype)])
         Hmat = Hmat + jnp.diag(prior)
         delta = -jnp.linalg.solve(Hmat, b).reshape(V, 6)
+        # the coarse level is a bias-free accelerator: a numerically failed
+        # solve must degrade to "no correction", never poison the state
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta,
+                          jnp.zeros_like(delta))
         H_new = jax.vmap(lambda d, Hv: se3.exp(d) @ Hv)(
             delta, H.reshape(V, 4, 4)).reshape(R, M, 4, 4)
         return H_new, None
@@ -679,7 +692,20 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
         if mu0 is None:
             from cslam_tpu.pgo.solver import edge_residuals
             _, chi2_sep = _sep_residuals(poses0, sep)
-            sep_max = jnp.max(jnp.where(sep["valid"] > 0, chi2_sep, 0.0))
+            sep_keep = sep["valid"] > 0
+            if "w_carry" in sep:
+                # warm steady state: separators the previous round already
+                # classified as outliers must not drive mu0 down — their
+                # (huge, expected) chi2 would force a full re-graduation
+                # every round. Excluding them, a clean carried state gives
+                # max chi2 <= barc_sq and mu_init collapses to 1e6 (hard
+                # TLS, the fast path); a falsely-carried classification
+                # that yanked the gating sweep leaves genuine separators
+                # with large chi2, so graduation re-runs and the state
+                # self-corrects instead of hard-cutting everything.
+                known_out = (sep["carry_known"] > 0) & (sep["w_carry"] < 0.5)
+                sep_keep = sep_keep & jnp.logical_not(known_out)
+            sep_max = jnp.max(jnp.where(sep_keep, chi2_sep, 0.0))
             local0 = with_poses(poses0)
             r_loc = jax.vmap(lambda g: edge_residuals(g.poses, g))(local0)
             chi2_loc = jnp.sum(r_loc * r_loc, axis=-1)  # [R, Ne]
@@ -805,9 +831,16 @@ def distributed_optimize(problem: ShardedPoseGraph, mesh: Mesh,
         # one mu = 1 gating sweep first (new genuine loop closures with
         # accumulated drift get a nonzero mid-zone weight and pull the
         # blocks before the hard refresh — mirroring gnc_reoptimize's
-        # init-gated weighted LM + hard-TLS refresh), then saturated mu
-        assert mu0 is None, "warm=True sets mu0=1e6 (hard TLS); don't mix"
-        mu0, init_sweeps = 1e6, 1
+        # init-gated weighted LM + hard-TLS refresh), then saturated mu.
+        # With carried_weights the saturation is adaptive: mu0 is derived
+        # from the post-gating chi2 EXCLUDING known outliers, so a clean
+        # steady state still jumps straight to hard TLS (mu = 1e6) while
+        # a falsely-carried classification triggers re-graduation and
+        # self-corrects (see _make_jitted_solve's sep_keep masking).
+        assert mu0 is None, "warm=True derives mu0 itself; don't mix"
+        init_sweeps = 1
+        if not carried_weights:
+            mu0 = 1e6
     else:
         init_sweeps = 2
     # reuse the built solver across calls (steady-state rounds must not
