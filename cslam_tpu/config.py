@@ -61,6 +61,13 @@ class FrontendConfig:
     descriptor_dim: int = 64          # used by the 'disable' random-descriptor mode
     bank_initial_capacity: int = 1024  # padded bank tier start (doubles on growth)
     warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
+    # local-descriptor payloads ship deflate-compressed, like the
+    # reference's rtabmap-compressed features (rgbd_handler.cpp:404-431)
+    compress_payloads: bool = True
+    # lossy f16 pre-quantization of point/keypoint coords (~0.1% relative;
+    # descriptors stay lossless). Off by default: reference keypoint data
+    # is lossless too.
+    compress_quantize_f16: bool = False
 
 
 @dataclass

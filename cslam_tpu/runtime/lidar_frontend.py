@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from cslam_tpu.ops import registration
+from cslam_tpu.utils import compression
 from cslam_tpu.types import (InterRobotLoopClosure, IntraRobotLoopClosure,
                              KeyframeOdom, KeyframePointCloud, KeyValue,
                              LocalDescriptorsRequest,
@@ -121,13 +122,22 @@ class LidarFrontEnd:
         cloud = self.local_descriptors_map.get(request.keyframe_id)
         if cloud is None:
             return
+        # compressed cloud payload (reference ships rtabmap-compressed
+        # feature data, rgbd_handler.cpp:404-431; the lidar path's cloud
+        # is its 'local descriptors' so it gets the same treatment)
+        payload = cloud
+        if self.params.get("frontend.compress_payloads", True):
+            payload = compression.compress_array(
+                cloud, quantize_f16=bool(self.params.get(
+                    "frontend.compress_quantize_f16", False)))
         msg = LocalPointCloudDescriptors(
             keyframe_id=request.keyframe_id, robot_id=self.robot_id,
-            points=cloud, matches_robot_id=list(request.matches_robot_id),
+            points=payload,
+            matches_robot_id=list(request.matches_robot_id),
             matches_keyframe_id=list(request.matches_keyframe_id))
         self.pointcloud_descriptors_publisher.publish(msg)
         if self.params.get("evaluation.enable_logs", False):
-            self.log_comm_bytes += cloud.nbytes
+            self.log_comm_bytes += compression.payload_nbytes(payload)
             self.log_publisher.publish(KeyValue(
                 key="local_descriptors_cumulative_communication",
                 value=str(self.log_comm_bytes)))
@@ -140,6 +150,11 @@ class LidarFrontEnd:
 
     def receive_local_descriptors(self,
                                   msg: LocalPointCloudDescriptors) -> None:
+        msg = LocalPointCloudDescriptors(
+            keyframe_id=msg.keyframe_id, robot_id=msg.robot_id,
+            points=compression.maybe_decompress(msg.points),
+            matches_robot_id=msg.matches_robot_id,
+            matches_keyframe_id=msg.matches_keyframe_id)
         for rid, kf_id in zip(msg.matches_robot_id, msg.matches_keyframe_id):
             if rid != self.robot_id:
                 continue

@@ -28,6 +28,7 @@ import numpy as np
 
 from cslam_tpu import native
 from cslam_tpu.ops import visual_registration as vreg
+from cslam_tpu.utils import compression
 from cslam_tpu.runtime.visualization import create_colored_pointcloud
 from cslam_tpu.types import (InterRobotLoopClosure, IntraRobotLoopClosure,
                              KeyframeOdom, KeyframeRGB, KeyValue,
@@ -297,17 +298,32 @@ class RGBDFrontEnd:
         feats = self.features.get(request.keyframe_id)
         if feats is None:
             return
+        # Ship compressed payloads like the reference's rtabmap-compressed
+        # features (rgbd_handler.cpp:404-431); binary BRIEF descriptors
+        # stay lossless, coordinates optionally f16-quantized.
+        if self.params.get("frontend.compress_payloads", True):
+            q = bool(self.params.get("frontend.compress_quantize_f16",
+                                     False))
+            kp = compression.compress_array(feats.keypoints,
+                                            quantize_f16=q)
+            kp3 = compression.compress_array(feats.keypoints3d,
+                                             quantize_f16=q)
+            desc = compression.compress_array(feats.descriptors)
+        else:
+            kp, kp3, desc = (feats.keypoints, feats.keypoints3d,
+                             feats.descriptors)
         msg = LocalImageDescriptors(
             keyframe_id=request.keyframe_id, robot_id=self.robot_id,
-            keypoints=feats.keypoints, keypoints3d=feats.keypoints3d,
-            descriptors=feats.descriptors,
+            keypoints=kp, keypoints3d=kp3, descriptors=desc,
             matches_robot_id=list(request.matches_robot_id),
             matches_keyframe_id=list(request.matches_keyframe_id))
         self.descriptors_publisher.publish(msg)
         if self.params.get("evaluation.enable_logs", False):
+            # reference accounting formula (rgbd_handler.cpp:423-425):
+            # keypoint/point constants + ACTUAL descriptor payload bytes
             n = len(feats.keypoints)
             self.log_comm_bytes += (n * KEYPOINT_BYTES + n * POINT3D_BYTES
-                                    + feats.descriptors.nbytes)
+                                    + compression.payload_nbytes(desc))
             self.log_publisher.publish(KeyValue(
                 key="local_descriptors_cumulative_communication",
                 value=str(self.log_comm_bytes)))
@@ -327,6 +343,14 @@ class RGBDFrontEnd:
                                         msg: LocalImageDescriptors) -> None:
         if not isinstance(msg, LocalImageDescriptors):
             return
+        # transparent to senders with compression on OR off
+        msg = LocalImageDescriptors(
+            keyframe_id=msg.keyframe_id, robot_id=msg.robot_id,
+            keypoints=compression.maybe_decompress(msg.keypoints),
+            keypoints3d=compression.maybe_decompress(msg.keypoints3d),
+            descriptors=compression.maybe_decompress(msg.descriptors),
+            matches_robot_id=msg.matches_robot_id,
+            matches_keyframe_id=msg.matches_keyframe_id)
         # One incoming keyframe may match several local keyframes; verify
         # them all in ONE batched device dispatch (gnc_align_batch) instead
         # of the reference's per-pair RANSAC loop (rgbd_handler.cpp:493-554).

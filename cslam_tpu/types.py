@@ -185,7 +185,13 @@ class LocalDescriptorsRequest:
 
 @dataclass
 class LocalImageDescriptors:
-    """Compressed local visual features of one keyframe (RGB/stereo path)."""
+    """Compressed local visual features of one keyframe (RGB/stereo path).
+
+    On the wire the array fields are deflate blobs when
+    ``frontend.compress_payloads`` is on (``cslam_tpu.utils.compression``,
+    parity with the reference's rtabmap-compressed features,
+    ``rgbd_handler.cpp:404-431``); receivers decompress transparently.
+    """
 
     keyframe_id: int = 0
     robot_id: int = 0

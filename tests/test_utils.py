@@ -85,3 +85,57 @@ class TestSnapshot:
         with pytest.raises(AssertionError):
             restore_robot(sim.robots[1].detection, sim.robots[1].backend,
                           path)
+
+
+class TestCompression:
+    """Local-descriptor payload compression (utils/compression.py) —
+    reference ships rtabmap-compressed features, rgbd_handler.cpp:404-431."""
+
+    def test_roundtrip_exact_all_dtypes(self):
+        from cslam_tpu.utils import compression as C
+        rng = np.random.default_rng(0)
+        for a in (rng.integers(0, 256, (300, 32), dtype=np.uint8),
+                  rng.standard_normal((200, 3)).astype(np.float32),
+                  rng.integers(-5, 5, (7,), dtype=np.int32),
+                  np.zeros((0, 3), np.float32)):
+            b = C.compress_array(a)
+            out = C.decompress_array(b)
+            assert out.dtype == a.dtype and out.shape == a.shape
+            np.testing.assert_array_equal(out, a)
+
+    def test_f16_quantization_bounded_error(self):
+        from cslam_tpu.utils import compression as C
+        rng = np.random.default_rng(1)
+        pts = (rng.standard_normal((500, 3)) * 20).astype(np.float32)
+        out = C.decompress_array(C.compress_array(pts, quantize_f16=True))
+        assert out.dtype == np.float32
+        # f16 mantissa: ~0.1% relative error
+        np.testing.assert_allclose(out, pts, rtol=2e-3, atol=1e-4)
+
+    def test_compresses_realistic_payloads(self):
+        from cslam_tpu.utils import compression as C
+        rng = np.random.default_rng(2)
+        # voxel-grid cloud coords share exponent bits; BRIEF bits are
+        # near-random (poor ratio but never bigger than raw + header slack)
+        cloud = np.round(rng.standard_normal((2048, 3)) * 10, 2).astype(
+            np.float32)
+        blob = C.compress_array(cloud, quantize_f16=True)
+        assert C.payload_nbytes(blob) < cloud.nbytes * 0.55
+        brief = rng.integers(0, 256, (512, 32), dtype=np.uint8)
+        assert C.payload_nbytes(C.compress_array(brief)) < (
+            brief.nbytes + 1024)
+
+    def test_maybe_decompress_passthrough(self):
+        from cslam_tpu.utils import compression as C
+        raw = np.arange(6, dtype=np.float32).reshape(2, 3)
+        np.testing.assert_array_equal(C.maybe_decompress(raw), raw)
+        assert C.maybe_decompress(None) is None
+        np.testing.assert_array_equal(
+            C.maybe_decompress(C.compress_array(raw)), raw)
+
+    def test_payload_nbytes(self):
+        from cslam_tpu.utils import compression as C
+        raw = np.zeros((4, 4), np.float32)
+        assert C.payload_nbytes(raw) == 64
+        assert C.payload_nbytes(None) == 0
+        assert C.payload_nbytes(C.compress_array(raw)) > 0

@@ -582,3 +582,70 @@ class TestVizPublishing:
         cloud = viz[0].points
         assert cloud.shape[1] == 6 and cloud.shape[0] > 15
         assert np.all(cloud[:, 2] > 0)  # only triangulated points
+
+
+class TestPayloadCompression:
+    """The descriptor-exchange plane ships deflate-compressed payloads
+    (frontend.compress_payloads, default on) — the reference never ships
+    raw feature arrays either (rgbd_handler.cpp:404-431)."""
+
+    def _one_robot_with_keyframe(self, params_extra=None):
+        rng = np.random.default_rng(9)
+        pts, tex = make_world(rng)
+        bus, clock = MessageBus(), VirtualClock()
+        params = {"robot_id": 1, "max_nb_robots": 2,
+                  "frontend.map_manager_process_period_ms": 100,
+                  "evaluation.enable_logs": True}
+        params.update(params_extra or {})
+        ctx = RobotContext(bus, clock, 1, params)
+        fe = RGBDFrontEnd(ctx, CAM)
+        img, dep = render(pts, tex, pose_xyz_yaw(0, 0, 0))
+        fe.rgbd_callback(img, dep, Odometry(pose=pose_xyz_yaw(0, 0, 0)))
+        clock.advance(0.2)
+        ctx.poll_timers()
+        bus.deliver()
+        assert fe.nb_local_keyframes == 1
+        return bus, fe
+
+    def test_wire_payload_is_compressed_bytes(self):
+        bus, fe = self._one_robot_with_keyframe()
+        sent = []
+        bus.subscribe("/cslam/local_descriptors", sent.append)
+        logs = []
+        bus.subscribe("/r1/cslam/log_info", logs.append)
+        bus.publish("/r1/cslam/local_descriptors_request",
+                    LocalDescriptorsRequest(keyframe_id=0,
+                                            matches_robot_id=[0],
+                                            matches_keyframe_id=[0]))
+        bus.deliver()
+        assert len(sent) == 1
+        msg = sent[0]
+        assert isinstance(msg.descriptors, bytes)
+        assert isinstance(msg.keypoints3d, bytes)
+        # accounting uses the actual compressed descriptor bytes
+        comm = [kv for kv in logs
+                if kv.key == "local_descriptors_cumulative_communication"]
+        assert comm and int(comm[-1].value) > 0
+        feats = fe.features[0]
+        from cslam_tpu.utils import compression as C
+        np.testing.assert_array_equal(
+            C.decompress_array(msg.descriptors), feats.descriptors)
+        np.testing.assert_array_equal(
+            C.decompress_array(msg.keypoints3d), feats.keypoints3d)
+
+    def test_receiver_accepts_uncompressed_peer(self):
+        """A peer with compression off must interoperate (rolling
+        upgrades / mixed fleets)."""
+        bus, fe = self._one_robot_with_keyframe(
+            {"frontend.compress_payloads": False})
+        sent = []
+        bus.subscribe("/cslam/local_descriptors", sent.append)
+        bus.publish("/r1/cslam/local_descriptors_request",
+                    LocalDescriptorsRequest(keyframe_id=0,
+                                            matches_robot_id=[0],
+                                            matches_keyframe_id=[0]))
+        bus.deliver()
+        assert len(sent) == 1
+        assert isinstance(sent[0].descriptors, np.ndarray)
+        # feed the raw message into a compressing receiver: must not choke
+        fe.receive_local_image_descriptors(sent[0])
