@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Budgeted edge selection (MAC Frank-Wolfe) wall-clock at swarm scale.
+
+The reference's ranked-#4 hot loop is the Fiedler eigensolve inside each
+Frank-Wolfe iteration (``/root/reference/cslam/mac/mac.py:52-59``, networkx
+``tracemin_lu`` per iteration on the host). Here the Fiedler pair runs on
+device (``cslam_tpu.ops.fiedler``: dense deflated eigh tier / Woodbury
+chain+low-rank tier) under the same FW loop semantics
+(``cslam_tpu.selection.mac``). This bench times the full detection-round
+selection path — ``AlgebraicConnectivityMaximization.select_candidates``
+(offsets/rekey, implicit odometry fill, greedy init, MAC solve, recover) —
+at several swarm scales.
+
+    python benchmarks/selection_bench.py           # real TPU
+    python benchmarks/selection_bench.py --cpu
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--cpu", action="store_true")
+_ap.add_argument("--repeats", type=int, default=5)
+_args = _ap.parse_args()
+
+if _args.cpu:
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+
+from cslam_tpu.selection.acm import AlgebraicConnectivityMaximization  # noqa: E402
+from cslam_tpu.types import EdgeInterRobot  # noqa: E402
+
+
+def build_acm(nb_robots, nb_poses, nb_candidates, nb_fixed, rng):
+    acm = AlgebraicConnectivityMaximization(robot_id=0,
+                                            max_nb_robots=nb_robots)
+    # pose counts are tracked from the max keyframe id seen per robot;
+    # pin them with one full-range fixed edge per robot pair
+    for r0 in range(nb_robots - 1):
+        acm.add_fixed_edge(EdgeInterRobot(
+            r0, nb_poses - 1, r0 + 1, nb_poses - 1,
+            float(rng.uniform(0.5, 1.0))))
+    for i in range(nb_fixed):
+        r0 = int(rng.integers(0, nb_robots - 1))
+        acm.add_fixed_edge(EdgeInterRobot(
+            r0, int(rng.integers(0, nb_poses)), r0 + 1,
+            int(rng.integers(0, nb_poses)), float(rng.uniform(0.5, 1.0))))
+    for i in range(nb_candidates):
+        r0 = int(rng.integers(0, nb_robots - 1))
+        acm.add_candidate_edge(EdgeInterRobot(
+            r0, int(rng.integers(0, nb_poses)), r0 + 1,
+            int(rng.integers(0, nb_poses)), float(rng.uniform(0.1, 1.0))))
+    return acm
+
+
+def main():
+    rng = np.random.default_rng(0)
+    rows = []
+    for (R, Np, C) in ((5, 100, 100), (10, 200, 400), (10, 500, 1000)):
+        acm = build_acm(R, Np, C, nb_fixed=R, rng=rng)
+        in_range = {r: True for r in range(R)}
+        # warm (compile the eigensolver tier)
+        sel = acm.select_candidates(5, in_range)
+        assert 0 < len(sel) <= 5 + R
+        times = []
+        for _ in range(_args.repeats):
+            acm2 = build_acm(R, Np, C, nb_fixed=R, rng=rng)
+            t0 = time.perf_counter()
+            sel = acm2.select_candidates(5, in_range)
+            times.append(time.perf_counter() - t0)
+        t = float(np.median(times))
+        n_nodes = R * Np
+        rows.append((R, n_nodes, C, t, len(sel)))
+        print(f"# {R} robots, {n_nodes} poses, {C} candidates: "
+              f"select_candidates(budget=5) median {t * 1e3:.1f} ms "
+              f"({len(sel)} selected)")
+    last = rows[-1]
+    print(json.dumps({
+        "metric": "mac_selection_wallclock_10robot_5000pose_1000cand",
+        "value": round(last[3] * 1e3, 1), "unit": "ms",
+        "tiers": [{"robots": r, "poses": n, "candidates": c,
+                   "median_ms": round(t * 1e3, 1)}
+                  for r, n, c, t, _ in rows],
+    }))
+
+
+if __name__ == "__main__":
+    main()

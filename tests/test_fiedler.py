@@ -119,3 +119,50 @@ def test_woodbury_path_matches_scipy_at_scale():
     rq = float(v_np @ (L @ v_np))
     assert rq == pytest.approx(lam2_true, rel=0.02)
     assert float(lam2) == pytest.approx(lam2_true, rel=0.05)
+
+
+class TestFusedFrankWolfe:
+    """The one-dispatch lax.while_loop FW solve must match the host-driven
+    loop (kept as ``fw_subset_host``) on both eigensolver tiers."""
+
+    def _random_mac(self, rng, num_poses, n_fixed, n_cand):
+        from cslam_tpu.selection.mac import MAC
+        from cslam_tpu.types import Edge
+        fixed = [Edge(i, i + 1, 1.0) for i in range(num_poses - 1)]
+        for _ in range(n_fixed):
+            i, j = rng.integers(0, num_poses, 2)
+            if i != j:
+                fixed.append(Edge(int(i), int(j),
+                                  float(rng.uniform(0.5, 1.0))))
+        cand = []
+        seen = set()
+        while len(cand) < n_cand:
+            i, j = rng.integers(0, num_poses, 2)
+            if i == j or (i, j) in seen:
+                continue
+            seen.add((i, j))
+            cand.append(Edge(int(i), int(j), float(rng.uniform(0.1, 1.0))))
+        return MAC(fixed, cand, num_poses)
+
+    @pytest.mark.parametrize("num_poses,tier", [(60, "dense"),
+                                                (700, "woodbury")])
+    def test_fused_matches_host_loop(self, num_poses, tier):
+        rng = np.random.default_rng(17)
+        mac = self._random_mac(rng, num_poses, n_fixed=5, n_cand=30)
+        assert mac._dense == (tier == "dense")
+        w_init = np.full(30, 5 / 30.0)
+        sel_f, w_f, dual_f = mac.fw_subset(w_init, 5, max_iters=12)
+        sel_h, w_h, dual_h = mac.fw_subset_host(w_init, 5, max_iters=12)
+        np.testing.assert_array_equal(sel_f, sel_h)
+        np.testing.assert_allclose(w_f, w_h, atol=1e-5)
+        # dual accumulates in f32 inside the fused loop vs float64 on the
+        # host — identical decisions, last-ulp different bound
+        np.testing.assert_allclose(dual_f, dual_h, rtol=1e-3, atol=1e-6)
+
+    def test_fused_early_stop_and_budget(self):
+        rng = np.random.default_rng(3)
+        mac = self._random_mac(rng, 50, n_fixed=3, n_cand=12)
+        sel, w, dual = mac.fw_subset(np.full(12, 0.5), 4, max_iters=20)
+        assert sel.sum() == 4
+        assert np.isfinite(dual)
+        assert np.all((w >= -1e-6) & (w <= 1 + 1e-6))
