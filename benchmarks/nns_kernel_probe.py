@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 import sys
 sys.path.insert(0, ".")
 
-from cslam_tpu.ops.nns_pallas import cosine_topk_fused, TILE_N  # noqa: E402
+from cslam_tpu.ops.nns_pallas import (  # noqa: E402
+    TILE_N, cosine_topk_fused, cosine_topk_fused2_pre)
 
 BANK_CAPACITY = 131072
 DIM = 64
@@ -126,9 +127,14 @@ def main():
         qs = jnp.asarray(rng.standard_normal(
             (scan_batches, B, DIM)).astype(np.float32))
 
-        # A: shipping kernel
+        # A: round-2 kernel
         def fused(bank_, q):
             sims, idx = cosine_topk_fused(bank_, inv_norms, n, q, K)
+            return sims[0, 0] + idx[0, 0].astype(jnp.float32)
+
+        # A2: shipping round-3 streaming kernel (f32 / bf16 bank tiers)
+        def fused2(bank_, q):
+            sims, idx = cosine_topk_fused2_pre(bank_, n, q, K)
             return sims[0, 0] + idx[0, 0].astype(jnp.float32)
 
         # B: speed-of-light max-only
@@ -137,6 +143,8 @@ def main():
 
         for name, fn, bk, nbytes in (
                 ("fused_topk_f32", fused, bank, f32_bytes),
+                ("fused2_topk_f32", fused2, bank, f32_bytes),
+                ("fused2_topk_bf16", fused2, bank_bf16, bf16_bytes),
                 ("max_only_f32", sol, bank, f32_bytes),
                 ("max_only_bf16", sol, bank_bf16, bf16_bytes)):
             try:

@@ -60,6 +60,10 @@ class FrontendConfig:
     # --- TPU-native extras ---
     descriptor_dim: int = 64          # used by the 'disable' random-descriptor mode
     bank_initial_capacity: int = 1024  # padded bank tier start (doubles on growth)
+    # device-mirror storage dtype for descriptor banks: "float32" (exact)
+    # or "bfloat16" (halves HBM traffic per search pass; ~4e-3 relative
+    # similarity error, far below the 0.9 detection-gate granularity)
+    nns_bank_dtype: str = "float32"
     warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
     # local-descriptor payloads ship deflate-compressed, like the
     # reference's rtabmap-compressed features (rgbd_handler.cpp:404-431)

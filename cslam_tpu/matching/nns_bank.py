@@ -39,7 +39,8 @@ class DescriptorBank:
     """Growable bank of global descriptors with cosine top-k search."""
 
     def __init__(self, dim: Optional[int] = None,
-                 capacity: int = _DEFAULT_CAPACITY):
+                 capacity: int = _DEFAULT_CAPACITY,
+                 dtype: str = "float32"):
         self.n = 0
         self.dim = dim
         self.items: Dict[int, Any] = {}
@@ -47,7 +48,10 @@ class DescriptorBank:
         self._host: Optional[np.ndarray] = None
         if dim is not None:
             self._host = np.zeros((capacity, dim), dtype=np.float32)
-        # device mirror
+        # device mirror; host storage stays f32 (source of truth), the
+        # mirror optionally stores bfloat16 unit rows — halves HBM traffic
+        # per search pass on TPU at ~4e-3 relative similarity error
+        self._dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self._bank: Optional[jax.Array] = None
         self._inv_norms: Optional[jax.Array] = None
         self._device_n = 0
@@ -102,7 +106,7 @@ class DescriptorBank:
         # the streaming kernel then needs no per-dispatch normalization
         # pass, and the XLA paths' inv multiply is a no-op
         if self._bank is None:
-            self._bank = jnp.zeros((self._capacity, self.dim), jnp.float32)
+            self._bank = jnp.zeros((self._capacity, self.dim), self._dtype)
             self._inv_norms = jnp.ones((self._capacity,), jnp.float32)
             self._device_n = 0
         if self._device_n < self.n:

@@ -22,7 +22,8 @@ def _make_bank(params: dict):
         return ScanContextBank(
             capacity=params.get("frontend.bank_initial_capacity", 1024))
     return DescriptorBank(
-        capacity=params.get("frontend.bank_initial_capacity", 1024))
+        capacity=params.get("frontend.bank_initial_capacity", 1024),
+        dtype=params.get("frontend.nns_bank_dtype", "float32"))
 
 
 class LoopClosureSparseMatching:

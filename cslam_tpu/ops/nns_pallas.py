@@ -303,6 +303,13 @@ def cosine_topk_fused2_pre(bank_n: jax.Array, n: jax.Array,
     Ties among exactly-equal similarities follow ``lax.top_k``'s
     ascending-index rule (enforced by the in-kernel merge; a dropped
     duplicate tied at the k-th value triggers the fallback via ``>=``).
+
+    bf16 bank tier: if ``bank_n`` is bfloat16 the queries are rounded to
+    bfloat16 too and the MXU runs its native bf16 x bf16 -> f32 mode —
+    HBM traffic per bank pass halves. Results are the EXACT top-k of the
+    bf16-rounded inputs (the similarity matmul, chains, scratch and merge
+    all stay f32); relative similarity error vs the f32 bank is ~4e-3,
+    far below the detection threshold granularity (0.9 gate).
     """
     assert k <= _LANE
     N, D = bank_n.shape
@@ -310,8 +317,12 @@ def cosine_topk_fused2_pre(bank_n: jax.Array, n: jax.Array,
     B = queries.shape[0]
     T = N // tile_n
 
-    queries = queries.astype(jnp.float32)
-    bank_n = bank_n.astype(jnp.float32)
+    q_f32 = queries.astype(jnp.float32)
+    if bank_n.dtype == jnp.bfloat16:
+        queries = q_f32.astype(jnp.bfloat16)
+    else:
+        queries = q_f32
+        bank_n = bank_n.astype(jnp.float32)
     negmask = jnp.where(jnp.arange(N) < n, 0.0,
                         -jnp.inf).astype(jnp.float32)
 
@@ -363,12 +374,14 @@ def cosine_topk_fused2_pre(bank_n: jax.Array, n: jax.Array,
     need_exact = jnp.any(dropped_bound >= kth)
 
     def exact_path(_):
-        sims = (queries @ bank_n.T
-                + negmask[None, :]).astype(jnp.float32)
+        sims = jax.lax.dot_general(
+            queries, bank_n,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + negmask[None, :]
         tv, ti = jax.lax.top_k(sims, k)
         return tv, ti
 
     top_vals, top_idx = jax.lax.cond(
         need_exact, exact_path, lambda _: (top_vals, top_idx), None)
-    q_inv = 1.0 / jnp.maximum(jnp.linalg.norm(queries, axis=-1), 1e-12)
+    q_inv = 1.0 / jnp.maximum(jnp.linalg.norm(q_f32, axis=-1), 1e-12)
     return top_vals * q_inv[:, None], top_idx

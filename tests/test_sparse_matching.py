@@ -326,3 +326,64 @@ class TestStreamingFusedKernel:
             q = rng.standard_normal((5, 24)).astype(np.float32)
             self._check(bank, int(rng.integers(1, N + 1)), q,
                         int(rng.integers(1, 12)))
+
+
+class TestBf16BankTier:
+    """bfloat16 bank storage (``frontend.nns_bank_dtype``): the kernel's
+    result must be the EXACT top-k of the bf16-rounded inputs, and a
+    bf16 DescriptorBank must agree with the f32 one on realistic
+    place-recognition matches."""
+
+    def test_kernel_exact_on_bf16_rounded_inputs(self):
+        import jax.numpy as jnp
+        from cslam_tpu.ops import topk as topk_ops
+        from cslam_tpu.ops.nns_pallas import TILE_N, cosine_topk_fused2_pre
+        rng = np.random.default_rng(21)
+        N = 2 * TILE_N
+        bank = rng.standard_normal((N, 32)).astype(np.float32)
+        bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+        q = rng.standard_normal((6, 32)).astype(np.float32)
+        n = N - 100
+        bank_bf = jnp.asarray(bank).astype(jnp.bfloat16)
+        fv, fi = cosine_topk_fused2_pre(bank_bf, jnp.int32(n),
+                                        jnp.asarray(q), 10, interpret=True)
+        # oracle: XLA top-k over the SAME bf16-rounded operands
+        bank_rt = np.asarray(bank_bf.astype(jnp.float32))
+        q_rt = np.asarray(jnp.asarray(q).astype(jnp.bfloat16)
+                          .astype(jnp.float32))
+        inv = np.ones(N, np.float32)
+        rv, ri = topk_ops.cosine_topk(jnp.asarray(bank_rt),
+                                      jnp.asarray(inv), jnp.int32(n),
+                                      jnp.asarray(q_rt), 10)
+        # sims scale: oracle divides by the ROUNDED query norm, the
+        # kernel by the original f32 norm — compare unscaled ordering
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(fi))
+        q_inv = 1.0 / np.maximum(np.linalg.norm(q, axis=1), 1e-12)
+        q_rt_inv = 1.0 / np.maximum(np.linalg.norm(q_rt, axis=1), 1e-12)
+        np.testing.assert_allclose(np.asarray(fv) / q_inv[:, None],
+                                   np.asarray(rv) / q_rt_inv[:, None],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_bank_dtype_recall_parity(self):
+        """Correlated descriptor pairs (the detection regime): bf16 and
+        f32 banks must produce identical top-1 matches and similarities
+        within bf16 rounding."""
+        from cslam_tpu.matching.nns_bank import DescriptorBank
+        rng = np.random.default_rng(22)
+        n, dim = 500, 64
+        base = rng.standard_normal((n, dim)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        b32 = DescriptorBank(dtype="float32")
+        b16 = DescriptorBank(dtype="bfloat16")
+        for i in range(n):
+            b32.add_item(base[i], i)
+            b16.add_item(base[i], i)
+        # queries = noisy revisits of stored places
+        qi = rng.integers(0, n, 32)
+        q = base[qi] + 0.05 * rng.standard_normal((32, dim)).astype(
+            np.float32)
+        s32, i32 = b32.search_batch(q, 3)
+        s16, i16 = b16.search_batch(q, 3)
+        np.testing.assert_array_equal(i32[:, 0], i16[:, 0])
+        np.testing.assert_array_equal(np.asarray(qi), i16[:, 0])
+        np.testing.assert_allclose(s32, s16, rtol=0, atol=2e-2)
