@@ -261,11 +261,79 @@ def _dense_normal_solve(g, Ji, Jj, Jp, weights, lam, diag_h, grad,
     return delta.reshape(Np, 6)
 
 
-def _pcg(matvec, b, M_inv_blocks, max_iters: int, tol: float):
+_COARSE_SEG = 32   # nodes per segment of the two-level PCG coarse space
+_USE_COARSE = True  # trace-time switch (A/B probes flip + jax.clear_caches())
+
+
+def _coarse_correction(g, poses, Ji, Jj, Jp, weights, lam, diag_h):
+    """Two-level (segment-rigid) coarse correction for the PCG tier.
+
+    Block-Jacobi alone moves long-wavelength error one hop per CG
+    iteration, so chains of hundreds of poses need O(diameter) iterations
+    (the same diffusion limit measured for the distributed solver's block
+    sweeps). The cure is the same: a coarse space of segment-rigid motions.
+    One SE(3) *left* increment ``eta_s`` per contiguous ``_COARSE_SEG``-node
+    segment; with the solver's right retraction ``X -> X Exp(xi)``, moving a
+    whole segment by ``Exp(eta)`` on the left corresponds per node to
+    ``xi_n = Ad(X_n^{-1}) eta``, so the prolongation is ``P[n] =
+    Ad(X_n^{-1})`` (zeroed on padded nodes). Between-factors interior to a
+    segment are exactly invariant under that motion (``Ji P_i + Jj P_j =
+    0``), so the Galerkin operator ``H_c = P^T (H + lam diag H) P`` couples
+    segments only through crossing edges and priors — precisely the
+    long-wavelength skeleton the fine smoother cannot see. Applied
+    additively with block-Jacobi: ``z = M_bj^{-1} r + P H_c^{-1} P^T r``
+    (SPD, standard two-level additive Schwarz).
+
+    Returns ``apply(r) -> z_coarse`` with the ``[6S, 6S]`` Cholesky
+    factored once per LM iteration.
+    """
+    Np = g.num_nodes
+    S = max(1, Np // _COARSE_SEG)
+    dtype = Ji.dtype
+    seg_of_node = jnp.minimum(jnp.arange(Np) // _COARSE_SEG, S - 1)
+    A = se3.adjoint(se3.inverse(poses)) * g.node_valid[:, None, None]
+    Ns = jax.nn.one_hot(seg_of_node, S, dtype=dtype)            # [Np, S]
+    Ei, Ej, Ep = (Ns[g.edge_i], Ns[g.edge_j], Ns[g.prior_idx])  # [E|B, S]
+    # coarse-space residual Jacobian rows, one [6, S*6] block row per edge
+    Gi = Ji @ A[g.edge_i]
+    Gj = Jj @ A[g.edge_j]
+    w1 = (weights * g.edge_valid)[:, None, None, None]
+    R = (jnp.einsum("es,eab->easb", Ei, Gi)
+         + jnp.einsum("es,eab->easb", Ej, Gj)) * jnp.sqrt(w1)
+    Rp = jnp.einsum("qs,qac->qasc", Ep, Jp @ A[g.prior_idx])
+    Rm = R.reshape(-1, S * 6)
+    Rpm = Rp.reshape(-1, S * 6)
+    Hc = Rm.T @ Rm + Rpm.T @ Rpm
+    # damping term P^T (lam * diag H) P lands on the block diagonal
+    T = jnp.einsum("nai,na,naj->nij", A, lam * diag_h, A)
+    Dc = jnp.einsum("ns,nij->sij", Ns, T)
+    eyeS = jnp.eye(S, dtype=dtype)
+    Hc = Hc + (eyeS[:, None, :, None]
+               * Dc[:, :, None, :]).reshape(S * 6, S * 6)
+    # ridge: keeps all-padded segments (zero rows) and near-singular coarse
+    # blocks factorable without biasing active ones
+    d = jnp.diagonal(Hc)
+    ridge = 1e-7 * jnp.max(d) + 1e-12
+    Hc = Hc + ridge * jnp.eye(S * 6, dtype=dtype)
+    chol = jax.scipy.linalg.cho_factor(Hc, lower=True)
+
+    def apply(r):
+        c = jnp.einsum("ns,nba,nb->sa", Ns, A, r)
+        y = jax.scipy.linalg.cho_solve(chol, c.reshape(S * 6))
+        return jnp.einsum("ns,nab,sb->na", Ns, A, y.reshape(S, 6))
+
+    return apply
+
+
+def _pcg(matvec, b, M_inv_blocks, max_iters: int, tol: float,
+         coarse_apply=None):
     """Preconditioned conjugate gradients on [Np, 6] unknowns."""
 
     def apply_prec(r):
-        return jnp.einsum("nij,nj->ni", M_inv_blocks, r)
+        z = jnp.einsum("nij,nj->ni", M_inv_blocks, r)
+        if coarse_apply is not None:
+            z = z + coarse_apply(r)
+        return z
 
     x0 = jnp.zeros_like(b)
     r0 = b
@@ -347,7 +415,10 @@ def lm_optimize(g: PoseGraphArrays, weights: jax.Array,
             M_inv = jnp.linalg.inv(M)
             matvec = _make_matvec(g, Ji, Jj, Jp, weights, lam, diag_h,
                                   one_hots)
-            delta = _pcg(matvec, -grad, M_inv, cg_iters, cg_tol)
+            coarse = (_coarse_correction(g, poses, Ji, Jj, Jp, weights,
+                                         lam, diag_h)
+                      if _USE_COARSE else None)
+            delta = _pcg(matvec, -grad, M_inv, cg_iters, cg_tol, coarse)
         delta = delta * g.node_valid[:, None]
 
         candidate = se3.retract(poses, delta)

@@ -46,7 +46,7 @@ def ate(estimates, ground_truth, keys):
 
 
 def build_graph(gt, rng, odom_noise=True, loops=(), outliers=(),
-                drift_init=True):
+                drift_init=True, rot_std=ROT_STD, trans_std=TRANS_STD):
     """Factor graph with noisy odometry chain initialization (dead-reckoned)."""
     graph = FactorGraph()
     keys = sorted(gt.keys())
@@ -57,7 +57,8 @@ def build_graph(gt, rng, odom_noise=True, loops=(), outliers=(),
     odometry = {}
     for r, ks in by_robot.items():
         for a, b in zip(ks[:-1], ks[1:]):
-            z = (noisy_between(gt[a], gt[b], rng) if odom_noise
+            z = (noisy_between(gt[a], gt[b], rng, rot_std, trans_std)
+                 if odom_noise
                  else np.asarray(se3.between(jnp.asarray(gt[a]),
                                              jnp.asarray(gt[b]))))
             odometry[(a, b)] = z
@@ -78,7 +79,8 @@ def build_graph(gt, rng, odom_noise=True, loops=(), outliers=(),
         graph.add_between(a, b, z, SIGMAS, robust=False)
 
     for a, b in loops:
-        z = (noisy_between(gt[a], gt[b], rng) if odom_noise
+        z = (noisy_between(gt[a], gt[b], rng, rot_std, trans_std)
+             if odom_noise
              else np.asarray(se3.between(jnp.asarray(gt[a]),
                                          jnp.asarray(gt[b]))))
         graph.add_between(a, b, z, SIGMAS, robust=True)
@@ -338,3 +340,110 @@ class TestChordalInit:
             np.testing.assert_allclose(est[k][:3, 3], gt[k][:3, 3], atol=0.02)
             np.testing.assert_allclose(est[k][:3, :3], gt[k][:3, :3],
                                        atol=0.02)
+
+
+class TestCoarsePCG:
+    """Two-level (segment-rigid) coarse correction for the PCG tier.
+
+    Graphs above ``_DENSE_SOLVE_MAX_NODES`` solve their LM steps with
+    block-Jacobi PCG, whose smoothing moves long-wavelength error one hop
+    per iteration (O(diameter) iterations on pose chains). The coarse
+    space of per-segment SE(3) rigid motions (``solver._coarse_correction``)
+    removes that diffusion limit. These tests pin the Galerkin correctness
+    of the coarse operator and the acceleration it buys.
+    """
+
+    def _linear_system(self, n=128):
+        from cslam_tpu.pgo import solver as S
+        rng = np.random.default_rng(3)
+        gt = {}
+        gt.update(circle_trajectory(n, robot=0))
+        gt.update(circle_trajectory(n, radius=11.0, robot=1))
+        loops = [((0, k), (1, k)) for k in range(0, n, 8)]
+        graph = build_graph(gt, rng, loops=loops)
+        arrays = graph.to_arrays()
+        poses = arrays.poses
+        w = jnp.ones(arrays.num_edges, poses.dtype)
+        r, Ji, Jj, rp, Jp = S._linearize(poses, arrays)
+        one_hots = S._one_hots(arrays, poses.dtype)
+        D = S._hessian_blocks(arrays, Ji, Jj, Jp, w, one_hots)
+        diag_h = jnp.maximum(jnp.einsum("nii->ni", D), 1e-8)
+        lam = jnp.asarray(1e-4, poses.dtype)
+        matvec = S._make_matvec(arrays, Ji, Jj, Jp, w, lam, diag_h, one_hots)
+        grad = S._assemble_grad(arrays, Ji, Jj, Jp, r * w[:, None], rp,
+                                one_hots)
+        M_inv = jnp.linalg.inv(
+            D + lam * diag_h[:, None] * jnp.eye(6, dtype=poses.dtype)[None])
+        coarse = S._coarse_correction(arrays, poses, Ji, Jj, Jp, w, lam,
+                                      diag_h)
+        dense = S._dense_normal_solve(arrays, Ji, Jj, Jp, w, lam, diag_h,
+                                      grad, one_hots)
+        return S, arrays, poses, matvec, grad, M_inv, coarse, dense
+
+    def test_galerkin_identity(self):
+        """apply((H + lam diag H) P y) == P y for any coarse vector y.
+
+        This is the Galerkin property P^T A P = H_c exercised end-to-end
+        through the factored coarse solve: feeding A (P y) through the
+        correction must reproduce P y (up to the stabilizing ridge).
+        """
+        from cslam_tpu.pgo import solver as S
+        _, arrays, poses, matvec, _, _, coarse, _ = self._linear_system()
+        Np = arrays.num_nodes
+        nseg = max(1, Np // S._COARSE_SEG)
+        seg = np.minimum(np.arange(Np) // S._COARSE_SEG, nseg - 1)
+        A = np.asarray(se3.adjoint(se3.inverse(poses))) * np.asarray(
+            arrays.node_valid)[:, None, None]
+        y = np.random.default_rng(0).normal(size=(nseg, 6)).astype(np.float32)
+        Py = jnp.asarray(np.einsum("nab,nb->na", A, y[seg]))
+        lhs = coarse(matvec(Py))
+        rel = (float(jnp.max(jnp.abs(lhs - Py)))
+               / float(jnp.max(jnp.abs(Py))))
+        assert rel < 5e-3
+
+    def test_accelerates_and_matches_dense_solution(self):
+        """Coarse-corrected PCG converges where block-Jacobi is still far
+        off, and both head to the dense-Cholesky reference solution."""
+        S, arrays, poses, matvec, grad, M_inv, coarse, dense = (
+            self._linear_system())
+        b = -grad
+
+        def res_norm(x):
+            return float(jnp.linalg.norm(b - matvec(x)))
+
+        bn = float(jnp.linalg.norm(b))
+        x_bj = S._pcg(matvec, b, M_inv, 150, 1e-6)
+        x_c = S._pcg(matvec, b, M_inv, 150, 1e-6, coarse)
+        assert res_norm(x_c) < 1e-5 * bn          # converged
+        assert res_norm(x_bj) > 10 * res_norm(x_c)  # jacobi still far off
+        err = float(jnp.max(jnp.abs(x_c - dense)))
+        scale = float(jnp.max(jnp.abs(dense)))
+        assert err < 1e-3 * max(scale, 1.0)
+
+    def test_lm_optimize_pcg_tier_converges(self):
+        """End-to-end wiring: a >512-node graph goes down the PCG branch
+        (with the coarse correction) and converges like the dense tier."""
+        rng = np.random.default_rng(7)
+        n = 288  # 2 robots x 288 = 576 nodes > _DENSE_SOLVE_MAX_NODES
+        gt = {}
+        gt.update(circle_trajectory(n, robot=0))
+        gt.update(circle_trajectory(n, radius=11.0, robot=1))
+        loops = [((0, k), (1, k)) for k in range(0, n, 16)]
+        # ground-truth init + low rotation noise: this test pins the
+        # PCG-branch WIRING (coarse correction traced into lm_optimize),
+        # not basin escape or noise-floor physics — at the default noise
+        # (0.01 rad/step over 288 steps) the MAP estimate itself sits
+        # meters from ground truth, and dead-reckoned drift additionally
+        # strands plain LM in a local minimum (see BENCH.md's
+        # chordal-restart A/B; gnc_optimize owns that regime)
+        graph = build_graph(gt, rng, loops=loops, drift_init=False,
+                            rot_std=0.002, trans_std=0.02)
+        arrays = graph.to_arrays()
+        assert arrays.num_nodes > 512
+        from cslam_tpu.pgo.solver import cost as graph_cost
+        ones = jnp.ones(arrays.num_edges)
+        res = lm_optimize(arrays, ones, max_iters=15)
+        cost0 = float(graph_cost(arrays.poses, arrays, ones))
+        ate1 = ate(extract(graph, res.poses), gt, list(gt))
+        assert float(res.final_cost) < cost0
+        assert ate1 < 0.8  # noise floor ~0.5; stranded optimum is 2.4+
