@@ -191,7 +191,12 @@ def _scan_kernel2(k, n_ref, q_ref, bank_ref, negm_ref,
         m3 = jnp.full((B, _LANE), -jnp.inf, jnp.float32)
         for g in range(G):
             w = sims[:, g * _LANE:(g + 1) * _LANE]
-            if masked:  # only the tile straddling the n boundary pays this
+            if masked:
+                # every live tile pays these G [B, LANE] adds today:
+                # specializing full tiles to masked=False needs a
+                # second pl.when branch that doubles the unrolled
+                # program (Mosaic compile risk at TILE_N=4096) --
+                # candidate for a future on-hardware A/B, not free
                 w = w + negm[g * _LANE:(g + 1) * _LANE][None, :]
             gc = jnp.int32(g)
             b1 = w > m1

@@ -11,12 +11,30 @@ ride a small TCP hub (the "thin async host messaging shim" of SURVEY.md §5):
   frames; ``deliver`` drains them into local subscribers. All node code
   (detection front end, back end, sensor handlers) runs unchanged on top.
 
-Frames are pickled (topic, msg, src_robot) tuples — robot swarms are a
-trusted network in the reference's model too; swap ``_encode``/``_decode``
-for a schema codec if that assumption changes.
+The hub is a single broker (the reference's DDS is masterless); to keep the
+swarm's liveness story at least as strong as the reference's failure model,
+a hub restart must not lose the frames clients buffered while it was down.
+The mechanism is a generation/sequence handshake:
+
+- the hub stamps every relayed frame with a monotonically increasing
+  sequence number and keeps the last ``history`` frames in a replay ring;
+- on connect it sends ``HELLO(generation, next_seq)`` and the client
+  answers ``RESYNC(from_seq)`` *before* joining the live relay set — a
+  fresh client asks for ``next_seq`` (future frames only), a client whose
+  connection blipped asks for ``last_seq + 1`` (missed frames), and a
+  client that observes a *new generation* (hub restarted) asks for ``0``
+  (everything the new hub has relayed, because peers may have flushed
+  their outage buffers before this client reconnected);
+- the client drops frames with ``seq <= last_seq``, so hub-side replay
+  overlap never double-delivers.
+
+Frames are pickled tuples — robot swarms are a trusted network in the
+reference's model too; swap ``_encode``/``_decode`` for a schema codec if
+that assumption changes.
 """
 from __future__ import annotations
 
+import os
 import pickle
 import socket
 import struct
@@ -28,6 +46,11 @@ from typing import Any, Dict, Optional, Tuple
 from cslam_tpu.runtime.bus import MessageBus
 
 _HEADER = struct.Struct("!I")
+
+# control-frame topics (never collide with /cslam/... topics)
+_HELLO = "__hub_hello__"
+_RESYNC = "__hub_resync__"
+_DATA = "__hub_data__"
 
 
 def _encode(topic: str, msg: Any, src_robot: int) -> bytes:
@@ -75,17 +98,67 @@ def _read_exact(sock: socket.socket, n: int) -> Optional[bytes]:
     return buf
 
 
-class TransportHub:
-    """TCP fan-out broker. One per swarm (or per simulation host)."""
+#: sentinel meaning "the handshake consumed the first frame"
+_HANDSHAKEN = object()
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+
+class _HubClient:
+    """One connected client: socket + ordered outbound queue + writer.
+
+    Relay threads (one per *source* client) append under the hub lock in
+    seq-assignment order; the single writer thread drains sequentially, so
+    every destination observes frames in global seq order — the invariant
+    the NetworkBus watermark dedup relies on. A writer also means a slow
+    client back-pressures only its own bounded queue, never the hub."""
+
+    QUEUE_DEPTH = 8192  # drop-oldest beyond this (slow client misses frames)
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self._queue: deque = deque(maxlen=self.QUEUE_DEPTH)
+        self._cv = threading.Condition()
+        self.alive = True
+        self._writer = threading.Thread(target=self._writer_loop, daemon=True)
+        self._writer.start()
+
+    def send(self, data: bytes) -> None:
+        with self._cv:
+            self._queue.append(data)
+            self._cv.notify()
+
+    def _writer_loop(self) -> None:
+        while True:
+            with self._cv:
+                while self.alive and not self._queue:
+                    self._cv.wait()
+                if not self.alive:
+                    return
+                data = self._queue.popleft()
+            try:
+                self.sock.sendall(data)
+            except OSError:
+                self.stop()
+                return
+
+    def stop(self) -> None:
+        with self._cv:
+            self.alive = False
+            self._cv.notify()
+        _shutdown_close(self.sock)
+
+
+class TransportHub:
+    """TCP fan-out broker with a bounded replay ring. One per swarm."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 history: int = 4096):
         self._server = socket.create_server((host, port))
         self.address = self._server.getsockname()
-        # per-client write locks: multiple reader threads (one per source
-        # client) fan out to the same destination socket, and interleaved
-        # partial sendall()s would corrupt the length-prefixed stream
-        self._clients: Dict[socket.socket, threading.Lock] = {}
+        self._clients: Dict[socket.socket, _HubClient] = {}
         self._lock = threading.Lock()
+        self._generation = os.urandom(8).hex()
+        self._seq = 0
+        self._history: deque = deque(maxlen=history)  # (seq, bytes)
         self._running = True
         self._thread = threading.Thread(target=self._accept_loop, daemon=True)
         self._thread.start()
@@ -97,52 +170,86 @@ class TransportHub:
             except OSError:
                 return
             client.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            with self._lock:
-                self._clients[client] = threading.Lock()
             threading.Thread(target=self._client_loop, args=(client,),
                              daemon=True).start()
 
+    def _handshake(self, client: socket.socket):
+        """HELLO → RESYNC → queue replay → join live relay. Replay frames
+        are queued and the client registered under one hub-lock hold, so
+        replayed and live frames reach the client in seq order."""
+        with self._lock:
+            hello = _encode(_HELLO, (self._generation, self._seq), -2)
+        try:
+            client.sendall(hello)
+        except OSError:
+            return None
+        first = _read_frame(client)
+        if first is None:
+            return None
+        hc = _HubClient(client)
+        with self._lock:
+            if (isinstance(first, tuple) and len(first) == 3
+                    and first[0] == _RESYNC):
+                from_seq = int(first[1])
+                for s, data in self._history:
+                    if s >= from_seq:
+                        hc.send(data)
+                first = _HANDSHAKEN  # consumed
+            # (else: legacy client sent data before resync — relay it below)
+            self._clients[client] = hc
+        return first
+
     def _client_loop(self, client: socket.socket) -> None:
+        first = self._handshake(client)
+        if first is None:
+            _shutdown_close(client)
+            return
         while self._running:
-            frame = _read_frame(client)
+            if first is not _HANDSHAKEN:
+                frame = first
+                first = _HANDSHAKEN
+            else:
+                frame = _read_frame(client)
             if frame is None:
                 break
-            data = _encode(*frame)
+            topic, msg, src = frame
             with self._lock:
-                targets = list(self._clients.items())
-            for other, wlock in targets:
-                try:
-                    with wlock:
-                        other.sendall(data)
-                except OSError:
-                    self._drop(other)
+                seq = self._seq
+                self._seq += 1
+                data = _encode(_DATA, (seq, topic, msg, src), -2)
+                self._history.append((seq, data))
+                targets = [hc for hc in self._clients.values() if hc.alive]
+            for hc in targets:
+                hc.send(data)
         self._drop(client)
 
     def _drop(self, client: socket.socket) -> None:
         with self._lock:
-            self._clients.pop(client, None)
-        _shutdown_close(client)
+            hc = self._clients.pop(client, None)
+        if hc is not None:
+            hc.stop()
+        else:
+            _shutdown_close(client)
 
     def close(self) -> None:
         self._running = False
         _shutdown_close(self._server)
         with self._lock:
-            clients = list(self._clients)
+            clients = list(self._clients.values())
             self._clients.clear()
-        for c in clients:
-            _shutdown_close(c)
+        for hc in clients:
+            hc.stop()
 
 
 class NetworkBus(MessageBus):
     """MessageBus whose queue is fed by a TransportHub connection.
 
-    The hub is a single broker (the reference's DDS is masterless); to keep
-    the swarm's liveness story at least as strong as the reference's
-    failure model, a dropped hub connection is NOT terminal: the reader
-    thread reconnects with exponential backoff, frames published while
-    disconnected land in a bounded drop-oldest buffer that is flushed on
-    reconnect, and the connection state is surfaced via
-    :meth:`connection_stats` so node heartbeat logic can report it.
+    A dropped hub connection is NOT terminal: the reader thread reconnects
+    with exponential backoff, frames published while disconnected land in a
+    bounded drop-oldest buffer that is flushed after the reconnect
+    handshake, the hub's generation/seq replay covers frames peers flushed
+    before this client reconnected, and the connection state is surfaced
+    via :meth:`connection_stats` so node heartbeat logic can report it.
     """
 
     #: outgoing frames buffered while the hub is unreachable (drop-oldest)
@@ -155,7 +262,9 @@ class NetworkBus(MessageBus):
         self._address = hub_address
         self._reconnect = reconnect
         self._backoff = (backoff_initial, backoff_max)
-        self._sock = self._connect()
+        self._hub_generation: Optional[str] = None
+        self._last_seq = -1
+        self._sock = self._connect_and_sync()
         self.connected = True
         self.disconnects = 0
         self.reconnects = 0
@@ -168,9 +277,26 @@ class NetworkBus(MessageBus):
         self._reader = threading.Thread(target=self._reader_loop, daemon=True)
         self._reader.start()
 
-    def _connect(self) -> socket.socket:
+    def _connect_and_sync(self) -> socket.socket:
+        """Connect + HELLO/RESYNC handshake (see module docstring)."""
         sock = socket.create_connection(self._address, timeout=10.0)
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        hello = _read_frame(sock)
+        if not (isinstance(hello, tuple) and len(hello) == 3
+                and hello[0] == _HELLO):
+            _shutdown_close(sock)
+            raise OSError("hub handshake failed")
+        generation, next_seq = hello[1]
+        if self._hub_generation is None:
+            from_seq = next_seq          # fresh client: future frames only
+            self._last_seq = next_seq - 1
+        elif generation == self._hub_generation:
+            from_seq = self._last_seq + 1  # our link blipped: catch up
+        else:
+            from_seq = 0                 # hub restarted: take everything the
+            self._last_seq = -1          # new generation relayed so far
+        self._hub_generation = generation
+        sock.sendall(_encode(_RESYNC, from_seq, -2))
         sock.settimeout(None)
         return sock
 
@@ -178,8 +304,14 @@ class NetworkBus(MessageBus):
         while self._running:
             frame = _read_frame(self._sock)
             if frame is not None:
-                with self._inbox_lock:
-                    self._inbox.append(frame)
+                if (isinstance(frame, tuple) and len(frame) == 3
+                        and frame[0] == _DATA):
+                    seq, topic, msg, src = frame[1]
+                    if seq <= self._last_seq:
+                        continue  # hub replay overlap: already seen
+                    self._last_seq = seq
+                    with self._inbox_lock:
+                        self._inbox.append((topic, msg, src))
                 continue
             # connection lost (or close() shut the socket down)
             if not self._running:
@@ -193,7 +325,7 @@ class NetworkBus(MessageBus):
             delay, cap = self._backoff
             while self._running:
                 try:
-                    sock = self._connect()
+                    sock = self._connect_and_sync()
                 except OSError:
                     # hub still down: back off and retry (daemon thread, so
                     # a permanently-dead hub costs one sleeping thread)
@@ -204,14 +336,19 @@ class NetworkBus(MessageBus):
                     self._sock = sock
                     self.connected = True
                     self.reconnects += 1
-                    pending = list(self._pending_out)
+                    pending = deque(self._pending_out)
                     self._pending_out.clear()
                     try:
-                        for data in pending:
-                            sock.sendall(data)
+                        while pending:
+                            sock.sendall(pending[0])
+                            pending.popleft()
                     except OSError:
-                        # hub died again mid-flush: requeue what's left
+                        # hub died again mid-flush: requeue ONLY the
+                        # unsent remainder (sent frames are in the hub's
+                        # replay ring if it got them before dying; resend
+                        # would double-deliver) and drop the dead socket
                         self._pending_out.extend(pending)
+                        _shutdown_close(sock)
                         self.connected = False
                         self.disconnects += 1
                         continue

@@ -60,11 +60,6 @@ def decompress_array(blob: bytes) -> np.ndarray:
     return a
 
 
-def maybe_compress(a: Optional[np.ndarray], level: int = 1,
-                   quantize_f16: bool = False) -> Optional[bytes]:
-    return None if a is None else compress_array(a, level, quantize_f16)
-
-
 def maybe_decompress(blob) -> Optional[np.ndarray]:
     if blob is None:
         return None
