@@ -69,7 +69,10 @@ def main():
         for k in range(0, NB_POSES, 10):
             z = noisy(np.linalg.inv(gt[(r, k)]) @ gt[(r + 1, k)], rng)
             graph.add_between((r, k), (r + 1, k), z, SIGMAS, robust=True)
-    for a, b in [((0, 5), (3, 70)), ((1, 20), (4, 90))]:
+    outlier_pairs = [((0, 5), (3 % NB_ROBOTS, 70 % NB_POSES)),
+                     ((1 % NB_ROBOTS, 20 % NB_POSES),
+                      ((NB_ROBOTS - 1), 90 % NB_POSES))]
+    for a, b in outlier_pairs:
         bad = np.asarray(se3.exp(jnp.asarray(np.concatenate(
             [rng.uniform(-2, 2, 3), rng.uniform(-20, 20, 3)]))))
         graph.add_between(a, b, bad, SIGMAS, robust=True)

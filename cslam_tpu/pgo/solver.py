@@ -492,7 +492,10 @@ def _gn_step(g: PoseGraphArrays, weights: jax.Array, poses: jax.Array,
         M = D + lam_t * diag_h[:, None] * jnp.eye(6, dtype=poses.dtype)[None]
         matvec = _make_matvec(g_at, Ji, Jj, Jp, weights, lam_t, diag_h,
                               one_hots)
-        delta = _pcg(matvec, -grad, jnp.linalg.inv(M), 100, 1e-6)
+        coarse = (_coarse_correction(g_at, poses, Ji, Jj, Jp, weights,
+                                     lam_t, diag_h)
+                  if _USE_COARSE else None)
+        delta = _pcg(matvec, -grad, jnp.linalg.inv(M), 100, 1e-6, coarse)
     delta = delta * g.node_valid[:, None]
     return se3.retract(poses, delta)
 
