@@ -137,6 +137,13 @@ def main():
             sims, idx = cosine_topk_fused2_pre(bank_, n, q, K)
             return sims[0, 0] + idx[0, 0].astype(jnp.float32)
 
+        # A3: masked-tile specialization A/B — full tiles skip the
+        # per-chunk negmask adds behind a second pl.when branch
+        def fused2_spec(bank_, q):
+            sims, idx = cosine_topk_fused2_pre(bank_, n, q, K,
+                                               specialize=True)
+            return sims[0, 0] + idx[0, 0].astype(jnp.float32)
+
         # B: speed-of-light max-only
         def sol(bank_, q):
             return max_only(bank_, q)[0]
@@ -144,7 +151,10 @@ def main():
         for name, fn, bk, nbytes in (
                 ("fused_topk_f32", fused, bank, f32_bytes),
                 ("fused2_topk_f32", fused2, bank, f32_bytes),
+                ("fused2_topk_f32_spec", fused2_spec, bank, f32_bytes),
                 ("fused2_topk_bf16", fused2, bank_bf16, bf16_bytes),
+                ("fused2_topk_bf16_spec", fused2_spec, bank_bf16,
+                 bf16_bytes),
                 ("max_only_f32", sol, bank, f32_bytes),
                 ("max_only_bf16", sol, bank_bf16, bf16_bytes)):
             try:

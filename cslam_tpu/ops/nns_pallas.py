@@ -132,7 +132,7 @@ _TOPC = 4          # per-lane-column global candidates kept in scratch
 MAX_K = _LANE      # cosine_topk_fused2 supports k up to one lane block
 
 
-def _scan_kernel2(k, n_ref, q_ref, bank_ref, negm_ref,
+def _scan_kernel2(k, specialize, n_ref, q_ref, bank_ref, negm_ref,
                   vals_ref, idx_ref, flag_ref,
                   M_ref, A_ref, F_ref):
     """Streaming bank scan: per-tile top-2-per-lane-column compare-select
@@ -192,11 +192,12 @@ def _scan_kernel2(k, n_ref, q_ref, bank_ref, negm_ref,
         for g in range(G):
             w = sims[:, g * _LANE:(g + 1) * _LANE]
             if masked:
-                # every live tile pays these G [B, LANE] adds today:
-                # specializing full tiles to masked=False needs a
-                # second pl.when branch that doubles the unrolled
-                # program (Mosaic compile risk at TILE_N=4096) --
-                # candidate for a future on-hardware A/B, not free
+                # with specialize=False every live tile pays these G
+                # [B, LANE] adds; specialize=True emits a second
+                # mask-free pl.when branch for fully-valid tiles,
+                # doubling the unrolled program (Mosaic compile cost
+                # at TILE_N=4096) to save the adds -- on-hardware A/B
+                # via benchmarks/nns_kernel_probe.py --specialize
                 w = w + negm[g * _LANE:(g + 1) * _LANE][None, :]
             gc = jnp.int32(g)
             b1 = w > m1
@@ -234,9 +235,20 @@ def _scan_kernel2(k, n_ref, q_ref, bank_ref, negm_ref,
             A_ref[s] = A[s]
         F_ref[0] = F
 
-    @pl.when(base < n)
-    def _live_tile():
-        do_tile(masked=True)
+    if specialize:
+        # full tiles (entirely below n) skip the per-chunk mask adds;
+        # only the single straddling tile runs the masked branch
+        @pl.when(base + tile_n <= n)
+        def _full_tile():
+            do_tile(masked=False)
+
+        @pl.when(jnp.logical_and(base < n, base + tile_n > n))
+        def _straddle_tile():
+            do_tile(masked=True)
+    else:
+        @pl.when(base < n)
+        def _live_tile():
+            do_tile(masked=True)
 
     @pl.when(t == T - 1)
     def _emit():
@@ -274,10 +286,11 @@ def _scan_kernel2(k, n_ref, q_ref, bank_ref, negm_ref,
         flag_ref[:] = F_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile_n", "interpret", "specialize"))
 def cosine_topk_fused2(bank: jax.Array, inv_norms: jax.Array, n: jax.Array,
                        queries: jax.Array, k: int, tile_n: int = TILE_N,
-                       interpret: bool = False):
+                       interpret: bool = False, specialize: bool = False):
     """Exact cosine top-k via the streaming per-column kernel.
 
     Drop-in replacement for :func:`cosine_topk_fused` (same contract as
@@ -289,13 +302,15 @@ def cosine_topk_fused2(bank: jax.Array, inv_norms: jax.Array, n: jax.Array,
     bank_n = (bank.astype(jnp.float32)
               * inv_norms.astype(jnp.float32)[:, None])
     return cosine_topk_fused2_pre(bank_n, n, queries, k, tile_n=tile_n,
-                                  interpret=interpret)
+                                  interpret=interpret, specialize=specialize)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile_n", "interpret", "specialize"))
 def cosine_topk_fused2_pre(bank_n: jax.Array, n: jax.Array,
                            queries: jax.Array, k: int, tile_n: int = TILE_N,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           specialize: bool = False):
     """Exact cosine top-k over a bank of L2-NORMALIZED rows.
 
     Replaces the reference's O(N) python scan at
@@ -358,7 +373,7 @@ def cosine_topk_fused2_pre(bank_n: jax.Array, n: jax.Array,
     )
 
     outv, outi, flag = pl.pallas_call(
-        functools.partial(_scan_kernel2, k),
+        functools.partial(_scan_kernel2, k, specialize),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, _LANE), jnp.float32),

@@ -327,6 +327,30 @@ class TestStreamingFusedKernel:
             self._check(bank, int(rng.integers(1, N + 1)), q,
                         int(rng.integers(1, 12)))
 
+    def test_specialized_full_tiles_identical(self):
+        """specialize=True (full tiles skip the negmask adds behind a
+        second pl.when branch) must be bit-identical to the default path
+        for every tile topology: all-full, full+straddle, straddle-only,
+        and trailing dead tiles."""
+        import jax.numpy as jnp
+        from cslam_tpu.ops import topk as topk_ops
+        from cslam_tpu.ops.nns_pallas import TILE_N, cosine_topk_fused2
+        rng = np.random.default_rng(31)
+        N = 3 * TILE_N
+        bank = rng.standard_normal((N, 24)).astype(np.float32)
+        inv = (1.0 / np.linalg.norm(bank, axis=1)).astype(np.float32)
+        q = rng.standard_normal((5, 24)).astype(np.float32)
+        for n in (N, N - TILE_N // 2, TILE_N // 3, TILE_N, 7):
+            rv, ri = topk_ops.cosine_topk(
+                jnp.asarray(bank), jnp.asarray(inv), jnp.int32(n),
+                jnp.asarray(q), 10)
+            sv, si = cosine_topk_fused2(
+                jnp.asarray(bank), jnp.asarray(inv), jnp.int32(n),
+                jnp.asarray(q), 10, interpret=True, specialize=True)
+            np.testing.assert_array_equal(np.asarray(ri), np.asarray(si))
+            np.testing.assert_allclose(np.asarray(rv), np.asarray(sv),
+                                       rtol=1e-5, atol=1e-6)
+
 
 class TestBf16BankTier:
     """bfloat16 bank storage (``frontend.nns_bank_dtype``): the kernel's
