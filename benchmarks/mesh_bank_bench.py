@@ -55,7 +55,7 @@ def main():
 
     mesh = Mesh(np.array(jax.devices()[:1]), (AXIS,))
     banks = jnp.asarray(bank_host)[None]          # [1 robot, rows, D]
-    inv_norms = jnp.ones((1, args.rows), jnp.float32)
+    inv_norms = jnp.ones((1, args.rows), jnp.float32)  # direct XLA path only
     counts = jnp.asarray([args.rows], jnp.int32)
     mesh_search = make_mesh_search(mesh, K, capacity=args.rows)
 
@@ -65,7 +65,7 @@ def main():
     direct = cosine_topk_fused2 if on_tpu else topk_ops.cosine_topk
 
     # correctness: sharded result == direct result
-    sims_m, idx_m = mesh_search(banks, inv_norms, counts, queries[0])
+    sims_m, idx_m = mesh_search(banks, counts, queries[0])
     sims_d, idx_d = direct(banks[0], inv_norms[0], counts[0], queries[0], K)
     assert (np.asarray(idx_m)[0] == np.asarray(idx_d)).all(), "path check"
 
@@ -79,7 +79,7 @@ def main():
             return total
         return scan_bench
 
-    scan_mesh = make_scan(mesh_search)
+    scan_mesh = make_scan(lambda b, inv, c, q: mesh_search(b, c, q))
     scan_direct = make_scan(
         lambda b, inv, c, q: direct(b[0], inv[0], c[0], q, K))
 

@@ -29,35 +29,40 @@ AXIS = "robots"
 
 def make_mesh_search(mesh: Mesh, k: int, capacity: Optional[int] = None):
     """Build the jitted sharded search: every device searches its local bank,
-    results are gathered. Returns f(banks, inv_norms, counts, queries) ->
-    (sims [R, B, k], idx [R, B, k])."""
+    results are gathered. Returns f(banks_unit, counts, queries) ->
+    (sims [R, B, k], idx [R, B, k]).
+
+    Bank rows MUST be unit vectors (``topk.update_rows_unit`` storage —
+    what :class:`MeshDescriptorBanks` keeps on device). Both the fused
+    Pallas path and the XLA fallback assume it, so CPU and TPU agree."""
     from cslam_tpu.ops.nns_pallas import MAX_K, TILE_N
     fused_ok = (all(d.platform == "tpu" for d in mesh.devices.flat)
                 and k <= MAX_K
                 and capacity is not None and capacity % TILE_N == 0)
     if fused_ok:
         # same streaming Pallas bank-scan kernel as the single-bank hot
-        # path; banks are stored as unit rows, so the prenormalized entry
-        # point applies. The kernel needs TILE_N-row-aligned capacity and
-        # k <= MAX_K, otherwise fall back to the XLA path.
+        # path (prenormalized entry point). The kernel needs
+        # TILE_N-row-aligned capacity and k <= MAX_K, otherwise fall back
+        # to the XLA path.
         from cslam_tpu.ops.nns_pallas import cosine_topk_fused2_pre
 
-        def _search(bank, inv_norms, count, queries, k):
+        def _search(bank, count, queries, k):
             return cosine_topk_fused2_pre(bank, count, queries, k)
     else:
-        _search = topk_ops.cosine_topk
+        def _search(bank, count, queries, k):
+            ones = jnp.ones(bank.shape[:1], bank.dtype)
+            return topk_ops.cosine_topk(bank, ones, count, queries, k)
 
-    def local_search(banks, inv_norms, counts, queries):
+    def local_search(banks, counts, queries):
         # per-device block: banks [1, cap, D], counts [1]
-        sims, idx = _search(banks[0], inv_norms[0], counts[0],
-                            queries, k)
+        sims, idx = _search(banks[0], counts[0], queries, k)
         sims_all = jax.lax.all_gather(sims, AXIS)   # [R, B, k]
         idx_all = jax.lax.all_gather(idx, AXIS)
         return sims_all, idx_all
 
     sharded = shard_map(
         local_search, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        in_specs=(P(AXIS), P(AXIS), P()),
         out_specs=(P(), P()), check_vma=False)
     return jax.jit(sharded)
 
@@ -79,7 +84,6 @@ class MeshDescriptorBanks:
         self.items: List[Dict[int, Any]] = [dict() for _ in range(self._R)]
         self._sharding = NamedSharding(mesh, P(AXIS))
         self._banks: Optional[jax.Array] = None
-        self._inv_norms: Optional[jax.Array] = None
         self._device_counts = np.zeros(self._R, np.int32)
         self._search = make_mesh_search(mesh, k, capacity=capacity)
 
@@ -99,13 +103,11 @@ class MeshDescriptorBanks:
     def _sync(self) -> None:
         if (self._banks is None
                 or np.any(self._device_counts != self._counts)):
-            # device banks store UNIT rows (see topk.update_rows_unit);
-            # inv_norms is all-ones for the XLA fallback path
+            # device banks store UNIT rows (see topk.update_rows_unit) —
+            # the contract make_mesh_search requires
             norms = np.linalg.norm(self._host, axis=-1, keepdims=True)
             unit = (self._host / np.maximum(norms, 1e-12)).astype(np.float32)
-            inv = np.ones(self._host.shape[:2], np.float32)
             self._banks = jax.device_put(jnp.asarray(unit), self._sharding)
-            self._inv_norms = jax.device_put(jnp.asarray(inv), self._sharding)
             self._counts_dev = jax.device_put(jnp.asarray(self._counts),
                                               self._sharding)
             self._device_counts = self._counts.copy()
@@ -117,8 +119,7 @@ class MeshDescriptorBanks:
         Rows of robots with fewer than k items carry -inf similarities.
         """
         self._sync()
-        sims, idx = self._search(self._banks, self._inv_norms,
-                                 self._counts_dev,
+        sims, idx = self._search(self._banks, self._counts_dev,
                                  jnp.asarray(queries, jnp.float32))
         return np.asarray(sims), np.asarray(idx)
 

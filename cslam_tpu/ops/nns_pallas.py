@@ -394,10 +394,15 @@ def cosine_topk_fused2_pre(bank_n: jax.Array, n: jax.Array,
     need_exact = jnp.any(dropped_bound >= kth)
 
     def exact_path(_):
+        # HIGHEST precision: TPU f32 matmuls default to bf16 passes, and
+        # this path fires exactly in near-tie cases — rounded similarities
+        # would re-break the tie order the fallback exists to guarantee.
+        # (The in-kernel matmul is Mosaic-compiled and not affected.)
         sims = jax.lax.dot_general(
             queries, bank_n,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) + negmask[None, :]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) + negmask[None, :]
         tv, ti = jax.lax.top_k(sims, k)
         return tv, ti
 

@@ -193,7 +193,8 @@ def _knn(points: jax.Array, mask: jax.Array, k: int):
           - 2.0 * points @ points.T
           + jnp.sum(points * points, axis=1)[None, :])
     d2 = jnp.where(mask[None, :] > 0, d2, jnp.inf)
-    d2 = d2 + jnp.eye(points.shape[0]) * jnp.inf  # exclude self
+    # exclude self (jnp.where, NOT  + eye*inf: 0*inf = NaN off-diagonal)
+    d2 = jnp.where(jnp.eye(points.shape[0], dtype=bool), jnp.inf, d2)
     neg_d2, idx = jax.lax.top_k(-d2, k)
     return idx, -neg_d2
 
@@ -317,6 +318,64 @@ def _yaw_correlation_candidates(src, src_mask, dst, dst_mask, n_yaw: int):
     return jax.vmap(per_yaw)(yaws)
 
 
+def _spectral_inliers(p, q, cand, eps, min_sep, iters: int = 50):
+    """Pairwise-distance-consistency inlier selection (spectral matching,
+    Leordeanu & Hebert '05) — the TPU-shaped stand-in for TEASER++'s PMC
+    max-clique filter (reference icp_utils.py:68-83): rigid motion
+    preserves pairwise distances, so true correspondences form a dense
+    block of the compatibility matrix; its principal eigenvector (a few
+    MXU power-iteration matvecs) localizes on that block.
+
+    ``cand`` masks candidate correspondences p[i] -> q[i]; min_sep
+    suppresses trivially-compatible near-duplicate pairs. Returns a
+    0/1 weight vector (falls back to ``cand`` when fewer than 3 survive
+    — e.g. cross-scene pairs with no consistent cluster)."""
+    dp = jnp.sqrt(jnp.maximum(
+        jnp.sum((p[:, None, :] - p[None, :, :]) ** 2, axis=-1), 0.0))
+    dq = jnp.sqrt(jnp.maximum(
+        jnp.sum((q[:, None, :] - q[None, :, :]) ** 2, axis=-1), 0.0))
+    C = ((jnp.abs(dp - dq) < eps) & (dp > min_sep)).astype(p.dtype)
+    C = C * cand[:, None] * cand[None, :]
+    C = C * (1.0 - jnp.eye(p.shape[0], dtype=p.dtype))
+
+    def body(_, v):
+        v = C @ v
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+
+    v0 = cand + 1e-3
+    v = jax.lax.fori_loop(0, iters, body, v0)
+    sel = (v > 0.3 * jnp.max(v)).astype(p.dtype) * cand
+    return jnp.where(jnp.sum(sel) >= 3.0, sel, cand)
+
+
+def _fpfh_alignment(src, src_mask, dst, dst_mask, corr_dist, k: int):
+    """FPFH mutual-NN correspondences, spectral distance-consistency
+    filtering, then the GNC-TLS Kabsch core — the reference's TEASER++
+    recipe (icp_utils.py:103-139). Returns the aligned point-map
+    hypothesis T0 [4,4] (src -> dst)."""
+    from cslam_tpu.ops.visual_registration import _gnc_align_core
+
+    fa = _fpfh(src, src_mask, k)
+    fb = _fpfh(dst, dst_mask, k)
+    d2 = (jnp.sum(fa * fa, axis=1)[:, None] - 2.0 * fa @ fb.T
+          + jnp.sum(fb * fb, axis=1)[None, :])
+    d2 = jnp.where((src_mask[:, None] > 0) & (dst_mask[None, :] > 0),
+                   d2, jnp.inf)
+    j_of_i = jnp.argmin(d2, axis=1)
+    i_of_j = jnp.argmin(d2, axis=0)
+    mutual = ((i_of_j[j_of_i] == jnp.arange(src.shape[0]))
+              & (src_mask > 0)).astype(src.dtype)
+    # FPFH mutual-NN sets on aliased geometry run ~90%+ outliers — past
+    # what GNC alone tolerates; the spectral filter first distills the
+    # distance-consistent cluster (measured 6.7% -> 100% inlier purity
+    # on the synthetic-walls adversarial pair)
+    w = _spectral_inliers(src, dst[j_of_i], mutual,
+                          eps=corr_dist * 0.5, min_sep=corr_dist * 2.0)
+    T0, _ = _gnc_align_core(src, dst[j_of_i], w,
+                            inlier_dist=corr_dist * 2.0, iters=16)
+    return T0
+
+
 @functools.partial(jax.jit, static_argnames=("k", "icp_iters", "n_yaw"))
 @highest_precision
 def global_registration(src: jax.Array, src_mask: jax.Array,
@@ -337,24 +396,12 @@ def global_registration(src: jax.Array, src_mask: jax.Array,
     Returns (T [4,4] point map src->dst, icp inlier count) — same
     contract as :func:`robust_registration`.
     """
-    from cslam_tpu.ops.visual_registration import _gnc_align_core
-
     # candidate set A: best-correlation yaw/translation hypotheses
     Rs, ts, scores = _yaw_correlation_candidates(src, src_mask, dst,
                                                  dst_mask, n_yaw)
 
     # candidate B: FPFH correspondence alignment
-    fa = _fpfh(src, src_mask, k)
-    fb = _fpfh(dst, dst_mask, k)
-    d2 = (jnp.sum(fa * fa, axis=1)[:, None] - 2.0 * fa @ fb.T
-          + jnp.sum(fb * fb, axis=1)[None, :])
-    d2 = jnp.where((src_mask[:, None] > 0) & (dst_mask[None, :] > 0),
-                   d2, jnp.inf)
-    j_of_i = jnp.argmin(d2, axis=1)
-    i_of_j = jnp.argmin(d2, axis=0)
-    mutual = (i_of_j[j_of_i] == jnp.arange(src.shape[0])) & (src_mask > 0)
-    T0, _ = _gnc_align_core(src, dst[j_of_i], mutual.astype(src.dtype),
-                            inlier_dist=corr_dist * 2.0, iters=16)
+    T0 = _fpfh_alignment(src, src_mask, dst, dst_mask, corr_dist, k)
 
     # refine the top-correlation hypothesis and the FPFH hypothesis with
     # robust ICP; the inlier count picks the winner

@@ -26,7 +26,17 @@ The mechanism is a generation/sequence handshake:
   (everything the new hub has relayed, because peers may have flushed
   their outage buffers before this client reconnected);
 - the client drops frames with ``seq <= last_seq``, so hub-side replay
-  overlap never double-delivers.
+  overlap never double-delivers;
+- every published frame additionally carries a (publisher id, publisher
+  seq) stamp: if a client's ``sendall`` raises after the kernel already
+  shipped the frame, the reconnect flush's retransmit is dropped at every
+  receiver's per-publisher watermark — delivery is exactly-once up to the
+  explicit bounded-buffer drops;
+- those bounds are surfaced, not silent: a receiver that observes a seq
+  gap (the hub's per-client queue overflowed — by arithmetic such frames
+  are already beyond the replay ring, so a resync cannot recover them)
+  counts it in ``connection_stats()['missed_frames'/'seq_gaps']``, the
+  same honesty contract as DDS's bounded reliable QoS depth.
 
 Frames are pickled tuples — robot swarms are a trusted network in the
 reference's model too; swap ``_encode``/``_decode`` for a schema codec if
@@ -53,9 +63,14 @@ _RESYNC = "__hub_resync__"
 _DATA = "__hub_data__"
 
 
-def _encode(topic: str, msg: Any, src_robot: int) -> bytes:
-    payload = pickle.dumps((topic, msg, src_robot),
-                           protocol=pickle.HIGHEST_PROTOCOL)
+def _encode(topic: str, msg: Any, src_robot: int,
+            pub: Optional[Tuple[str, int]] = None) -> bytes:
+    """Frame a message. ``pub`` = (publisher id, publisher seq) lets
+    receivers drop retransmits (a reconnect flush re-sends frames whose
+    first sendall may already have reached the hub)."""
+    item = ((topic, msg, src_robot) if pub is None
+            else (topic, msg, src_robot, pub))
+    payload = pickle.dumps(item, protocol=pickle.HIGHEST_PROTOCOL)
     return _HEADER.pack(len(payload)) + payload
 
 
@@ -212,15 +227,20 @@ class TransportHub:
                 frame = _read_frame(client)
             if frame is None:
                 break
-            topic, msg, src = frame
+            topic, msg, src = frame[:3]
+            pub = frame[3] if len(frame) > 3 else None
             with self._lock:
                 seq = self._seq
                 self._seq += 1
-                data = _encode(_DATA, (seq, topic, msg, src), -2)
+                data = _encode(_DATA, (seq, topic, msg, src, pub), -2)
                 self._history.append((seq, data))
-                targets = [hc for hc in self._clients.values() if hc.alive]
-            for hc in targets:
-                hc.send(data)
+                # fan out UNDER the lock (send is a cheap deque append):
+                # two relay threads enqueueing to the same destination out
+                # of seq-assignment order would trip the client watermark
+                # into dropping the lower seq forever
+                for hc in self._clients.values():
+                    if hc.alive:
+                        hc.send(data)
         self._drop(client)
 
     def _drop(self, client: socket.socket) -> None:
@@ -269,6 +289,11 @@ class NetworkBus(MessageBus):
         self.disconnects = 0
         self.reconnects = 0
         self.dropped_frames = 0
+        self.missed_frames = 0   # inbound seq gaps (hub dropped for us)
+        self.seq_gaps = 0
+        self._client_id = os.urandom(8).hex()
+        self._pub_seq = 0
+        self._pub_seen: Dict[str, int] = {}  # publisher id -> watermark
         self._pending_out: deque = deque(maxlen=self.PENDING_DEPTH)
         self._inbox: deque = deque()
         self._inbox_lock = threading.Lock()
@@ -306,10 +331,28 @@ class NetworkBus(MessageBus):
             if frame is not None:
                 if (isinstance(frame, tuple) and len(frame) == 3
                         and frame[0] == _DATA):
-                    seq, topic, msg, src = frame[1]
+                    payload = frame[1]
+                    seq, topic, msg, src = payload[:4]
+                    pub = payload[4] if len(payload) > 4 else None
                     if seq <= self._last_seq:
                         continue  # hub replay overlap: already seen
+                    if seq > self._last_seq + 1:
+                        # the hub dropped frames for us (its per-client
+                        # queue overflowed, or its replay ring had already
+                        # evicted part of a resync window — incl. the
+                        # post-restart from-0 window, where _last_seq is
+                        # -1) — those frames are beyond the ring, so
+                        # surface the loss instead of resyncing futilely
+                        # (fresh connects never trip this: _last_seq
+                        # initializes to next_seq - 1)
+                        self.seq_gaps += 1
+                        self.missed_frames += seq - self._last_seq - 1
                     self._last_seq = seq
+                    if pub is not None:
+                        pid, pseq = pub
+                        if pseq <= self._pub_seen.get(pid, -1):
+                            continue  # publisher retransmit (flush overlap)
+                        self._pub_seen[pid] = pseq
                     with self._inbox_lock:
                         self._inbox.append((topic, msg, src))
                 continue
@@ -361,7 +404,9 @@ class NetworkBus(MessageBus):
                     "disconnects": self.disconnects,
                     "reconnects": self.reconnects,
                     "pending_out": len(self._pending_out),
-                    "dropped_frames": self.dropped_frames}
+                    "dropped_frames": self.dropped_frames,
+                    "missed_frames": self.missed_frames,
+                    "seq_gaps": self.seq_gaps}
 
     def _buffer_out(self, data: bytes) -> None:
         # caller holds _send_lock; deque maxlen drops oldest silently, so
@@ -371,8 +416,13 @@ class NetworkBus(MessageBus):
         self._pending_out.append(data)
 
     def publish(self, topic: str, msg: Any, src_robot: int = -1) -> None:
-        data = _encode(topic, msg, src_robot)
         with self._send_lock:
+            # stamp (publisher id, publisher seq) so receivers can drop the
+            # retransmit if this sendall raises AFTER the kernel shipped
+            # the frame and the reconnect flush re-sends it
+            data = _encode(topic, msg, src_robot,
+                           pub=(self._client_id, self._pub_seq))
+            self._pub_seq += 1
             if not self.connected:
                 self._buffer_out(data)
                 return

@@ -151,6 +151,46 @@ class TestGlobalRegistration:
         assert np.linalg.norm(P[:3, 3] - t_gt) < 0.5
         assert np.abs(P[:3, :3] - R_gt).max() < 0.05
 
+    def test_fpfh_branch_is_alive_and_aligns(self):
+        """Regression: ``_knn`` once poisoned all off-diagonal distances
+        with NaN (``d2 + eye*inf``; 0*inf = NaN), silently zeroing every
+        FPFH feature — tests stayed green because the yaw-correlation
+        candidate carried them. Pin (a) finite non-zero features and (b)
+        the FPFH hypothesis ALONE (no occupancy correlation, no ICP
+        refine) recovering a large-offset arbitrary-yaw transform."""
+        import jax.numpy as jnp
+        from cslam_tpu.ops.registration import (_fpfh, _fpfh_alignment,
+                                                pad_cloud)
+        rng = np.random.default_rng(13)
+        world = self._world(rng)
+        t_a, yaw_a = np.zeros(3), 20.0
+        offset, yaw_b = np.array([6.0, 3.0, 0.0]), 137.0
+        src_pts = self._view(world, t_a, yaw_a, 17.0, rng)
+        dst_pts = self._view(world, offset, yaw_b, 17.0, rng)
+        src, src_mask = pad_cloud(src_pts, 1024)
+        dst, dst_mask = pad_cloud(dst_pts, 1024)
+
+        f = _fpfh(jnp.asarray(src), jnp.asarray(src_mask), 16)
+        f = np.asarray(f)
+        assert np.isfinite(f).all()
+        assert np.abs(f).max() > 1e-3
+
+        T0 = np.asarray(_fpfh_alignment(
+            jnp.asarray(src), jnp.asarray(src_mask), jnp.asarray(dst),
+            jnp.asarray(dst_mask), jnp.float32(0.6), 16))
+
+        def rotz(deg):
+            a = np.radians(deg)
+            return np.array([[np.cos(a), -np.sin(a), 0],
+                             [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+
+        R_gt = rotz(yaw_b).T @ rotz(yaw_a)
+        t_gt = rotz(yaw_b).T @ (t_a - offset)
+        # correspondence-only hypothesis: coarse is fine (ICP refines it),
+        # but it must be in the right basin
+        assert np.linalg.norm(T0[:3, 3] - t_gt) < 1.5
+        assert np.abs(T0[:3, :3] - R_gt).max() < 0.15
+
     def test_cross_scene_large_offset_rejects(self):
         rng = np.random.default_rng(12)
         world_a = self._world(rng)
