@@ -118,8 +118,10 @@ class DecentralizedPGO:
         ctx.create_subscription("cslam/optimized_estimates",
                                 self.optimized_estimates_callback)
         self.heartbeat_publisher = ctx.create_publisher("cslam/heartbeat")
+        # transient-local, like the reference (decentralized_pgo.cpp:
+        # 194-196): tools/robots subscribing late get the current frame
         self.reference_frames_publisher = ctx.create_publisher(
-            "cslam/reference_frames")
+            "cslam/reference_frames", latch=True)
         self.current_pose_publisher = ctx.create_publisher(
             f"/r{self.robot_id}/cslam/current_pose_estimate")
         self.viz_pose_graph_publisher = ctx.create_publisher(

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections import deque
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 from cslam_tpu.runtime.clock import Timer
 
@@ -31,19 +31,25 @@ from cslam_tpu.runtime.clock import Timer
 @dataclass(frozen=True)
 class QoSProfile:
     """Subset of DDS QoS the reference actually uses: reliable (default)
-    vs best-effort with a bounded history depth."""
+    vs best-effort with a bounded history depth, plus transient-local
+    durability (latched topics — the reference publishes ReferenceFrames
+    with it, ``decentralized_pgo.cpp:194-196``, so robots that come into
+    range LATE still receive the current reference frame)."""
     best_effort: bool = False
     depth: int = 10
+    transient_local: bool = False
 
 
 class Publisher:
-    def __init__(self, bus: "MessageBus", topic: str, src_robot: int):
+    def __init__(self, bus: "MessageBus", topic: str, src_robot: int,
+                 latch: bool = False):
         self.bus = bus
         self.topic = topic
         self.src_robot = src_robot
+        self.latch = latch
 
     def publish(self, msg: Any) -> None:
-        self.bus.publish(self.topic, msg, self.src_robot)
+        self.bus.publish(self.topic, msg, self.src_robot, latch=self.latch)
 
 
 class _Subscription:
@@ -68,15 +74,32 @@ class MessageBus:
     def __init__(self):
         self._subs: Dict[str, List[_Subscription]] = {}
         self._queue: deque = deque()
+        self._latched: Dict[str, Tuple[Any, int]] = {}
+        self._latch_pending: List[Tuple[str, Any, int, _Subscription]] = []
         self.link_filter: Optional[Callable[[int, str, Any], bool]] = None
         self.messages_delivered = 0
         self.messages_dropped = 0
 
     def subscribe(self, topic: str, callback: Callable[[Any], None],
                   qos: Optional[QoSProfile] = None) -> None:
-        self._subs.setdefault(topic, []).append(_Subscription(callback, qos))
+        sub = _Subscription(callback, qos)
+        self._subs.setdefault(topic, []).append(sub)
+        if (qos is not None and qos.transient_local
+                and topic in self._latched):
+            # transient-local durability: a late subscriber receives the
+            # latched value at its next deliver() (same callback timing
+            # as live traffic), targeted so existing subscribers don't
+            # see it twice
+            msg, src = self._latched[topic]
+            if sub.queue is not None:
+                sub.queue.append((msg, src))
+            else:
+                self._latch_pending.append((topic, msg, src, sub))
 
-    def publish(self, topic: str, msg: Any, src_robot: int = -1) -> None:
+    def publish(self, topic: str, msg: Any, src_robot: int = -1,
+                latch: bool = False) -> None:
+        if latch:
+            self._latched[topic] = (msg, src_robot)
         self._enqueue(topic, msg, src_robot)
 
     def _enqueue(self, topic: str, msg: Any, src_robot: int) -> None:
@@ -115,6 +138,14 @@ class MessageBus:
     def deliver(self, max_messages: int = 100000) -> int:
         """Drain the queue (including messages published by callbacks)."""
         delivered = 0
+        if self._latch_pending:
+            pending, self._latch_pending = self._latch_pending, []
+            for topic, msg, src, sub in pending:
+                if self.link_filter is not None and not self.link_filter(
+                        src, topic, msg):
+                    continue
+                sub.callback(msg)
+                delivered += 1
         while delivered < max_messages:
             if not self._queue:
                 flushed = self._flush_best_effort()
@@ -158,8 +189,9 @@ class RobotContext:
     def resolve(self, topic: str) -> str:
         return topic if topic.startswith("/") else f"/r{self.robot_id}/{topic}"
 
-    def create_publisher(self, topic: str) -> Publisher:
-        return Publisher(self.bus, self.resolve(topic), self.robot_id)
+    def create_publisher(self, topic: str, latch: bool = False) -> Publisher:
+        return Publisher(self.bus, self.resolve(topic), self.robot_id,
+                         latch=latch)
 
     def create_subscription(self, topic: str,
                             callback: Callable[[Any], None],

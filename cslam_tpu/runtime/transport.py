@@ -415,7 +415,12 @@ class NetworkBus(MessageBus):
             self.dropped_frames += 1
         self._pending_out.append(data)
 
-    def publish(self, topic: str, msg: Any, src_robot: int = -1) -> None:
+    def publish(self, topic: str, msg: Any, src_robot: int = -1,
+                latch: bool = False) -> None:
+        # ``latch`` (transient-local) is accepted for Publisher
+        # compatibility; across the hub, late joiners are covered by the
+        # generation/seq replay ring instead of per-topic latching
+        del latch
         with self._send_lock:
             # stamp (publisher id, publisher seq) so receivers can drop the
             # retransmit if this sendall raises AFTER the kernel shipped

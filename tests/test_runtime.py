@@ -124,6 +124,51 @@ class TestBestEffortQoS:
         assert node.lcm.local_nnsm.n == 20
 
 
+class TestTransientLocalQoS:
+    """Latched topics (reference ReferenceFrames durability,
+    decentralized_pgo.cpp:194-196): late subscribers get the last value."""
+
+    def test_late_subscriber_receives_latched_value(self):
+        from cslam_tpu.runtime.bus import Publisher, QoSProfile
+        bus = MessageBus()
+        pub = Publisher(bus, "/cslam/reference_frames", 0, latch=True)
+        pub.publish({"origin": 0})
+        pub.publish({"origin": 1})   # latest wins
+        bus.deliver()                # live traffic drained, nobody listened
+        late = []
+        bus.subscribe("/cslam/reference_frames", late.append,
+                      qos=QoSProfile(transient_local=True))
+        bus.deliver()
+        assert late == [{"origin": 1}]
+        # live updates keep flowing; no re-delivery of the latch
+        pub.publish({"origin": 2})
+        bus.deliver()
+        assert late == [{"origin": 1}, {"origin": 2}]
+
+    def test_existing_subscriber_not_double_delivered(self):
+        from cslam_tpu.runtime.bus import Publisher, QoSProfile
+        bus = MessageBus()
+        early, late = [], []
+        bus.subscribe("/t", early.append)
+        pub = Publisher(bus, "/t", 0, latch=True)
+        pub.publish("a")
+        bus.deliver()
+        bus.subscribe("/t", late.append, qos=QoSProfile(transient_local=True))
+        bus.deliver()
+        assert early == ["a"] and late == ["a"]
+
+    def test_volatile_late_subscriber_gets_nothing(self):
+        from cslam_tpu.runtime.bus import Publisher
+        bus = MessageBus()
+        pub = Publisher(bus, "/t", 0, latch=True)
+        pub.publish("a")
+        bus.deliver()
+        late = []
+        bus.subscribe("/t", late.append)   # default volatile durability
+        bus.deliver()
+        assert late == []
+
+
 class TestNeighborManagement:
 
     def make(self, monitoring=True):
