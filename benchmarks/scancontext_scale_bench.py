@@ -10,6 +10,9 @@ against a bank of >= 10k scans, with the scan-protocol timing from
 a scalar; relay RTT subtracted).
 
     python benchmarks/scancontext_scale_bench.py [--bank 16384]
+    python benchmarks/scancontext_scale_bench.py --bank 65536 --fused-rk
+        # stage 1 = streaming Pallas kernel over augmented ring keys
+        # (needs bank % TILE_N == 0) instead of full-width lax.top_k
 """
 import argparse
 import json
@@ -23,7 +26,8 @@ sys.path.insert(0, ".")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from cslam_tpu.matching.scancontext_bank import _two_stage_best  # noqa: E402
+from cslam_tpu.matching.scancontext_bank import (  # noqa: E402
+    _augment_ring_keys, _two_stage_best, _two_stage_best_fused)
 from cslam_tpu.ops import scancontext as sc_ops  # noqa: E402
 
 RING, SECTOR = 20, 60
@@ -41,6 +45,8 @@ def _timed(fn):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bank", type=int, default=16384)
+    ap.add_argument("--fused-rk", action="store_true",
+                    help="stage 1 via the streaming NNS kernel")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -53,10 +59,20 @@ def main():
     rk_sq = jnp.sum(rk_bank * rk_bank, axis=1)
     n = jnp.int32(args.bank)
 
+    if args.fused_rk:
+        rk_aug = _augment_ring_keys(rk_bank)
+
+        def search(q):
+            return _two_stage_best_fused(rk_aug, sc_bank_j, n, q,
+                                         NUM_CANDIDATES)
+    else:
+        def search(q):
+            return _two_stage_best(rk_bank, rk_sq, sc_bank_j, n, q,
+                                   NUM_CANDIDATES)
+
     # correctness: self-retrieval of bank rows (possibly shifted)
     probe = sc_bank_j[:4]
-    idx, dist = _two_stage_best(rk_bank, rk_sq, sc_bank_j, n, probe,
-                                NUM_CANDIDATES)
+    idx, dist = search(probe)
     assert (np.asarray(idx) == np.arange(4)).all(), "self-retrieval failed"
     assert np.all(np.asarray(dist) < 1e-5)
 
@@ -66,10 +82,9 @@ def main():
          ).astype(np.float32) * 8.0)
 
     @jax.jit
-    def scan_bench(rk_bank, rk_sq, sc_bank, n, queries):
+    def scan_bench(queries):
         def body(carry, q):
-            idx, dist = _two_stage_best(rk_bank, rk_sq, sc_bank, n, q,
-                                        NUM_CANDIDATES)
+            idx, dist = search(q)
             return carry + jnp.sum(dist) + jnp.sum(idx).astype(jnp.float32), None
         total, _ = jax.lax.scan(body, jnp.float32(0.0), queries)
         return total
@@ -78,15 +93,13 @@ def main():
     def rtt_probe(x):
         return x + 1.0
 
-    float(scan_bench(rk_bank, rk_sq, sc_bank_j, n, queries))  # compile
-    float(scan_bench(rk_bank, rk_sq, sc_bank_j, n,
-                     queries * 1.001))  # second warm (relay recompile quirk)
+    float(scan_bench(queries))  # compile
+    float(scan_bench(queries * 1.001))  # second warm (relay recompile quirk)
     float(rtt_probe(jnp.float32(0.0)))
     rtt = min(_timed(lambda i=i: float(rtt_probe(jnp.float32(i + 1.0))))
               for i in range(3))
     best = min(_timed(lambda r=r: float(scan_bench(
-        rk_bank, rk_sq, sc_bank_j, n, queries * (1.0 + 1e-3 * (r + 1)))))
-        for r in range(3))
+        queries * (1.0 + 1e-3 * (r + 1))))) for r in range(3))
     net = max(best - rtt, 1e-9)
     qps = CHUNK * SCAN_BATCHES / net
 
@@ -97,6 +110,7 @@ def main():
         "value": round(qps, 1),
         "unit": "queries/sec",
         "bank_rows": args.bank,
+        "stage1": "fused_kernel" if args.fused_rk else "xla_topk",
         "platform": jax.devices()[0].platform,
     }))
 

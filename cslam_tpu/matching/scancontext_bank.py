@@ -21,9 +21,31 @@ import numpy as np
 
 from cslam_tpu.ops import scancontext as sc_ops
 from cslam_tpu.ops import topk as topk_ops
+from cslam_tpu.ops.nns_pallas import (KERNEL_K, TILE_N,
+                                      cosine_topk_fused2_pre)
 
 
 import functools
+
+# Augmented ring-key rows for the streaming-kernel shortlist: padded to a
+# VPU-friendly width, with ||rk||^2 folded into the last live column so a
+# plain dot product reproduces euclidean ordering (see _RK_AUG_DIM notes
+# at _augment_ring_keys).
+_RK_AUG_DIM = 32
+
+
+def _stage2_best(sc_bank: jax.Array, n: jax.Array, idx: jax.Array,
+                 queries_sc: jax.Array, num_candidates: int
+                 ) -> tuple[jax.Array, jax.Array]:
+    """Rescore per-query shortlists with the full rotation-shift distance."""
+    def one(idx_row, query_sc):
+        cand = jnp.take(sc_bank, idx_row, axis=0)
+        dists, _ = sc_ops.scancontext_distances_batch(cand, query_sc)
+        dists = jnp.where(jnp.arange(num_candidates) < n, dists, jnp.inf)
+        best = jnp.argmin(dists)
+        return idx_row[best], dists[best]
+
+    return jax.vmap(one)(idx, queries_sc)
 
 
 @functools.partial(jax.jit, static_argnames=("num_candidates",))
@@ -38,18 +60,52 @@ def _two_stage_best(rk_bank: jax.Array, rk_sq_norms: jax.Array,
     this is one for the whole batch. Returns ([B] best bank row, [B] best
     distance; padding shortlist slots carry distance inf).
     """
-    def one(query_sc):
-        rk_q = sc_ops.ring_key(query_sc)[None, :]
-        _, idx = topk_ops.euclidean_topk(rk_bank, rk_sq_norms, n, rk_q,
-                                         num_candidates)
-        idx = idx[0]
-        cand = jnp.take(sc_bank, idx, axis=0)
-        dists, _ = sc_ops.scancontext_distances_batch(cand, query_sc)
-        dists = jnp.where(jnp.arange(num_candidates) < n, dists, jnp.inf)
-        best = jnp.argmin(dists)
-        return idx[best], dists[best]
+    rk_q = jax.vmap(sc_ops.ring_key)(queries_sc)
+    _, idx = topk_ops.euclidean_topk(rk_bank, rk_sq_norms, n, rk_q,
+                                     num_candidates)
+    return _stage2_best(sc_bank, n, idx, queries_sc, num_candidates)
 
-    return jax.vmap(one)(queries_sc)
+
+def _augment_ring_keys(rk: jnp.ndarray) -> jnp.ndarray:
+    """``[n, R]`` ring keys -> ``[n, _RK_AUG_DIM]`` rows whose dot product
+    with an augmented query reproduces euclidean-distance ordering.
+
+    ``argmin ||q - b||^2 = argmax (2 q.b - ||b||^2)``, and with
+    ``b' = [b, ||b||^2, 0...]`` / ``q' = [2q, -1, 0...]`` that objective is
+    the plain dot product ``q'.b'`` — which is what the streaming NNS
+    kernel computes. Lets the large-tier shortlist ride
+    ``cosine_topk_fused2_pre`` instead of a full-width ``lax.top_k`` over
+    the bank (the stage-1 cost that dominates the 65k scan-context tier).
+    """
+    rk = jnp.asarray(rk, jnp.float32)
+    n, r = rk.shape
+    assert r + 1 <= _RK_AUG_DIM
+    out = jnp.zeros((n, _RK_AUG_DIM), jnp.float32)
+    out = out.at[:, :r].set(rk)
+    return out.at[:, r].set(jnp.sum(rk * rk, axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=("num_candidates", "interpret"))
+def _two_stage_best_fused(rk_aug: jax.Array, sc_bank: jax.Array,
+                          n: jax.Array, queries_sc: jax.Array,
+                          num_candidates: int, interpret: bool = False
+                          ) -> tuple[jax.Array, jax.Array]:
+    """Two-stage search with the streaming Pallas kernel as stage 1.
+
+    Same contract as :func:`_two_stage_best`; requires the augmented
+    ring-key bank (``_augment_ring_keys``), ``rows % TILE_N == 0`` and
+    ``num_candidates <= KERNEL_K``. The kernel's query-norm scaling of the
+    returned values is a positive per-query factor, so the shortlist
+    ordering is unchanged; only indices are consumed here.
+    """
+    rk_q = jax.vmap(sc_ops.ring_key)(queries_sc)
+    b, r = rk_q.shape
+    q_aug = jnp.zeros((b, _RK_AUG_DIM), jnp.float32)
+    q_aug = q_aug.at[:, :r].set(2.0 * rk_q)
+    q_aug = q_aug.at[:, r].set(-1.0)
+    _, idx = cosine_topk_fused2_pre(rk_aug, n, q_aug, num_candidates,
+                                    interpret=interpret)
+    return _stage2_best(sc_bank, n, idx, queries_sc, num_candidates)
 
 
 class ScanContextBank:
@@ -68,8 +124,18 @@ class ScanContextBank:
         self._rk_host = np.zeros((capacity, self.shape[0]), np.float32)
         self._rk_bank: Optional[jax.Array] = None
         self._rk_sq_norms: Optional[jax.Array] = None
+        self._rk_aug: Optional[jax.Array] = None
         self._sc_bank: Optional[jax.Array] = None
         self._device_n = 0
+
+    def _fused_stage1_ok(self) -> bool:
+        """Streaming-kernel shortlist eligibility: TPU platform, bank
+        capacity on a kernel tile boundary, shortlist within the kernel's
+        k budget (constants imported from ``ops.nns_pallas`` so retuning
+        the kernel keeps this gate honest)."""
+        return (jax.devices()[0].platform == "tpu"
+                and self._capacity % TILE_N == 0
+                and self.num_candidates <= KERNEL_K)
 
     # reference-compatible aliases
     @property
@@ -110,6 +176,7 @@ class ScanContextBank:
             self._rk_sq_norms = jnp.zeros((self._capacity,), jnp.float32)
             self._sc_bank = jnp.zeros((self._capacity,) + self.shape,
                                       jnp.float32)
+            self._rk_aug = None  # re-created lazily at the new capacity
             self._device_n = 0
         if self._device_n < self.nb_items:
             lo, hi = self._device_n, self.nb_items
@@ -120,6 +187,12 @@ class ScanContextBank:
                 self._rk_sq_norms, jnp.sum(rk * rk, axis=-1), (lo,))
             self._sc_bank = jax.lax.dynamic_update_slice(
                 self._sc_bank, jnp.asarray(self._sc_host[lo:hi]), (lo, 0, 0))
+            if self._fused_stage1_ok():
+                if self._rk_aug is None:
+                    self._rk_aug = jnp.zeros((self._capacity, _RK_AUG_DIM),
+                                             jnp.float32)
+                self._rk_aug = jax.lax.dynamic_update_slice(
+                    self._rk_aug, _augment_ring_keys(rk), (lo, 0))
             self._device_n = self.nb_items
 
     # ------------------------------------------------------------------
@@ -151,9 +224,14 @@ class ScanContextBank:
         self._sync_device()
         queries_sc = jnp.asarray(
             np.asarray(queries, np.float32).reshape((-1,) + self.shape))
-        idx, dists = _two_stage_best(
-            self._rk_bank, self._rk_sq_norms, self._sc_bank,
-            jnp.int32(self.nb_items), queries_sc, self.num_candidates)
+        if self._rk_aug is not None:
+            idx, dists = _two_stage_best_fused(
+                self._rk_aug, self._sc_bank, jnp.int32(self.nb_items),
+                queries_sc, self.num_candidates)
+        else:
+            idx, dists = _two_stage_best(
+                self._rk_bank, self._rk_sq_norms, self._sc_bank,
+                jnp.int32(self.nb_items), queries_sc, self.num_candidates)
         idx, dists = np.asarray(idx), np.asarray(dists)
         return [(self.items[int(i)], float(1.0 - d)) if d < 1.0
                 else (self.items[0], 0.0)

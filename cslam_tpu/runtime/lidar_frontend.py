@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from cslam_tpu.ops import registration
-from cslam_tpu.utils import compression
+from cslam_tpu.utils import compression, point_cloud2
 from cslam_tpu.types import (InterRobotLoopClosure, IntraRobotLoopClosure,
                              KeyframeOdom, KeyframePointCloud, KeyValue,
                              LocalDescriptorsRequest,
@@ -76,10 +76,18 @@ class LidarFrontEnd:
 
     # ------------------------------------------------------------------
 
-    def lidar_callback(self, points: np.ndarray, odom: Odometry) -> None:
-        """Synchronized sensor intake (reference ll.72-84)."""
+    def lidar_callback(self, points, odom: Odometry) -> None:
+        """Synchronized sensor intake (reference ll.72-84).
+
+        ``points`` is an ``[N, 3]`` array, or a binary-layout
+        ``PointCloud2`` message (the form arriving from replayed ROS data
+        — decoded via ``cslam_tpu.utils.point_cloud2.xyz_array``, the
+        reference's ``read_points_numpy_filtered`` path, l.173).
+        """
         if odom.covariance0 > 1000:
             return  # odom tracking failed, skip frame
+        if isinstance(points, point_cloud2.PointCloud2):
+            points = point_cloud2.xyz_array(points)
         self.received_data.append((points, odom))
 
     def _generate_new_keyframe(self, odom: Odometry) -> bool:

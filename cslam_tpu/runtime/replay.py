@@ -89,15 +89,21 @@ class KittiSequence:
 
     def __init__(self, path: str):
         self.path = path
-        self.calib = KittiCalib.load(os.path.join(path, "calib.txt"))
+        calib_file = os.path.join(path, "calib.txt")
+        self.calib = (KittiCalib.load(calib_file)
+                      if os.path.isfile(calib_file) else None)
         left_dir = os.path.join(path, "image_0")
-        self._left = sorted(
+        self._left = (sorted(
             os.path.join(left_dir, f) for f in os.listdir(left_dir)
-            if f.endswith(".png"))
+            if f.endswith(".png")) if os.path.isdir(left_dir) else [])
         right_dir = os.path.join(path, "image_1")
         self._right = (sorted(
             os.path.join(right_dir, f) for f in os.listdir(right_dir)
             if f.endswith(".png")) if os.path.isdir(right_dir) else None)
+        velo_dir = os.path.join(path, "velodyne")
+        self._scans = (sorted(
+            os.path.join(velo_dir, f) for f in os.listdir(velo_dir)
+            if f.endswith(".bin")) if os.path.isdir(velo_dir) else [])
 
         poses_file = os.path.join(path, "poses.txt")
         self.gt_poses: Optional[List[np.ndarray]] = None
@@ -110,7 +116,11 @@ class KittiSequence:
             np.loadtxt(times_file) if os.path.isfile(times_file) else None)
 
     def __len__(self) -> int:
-        return len(self._left)
+        return len(self._left) if self._left else len(self._scans)
+
+    @property
+    def nb_scans(self) -> int:
+        return len(self._scans)
 
     @staticmethod
     def _load_png(path: str) -> np.ndarray:
@@ -127,28 +137,66 @@ class KittiSequence:
         t = float(self.times[i]) if self.times is not None else 0.1 * i
         return left, right, gt, t
 
+    def scan(self, i: int) -> np.ndarray:
+        """Velodyne scan ``i`` as ``[N, 4]`` float32 (x, y, z, intensity) —
+        the KITTI odometry ``velodyne/NNNNNN.bin`` layout."""
+        return np.fromfile(self._scans[i], np.float32).reshape(-1, 4)
 
-def write_kitti_sequence(path: str, left_images: Sequence[np.ndarray],
-                         right_images: Sequence[np.ndarray],
-                         poses: Sequence[np.ndarray], fx: float, fy: float,
-                         cx: float, cy: float, baseline: float,
-                         times: Optional[Sequence[float]] = None) -> None:
+    def scan_cloud(self, i: int):
+        """Scan ``i`` as a binary-layout :class:`PointCloud2` (x/y/z/
+        intensity float32 fields), the message form the lidar front end
+        accepts directly."""
+        from cslam_tpu.utils import point_cloud2 as pc2
+        raw = self.scan(i)
+        rec = np.zeros(raw.shape[0], dtype=[("x", "<f4"), ("y", "<f4"),
+                                            ("z", "<f4"),
+                                            ("intensity", "<f4")])
+        rec["x"], rec["y"], rec["z"] = raw[:, 0], raw[:, 1], raw[:, 2]
+        rec["intensity"] = raw[:, 3]
+        t = float(self.times[i]) if self.times is not None else 0.1 * i
+        return pc2.make_cloud(rec, frame_id="velodyne", stamp=t)
+
+
+def write_kitti_sequence(path: str,
+                         left_images: Optional[Sequence[np.ndarray]],
+                         right_images: Optional[Sequence[np.ndarray]],
+                         poses: Sequence[np.ndarray], fx: float = 0.0,
+                         fy: float = 0.0, cx: float = 0.0, cy: float = 0.0,
+                         baseline: float = 0.0,
+                         times: Optional[Sequence[float]] = None,
+                         scans: Optional[Sequence[np.ndarray]] = None
+                         ) -> None:
     """Serialize a sequence in the KITTI odometry layout (used by tests
-    and examples to exercise the loader; also an export path)."""
-    from PIL import Image
-    os.makedirs(os.path.join(path, "image_0"), exist_ok=True)
-    os.makedirs(os.path.join(path, "image_1"), exist_ok=True)
-    with open(os.path.join(path, "calib.txt"), "w") as f:
-        f.write(f"P0: {fx} 0 {cx} 0 0 {fy} {cy} 0 0 0 1 0\n")
-        f.write(f"P1: {fx} 0 {cx} {-fx * baseline} 0 {fy} {cy} 0 0 0 1 0\n")
-    rows = []
-    for i, (li, ri, pose) in enumerate(
-            zip(left_images, right_images, poses)):
-        Image.fromarray(np.asarray(li, np.uint8)).save(
-            os.path.join(path, "image_0", f"{i:06d}.png"))
-        Image.fromarray(np.asarray(ri, np.uint8)).save(
-            os.path.join(path, "image_1", f"{i:06d}.png"))
-        rows.append(np.asarray(pose, np.float64)[:3].reshape(-1))
+    and examples to exercise the loader; also an export path).
+
+    ``scans`` writes ``velodyne/NNNNNN.bin`` lidar frames ([N, 3] or
+    [N, 4] float arrays; a missing intensity column is zero-filled).
+    Pass ``left_images=None`` for a lidar-only sequence (no calib.txt /
+    image dirs are written).
+    """
+    os.makedirs(path, exist_ok=True)
+    if left_images is not None:
+        from PIL import Image
+        os.makedirs(os.path.join(path, "image_0"), exist_ok=True)
+        os.makedirs(os.path.join(path, "image_1"), exist_ok=True)
+        with open(os.path.join(path, "calib.txt"), "w") as f:
+            f.write(f"P0: {fx} 0 {cx} 0 0 {fy} {cy} 0 0 0 1 0\n")
+            f.write(f"P1: {fx} 0 {cx} {-fx * baseline} "
+                    f"0 {fy} {cy} 0 0 0 1 0\n")
+        for i, (li, ri) in enumerate(zip(left_images, right_images)):
+            Image.fromarray(np.asarray(li, np.uint8)).save(
+                os.path.join(path, "image_0", f"{i:06d}.png"))
+            Image.fromarray(np.asarray(ri, np.uint8)).save(
+                os.path.join(path, "image_1", f"{i:06d}.png"))
+    if scans is not None:
+        os.makedirs(os.path.join(path, "velodyne"), exist_ok=True)
+        for i, pts in enumerate(scans):
+            pts = np.asarray(pts, np.float32)
+            if pts.shape[1] == 3:
+                pts = np.concatenate(
+                    [pts, np.zeros((pts.shape[0], 1), np.float32)], axis=1)
+            pts.tofile(os.path.join(path, "velodyne", f"{i:06d}.bin"))
+    rows = [np.asarray(p, np.float64)[:3].reshape(-1) for p in poses]
     np.savetxt(os.path.join(path, "poses.txt"), np.stack(rows))
     if times is not None:
         np.savetxt(os.path.join(path, "times.txt"), np.asarray(times))
@@ -218,13 +266,13 @@ class ReplayDriver:
             cfg = CslamConfig(robot_id=rid, max_nb_robots=nb_robots)
             cfg.neighbor_management.enable_neighbor_monitoring = True
             cfg.neighbor_management.init_delay_sec = 0.0
-            cfg.frontend.sensor_type = "stereo"
+            self._configure(cfg)
             if config_overrides:
                 for k, v in config_overrides.items():
                     cfg.set_dotted(k, v)
             params = cfg.flatten()
             ctx = RobotContext(self.bus, self.clock, rid, params)
-            frontend = StereoFrontEnd(ctx, seq.calib.stereo_model())
+            frontend = self._make_frontend(ctx, seq)
             detection = DetectionFrontEnd(ctx, model=model)
             backend = DecentralizedPGO(ctx, synchronous_optimization=True)
             ids = (frame_ranges[rid] if frame_ranges is not None
@@ -232,15 +280,29 @@ class ReplayDriver:
             self.robots.append(ReplayRobot(ctx, frontend, detection,
                                            backend, seq, ids))
 
+    # sensor hooks (overridden by LidarReplayDriver) -------------------
+
+    def _configure(self, cfg: CslamConfig) -> None:
+        cfg.frontend.sensor_type = "stereo"
+
+    def _make_frontend(self, ctx, seq: KittiSequence):
+        return StereoFrontEnd(ctx, seq.calib.stereo_model())
+
+    def _push_sensor(self, robot: ReplayRobot, i: int,
+                     odom: Odometry) -> None:
+        left, right, _gt, _t = robot.sequence.frame(i)
+        assert right is not None, "stereo replay needs image_1/"
+        robot.frontend.stereo_callback(left, right, odom)
+
+    # ------------------------------------------------------------------
+
     def _feed_frame(self, robot: ReplayRobot) -> bool:
         if robot.cursor >= len(robot.frame_ids):
             return False
         i = robot.frame_ids[robot.cursor]
         robot.cursor += 1
-        left, right, gt, _t = robot.sequence.frame(i)
-        assert right is not None, "stereo replay needs image_1/"
-        if gt is None:
-            gt = np.eye(4)
+        gt = (robot.sequence.gt_poses[i]
+              if robot.sequence.gt_poses is not None else np.eye(4))
         if robot.prev_gt is None:
             robot.odom_pose = gt.copy()
         else:
@@ -249,8 +311,7 @@ class ReplayDriver:
             robot.odom_pose = robot.odom_pose @ z
         robot.prev_gt = gt
         before = robot.frontend.nb_local_keyframes
-        robot.frontend.stereo_callback(left, right,
-                                       Odometry(pose=robot.odom_pose))
+        self._push_sensor(robot, i, Odometry(pose=robot.odom_pose))
         # drain synchronously so the keyframe id <-> ground truth mapping
         # is exact (the keyframe gate may drop the frame)
         robot.frontend.process_new_sensor_data()
@@ -289,3 +350,26 @@ class ReplayDriver:
         ate_odo = absolute_trajectory_error(odo, gt) if odo else float("nan")
         ate_opt = absolute_trajectory_error(est, gt) if est else float("nan")
         return ate_odo, ate_opt
+
+
+class LidarReplayDriver(ReplayDriver):
+    """Replay KITTI ``velodyne/*.bin`` sequences through the lidar
+    pipeline: scans decoded to binary-layout :class:`PointCloud2`
+    messages -> ``LidarFrontEnd`` (voxel downsample + odometry keyframe
+    gate) -> scan-context detection -> multi-start robust ICP
+    verification -> decentralized PGO. The lidar analogue of the stereo
+    replay — the reference's primary demo path
+    (``/root/reference/cslam/lidar_handler_node.py``).
+    """
+
+    def _configure(self, cfg: CslamConfig) -> None:
+        cfg.frontend.sensor_type = "lidar"
+        cfg.frontend.global_descriptor_technique = "scancontext"
+
+    def _make_frontend(self, ctx, seq: KittiSequence):
+        from cslam_tpu.runtime.lidar_frontend import LidarFrontEnd
+        return LidarFrontEnd(ctx)
+
+    def _push_sensor(self, robot: ReplayRobot, i: int,
+                     odom: Odometry) -> None:
+        robot.frontend.lidar_callback(robot.sequence.scan_cloud(i), odom)

@@ -1,16 +1,21 @@
 #!/usr/bin/env python3
-"""Replay KITTI-odometry-format sequences through the full visual pipeline.
+"""Replay KITTI-odometry-format sequences through the full pipeline.
 
 Each robot replays one sequence directory (or a frame range of a shared
 one); stereo frames feed StereoFrontEnd -> DetectionFrontEnd ->
 DecentralizedPGO, and ATE is reported against the dataset ground truth
 (SURVEY.md §7 minimum slice). Without a VPR checkpoint the tiny-image
-descriptor is used; pass --checkpoint to run CosPlace.
+descriptor is used; pass --checkpoint to run CosPlace. With --lidar the
+sequence's velodyne/*.bin scans drive the lidar pipeline instead
+(PointCloud2 decode -> LidarFrontEnd -> scan-context matching -> robust
+ICP -> PGO).
 
     PYTHONPATH=. python examples/kitti_replay.py --cpu \
         /path/to/sequences/00 /path/to/sequences/01
     PYTHONPATH=. python examples/kitti_replay.py --cpu --split 2 \
         /path/to/sequences/00        # one sequence, 2 virtual robots
+    PYTHONPATH=. python examples/kitti_replay.py --cpu --lidar \
+        /path/to/sequences/00 /path/to/sequences/01
 """
 import argparse
 import os
@@ -24,7 +29,8 @@ if "--cpu" in sys.argv or os.environ.get("CSLAM_TPU_FORCE_CPU"):
 
 import numpy as np  # noqa: E402
 
-from cslam_tpu.runtime.replay import (KittiSequence, ReplayDriver,  # noqa: E402
+from cslam_tpu.runtime.replay import (KittiSequence,  # noqa: E402
+                                      LidarReplayDriver, ReplayDriver,
                                       TinyImageDescriptor)
 
 
@@ -38,6 +44,9 @@ def main():
                     help="CosPlace .pth; default = tiny-image descriptor")
     ap.add_argument("--odom-noise", type=float, default=0.02)
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--lidar", action="store_true",
+                    help="replay velodyne/*.bin scans through the lidar "
+                         "pipeline (scan-context, no VPR model)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -64,8 +73,12 @@ def main():
                           "frontend.cosplace.backbone": "resnet18",
                           "frontend.image_crop_size": 376, "robot_id": 0})
 
-    driver = ReplayDriver(sequences, frame_ranges=ranges,
-                          odom_noise=args.odom_noise, model=model)
+    if args.lidar:
+        driver = LidarReplayDriver(sequences, frame_ranges=ranges,
+                                   odom_noise=args.odom_noise)
+    else:
+        driver = ReplayDriver(sequences, frame_ranges=ranges,
+                              odom_noise=args.odom_noise, model=model)
     driver.run()
 
     for rid, robot in enumerate(driver.robots):

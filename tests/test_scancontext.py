@@ -216,3 +216,68 @@ class TestLidarSparseMatching:
         assert match is not None
         assert match.robot0_keyframe_id == 4
         assert match.weight > 0.99
+
+
+class TestFusedRingKeyStage1:
+    """Streaming-kernel ring-key shortlist (``_two_stage_best_fused``):
+    the euclidean-via-augmented-dot-product trick must reproduce the XLA
+    ``euclidean_topk`` stage exactly (ordering equivalence), and the full
+    fused two-stage search must match the unfused path."""
+
+    def test_augmented_dot_orders_like_euclidean(self):
+        import jax.numpy as jnp
+        from cslam_tpu.matching.scancontext_bank import (_RK_AUG_DIM,
+                                                         _augment_ring_keys)
+        from cslam_tpu.ops import topk as topk_ops
+        from cslam_tpu.ops.nns_pallas import TILE_N, cosine_topk_fused2_pre
+
+        rng = np.random.default_rng(21)
+        N, R, B, k = TILE_N, 20, 6, 10
+        rk = (rng.uniform(0, 5, (N, R))).astype(np.float32)
+        q = (rng.uniform(0, 5, (B, R))).astype(np.float32)
+        n = jnp.int32(N - 37)
+
+        sq = jnp.sum(jnp.asarray(rk) ** 2, axis=-1)
+        _, ref_idx = topk_ops.euclidean_topk(jnp.asarray(rk), sq, n,
+                                             jnp.asarray(q), k)
+
+        aug = _augment_ring_keys(jnp.asarray(rk))
+        assert aug.shape == (N, _RK_AUG_DIM)
+        q_aug = np.zeros((B, _RK_AUG_DIM), np.float32)
+        q_aug[:, :R] = 2.0 * q
+        q_aug[:, R] = -1.0
+        _, idx = cosine_topk_fused2_pre(aug, n, jnp.asarray(q_aug), k,
+                                        interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+    def test_fused_two_stage_matches_unfused(self):
+        import jax
+        import jax.numpy as jnp
+        from cslam_tpu.matching.scancontext_bank import (
+            _augment_ring_keys, _two_stage_best, _two_stage_best_fused)
+        from cslam_tpu.ops import scancontext as sc_ops
+        from cslam_tpu.ops.nns_pallas import TILE_N
+
+        rng = np.random.default_rng(22)
+        N, B = TILE_N, 4
+        shape = (20, 60)
+        sc_bank = rng.uniform(0, 5, (N,) + shape).astype(np.float32)
+        queries = sc_bank[rng.integers(0, 200, B)] \
+            + rng.normal(0, 0.05, (B,) + shape).astype(np.float32)
+        rk = np.asarray(jax.vmap(sc_ops.ring_key)(jnp.asarray(sc_bank)))
+        n = jnp.int32(N - 11)
+
+        ref_idx, ref_d = _two_stage_best(
+            jnp.asarray(rk), jnp.sum(jnp.asarray(rk) ** 2, -1),
+            jnp.asarray(sc_bank), n, jnp.asarray(queries), 10)
+        f_idx, f_d = _two_stage_best_fused(
+            _augment_ring_keys(jnp.asarray(rk)), jnp.asarray(sc_bank), n,
+            jnp.asarray(queries), 10, interpret=True)
+        np.testing.assert_array_equal(np.asarray(f_idx), np.asarray(ref_idx))
+        np.testing.assert_allclose(np.asarray(f_d), np.asarray(ref_d),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_bank_gate_off_on_cpu(self):
+        from cslam_tpu.matching.scancontext_bank import ScanContextBank
+        bank = ScanContextBank(capacity=4096)
+        assert not bank._fused_stage1_ok()  # platform is cpu in tests
