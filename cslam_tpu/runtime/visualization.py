@@ -44,6 +44,41 @@ def create_colored_pointcloud(depth: np.ndarray, rgb: np.ndarray,
     return np.concatenate([np.stack([x, y, z], axis=1), colors], axis=1)
 
 
+def colored_cloud_to_pointcloud2(cloud: np.ndarray, frame_id: str = "",
+                                 stamp: float = 0.0):
+    """``[N, 6]`` (xyz, rgb 0-255) -> binary :class:`PointCloud2` with the
+    RViz-conventional packed-``rgb`` float field.
+
+    The reference publishes its colored clouds as exactly this layout
+    (``visualization_utils.cpp:8-56``: ``pcl::PointXYZRGB`` -> 16-byte
+    stride with the three color bytes packed into one word). Bridges the
+    ``/cslam/viz/*`` numpy clouds to any ROS/RViz consumer.
+    """
+    from cslam_tpu.utils.point_cloud2 import make_cloud
+
+    cloud = np.asarray(cloud, np.float32)
+    rec = np.zeros(cloud.shape[0],
+                   dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                          ("rgb", "<f4")])
+    rec["x"], rec["y"], rec["z"] = cloud[:, 0], cloud[:, 1], cloud[:, 2]
+    rgb8 = np.clip(cloud[:, 3:6], 0, 255).astype(np.uint32)
+    packed = (rgb8[:, 0] << 16) | (rgb8[:, 1] << 8) | rgb8[:, 2]
+    rec["rgb"] = packed.view(np.float32)
+    return make_cloud(rec, frame_id=frame_id, stamp=stamp)
+
+
+def pointcloud2_to_colored_cloud(cloud) -> np.ndarray:
+    """Inverse of :func:`colored_cloud_to_pointcloud2` (round-trip tested)."""
+    from cslam_tpu.utils.point_cloud2 import read_points
+
+    pts = read_points(cloud, ["x", "y", "z", "rgb"])
+    packed = np.ascontiguousarray(pts["rgb"]).view(np.uint32)
+    rgb = np.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
+                    packed & 0xFF], axis=1).astype(np.float32)
+    xyz = np.stack([pts["x"], pts["y"], pts["z"]], axis=1)
+    return np.concatenate([xyz, rgb], axis=1)
+
+
 def pose_graph_to_ply(path: str,
                       values: Dict[Tuple[int, int], np.ndarray],
                       edges=None) -> None:

@@ -165,3 +165,28 @@ class TestFrontEndIntegration:
         got = fe.received_data[0][0]
         assert got.shape == (256, 3) and got.dtype == np.float32
         np.testing.assert_allclose(got, pts.astype(np.float32), atol=0)
+
+
+class TestColoredCloudBridge:
+    def test_packed_rgb_round_trip(self):
+        from cslam_tpu.runtime.visualization import (
+            colored_cloud_to_pointcloud2, pointcloud2_to_colored_cloud)
+        rng = np.random.default_rng(12)
+        cloud = np.concatenate(
+            [rng.standard_normal((50, 3)).astype(np.float32),
+             rng.integers(0, 256, (50, 3)).astype(np.float32)], axis=1)
+        msg = colored_cloud_to_pointcloud2(cloud, frame_id="map")
+        assert msg.point_step == 16 and msg.frame_id == "map"
+        back = pointcloud2_to_colored_cloud(msg)
+        np.testing.assert_allclose(back[:, :3], cloud[:, :3])
+        np.testing.assert_array_equal(back[:, 3:], cloud[:, 3:])
+
+    def test_depth_backprojection_to_wire(self):
+        from cslam_tpu.runtime.visualization import (
+            colored_cloud_to_pointcloud2, create_colored_pointcloud)
+        depth = np.full((8, 8), 2.0, np.float32)
+        rgb = np.zeros((8, 8, 3), np.uint8)
+        rgb[..., 0] = 200
+        cloud = create_colored_pointcloud(depth, rgb, 10, 10, 4, 4)
+        msg = colored_cloud_to_pointcloud2(cloud)
+        assert msg.nb_points == 64

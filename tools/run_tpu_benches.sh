@@ -20,3 +20,6 @@ run pgo_headline          python benchmarks/pgo_bench.py
 run lidar_e2e_scale       python benchmarks/lidar_e2e_scale_bench.py
 run mesh_bank             python benchmarks/mesh_bank_bench.py
 run scancontext_scale     python benchmarks/scancontext_scale_bench.py
+run scancontext_65k       python benchmarks/scancontext_scale_bench.py --bank 65536
+run scancontext_65k_fused python benchmarks/scancontext_scale_bench.py --bank 65536 --fused-rk
+run selection_bench       python benchmarks/selection_bench.py
