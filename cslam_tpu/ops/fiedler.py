@@ -152,16 +152,34 @@ def chain_lowrank_precompute(chain_w: jax.Array,
 @highest_precision
 def fiedler_pair_chain_lowrank(pre: dict, lr_w: jax.Array, active: jax.Array,
                                lobpcg_iters: int = 48,
-                               block: int = 4) -> tuple[jax.Array, jax.Array]:
+                               block: int = 4,
+                               short_iters: int = 14,
+                               resid_tol: float = 1e-4
+                               ) -> tuple[jax.Array, jax.Array]:
     """(lambda_2, Fiedler vector) via LOBPCG on the Woodbury-inverted operator.
+
+    Two-stage early exit: LOBPCG on the exact shift-inverted operator has
+    well-separated leading eigenvalues and typically converges in ~10
+    iterations, so a fixed 48-iteration budget mostly burns tridiagonal
+    solves. A ``short_iters`` run is followed by ONE extra operator apply
+    to measure the leading Ritz pair's relative residual; only when it
+    exceeds ``resid_tol`` does a ``lax.cond`` branch continue (warm-started
+    from the converged-so-far block) for the remaining budget. The MAC
+    Frank-Wolfe loop calls this once per iteration inside its fused
+    ``lax.while_loop`` — the early exit cuts the dominant per-iteration
+    term at the large selection tiers without changing the budget contract.
 
     Args:
         pre: output of :func:`chain_lowrank_precompute`.
         lr_w: ``[M]`` current weights of the low-rank edges (0 = absent).
         active: ``[P]`` 0/1 node mask.
-        lobpcg_iters: LOBPCG iteration budget (each costs one batched
+        lobpcg_iters: total LOBPCG iteration budget (each costs one batched
             tridiagonal solve + small dense ops).
         block: LOBPCG block size.
+        short_iters: first-stage budget (``>= lobpcg_iters`` disables the
+            two-stage split).
+        resid_tol: relative residual ``||B^-1 v - theta v|| / theta`` above
+            which the second stage runs.
     """
     P = active.shape[0]
     M = lr_w.shape[0]
@@ -181,7 +199,21 @@ def fiedler_pair_chain_lowrank(pre: dict, lr_w: jax.Array, active: jax.Array,
     # Deterministic start block, orthogonal-ish to the deflated direction.
     key = jax.random.PRNGKey(7)
     X0 = jax.random.normal(key, (P, block), jnp.float32) * active[:, None]
-    theta, V, _ = lobpcg_standard(b_inverse, X0, m=lobpcg_iters)
+    if short_iters >= lobpcg_iters:
+        theta, V, _ = lobpcg_standard(b_inverse, X0, m=lobpcg_iters)
+    else:
+        theta, V, _ = lobpcg_standard(b_inverse, X0, m=short_iters)
+        applied = b_inverse(V[:, :1])
+        resid = jnp.linalg.norm(applied - theta[0] * V[:, :1])
+        rel = resid / jnp.maximum(theta[0], 1e-30)
+
+        def continue_path(_):
+            th2, V2, _ = lobpcg_standard(
+                b_inverse, V, m=lobpcg_iters - short_iters)
+            return th2, V2
+
+        theta, V = jax.lax.cond(rel > resid_tol, continue_path,
+                                lambda _: (theta, V), None)
     v = V[:, 0] * active
     v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
     # theta = 1/(lambda_2 + eps); recover lambda_2 without cancellation by a
