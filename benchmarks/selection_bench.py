@@ -25,6 +25,8 @@ sys.path.insert(0, ".")
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--cpu", action="store_true")
 _ap.add_argument("--repeats", type=int, default=5)
+_ap.add_argument("--full-lobpcg", action="store_true",
+                 help="disable the two-stage LOBPCG early exit (A/B)")
 _args = _ap.parse_args()
 
 if _args.cpu:
@@ -38,8 +40,11 @@ from cslam_tpu.types import EdgeInterRobot  # noqa: E402
 
 
 def build_acm(nb_robots, nb_poses, nb_candidates, nb_fixed, rng):
+    extra = ({"frontend.mac_lobpcg_short_iters": 48}
+             if _args.full_lobpcg else None)
     acm = AlgebraicConnectivityMaximization(robot_id=0,
-                                            max_nb_robots=nb_robots)
+                                            max_nb_robots=nb_robots,
+                                            extra_params=extra)
     # pose counts are tracked from the max keyframe id seen per robot;
     # pin them with one full-range fixed edge per robot pair
     for r0 in range(nb_robots - 1):
@@ -83,6 +88,7 @@ def main():
     last = rows[-1]
     print(json.dumps({
         "metric": "mac_selection_wallclock_10robot_5000pose_1000cand",
+        "lobpcg": "full48" if _args.full_lobpcg else "early_exit",
         "value": round(last[3] * 1e3, 1), "unit": "ms",
         "tiers": [{"robots": r, "poses": n, "candidates": c,
                    "median_ms": round(t * 1e3, 1)}

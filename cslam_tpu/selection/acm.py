@@ -281,7 +281,9 @@ class AlgebraicConnectivityMaximization:
     def run_mac_solver(self, fixed_edges: List[Edge],
                        candidate_edges: List[Edge], w_init: np.ndarray,
                        nb_to_choose: int) -> np.ndarray:
-        mac = MAC(fixed_edges, candidate_edges, self.total_nb_poses)
+        mac = MAC(fixed_edges, candidate_edges, self.total_nb_poses,
+                  lobpcg_short_iters=int(self.params.get(
+                      "frontend.mac_lobpcg_short_iters", 14)))
         try:
             result, _, _ = mac.fw_subset(w_init, nb_to_choose,
                                          max_iters=self.max_iters)

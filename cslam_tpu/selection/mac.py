@@ -67,10 +67,11 @@ def _dense_fw_step(L_fixed, active, ci, cj, cw, w):
     return lam2, cw * diff * diff
 
 
-@functools.partial(jax.jit, static_argnames=("lobpcg_iters",))
+@functools.partial(jax.jit,
+                   static_argnames=("lobpcg_iters", "lobpcg_short_iters"))
 def _woodbury_fw_step(pre, active, chain_i, chain_j, chain_w,
                       lr_i, lr_j, lr_w_fixed, ci, cj, cw, w,
-                      lobpcg_iters):
+                      lobpcg_iters, lobpcg_short_iters=14):
     """One FW evaluation on the chain+low-rank tier.
 
     The low-rank block is [fixed loop closures | candidates]; only the
@@ -79,8 +80,9 @@ def _woodbury_fw_step(pre, active, chain_i, chain_j, chain_w,
     """
     cand_w = w * cw
     lr_w = jnp.concatenate([lr_w_fixed, cand_w])
-    lam2_est, v = fd.fiedler_pair_chain_lowrank(pre, lr_w, active,
-                                                lobpcg_iters=lobpcg_iters)
+    lam2_est, v = fd.fiedler_pair_chain_lowrank(
+        pre, lr_w, active, lobpcg_iters=lobpcg_iters,
+        short_iters=lobpcg_short_iters)
     # Exact objective at v via the Rayleigh quotient over the real edges
     # (avoids the eps-shift cancellation of the inverted spectrum).
     lam2 = (fd.rayleigh_quotient(chain_i, chain_j, chain_w, v)
@@ -136,16 +138,19 @@ def _dense_fw_loop(L_fixed, active, ci, cj, cw, w0, cmask, tol,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "max_iters", "lobpcg_iters"))
+                   static_argnames=("k", "max_iters", "lobpcg_iters",
+                                    "lobpcg_short_iters"))
 @highest_precision
 def _woodbury_fw_loop(pre, active, chain_i, chain_j, chain_w,
                       lr_i, lr_j, lr_w_fixed, ci, cj, cw, w0, cmask, tol,
-                      k: int, max_iters: int, lobpcg_iters: int):
+                      k: int, max_iters: int, lobpcg_iters: int,
+                      lobpcg_short_iters: int = 14):
     def eval_fn(w):
         cand_w = w * cw
         lr_w = jnp.concatenate([lr_w_fixed, cand_w])
-        _, v = fd.fiedler_pair_chain_lowrank(pre, lr_w, active,
-                                             lobpcg_iters=lobpcg_iters)
+        _, v = fd.fiedler_pair_chain_lowrank(
+            pre, lr_w, active, lobpcg_iters=lobpcg_iters,
+            short_iters=lobpcg_short_iters)
         lam2 = (fd.rayleigh_quotient(chain_i, chain_j, chain_w, v)
                 + fd.rayleigh_quotient(lr_i, lr_j, lr_w, v))
         diff = v[ci] - v[cj]
@@ -165,12 +170,13 @@ class MAC:
 
     def __init__(self, fixed_edges: Sequence[Edge],
                  candidate_edges: Sequence[Edge], num_poses: int,
-                 lobpcg_iters: int = 48):
+                 lobpcg_iters: int = 48, lobpcg_short_iters: int = 14):
         self.num_poses = num_poses
         self._P = _tier(max(num_poses, 2))
         self._E = _tier(max(len(candidate_edges), 1))
         self._m = len(candidate_edges)
         self._lobpcg_iters = lobpcg_iters
+        self._lobpcg_short_iters = lobpcg_short_iters
         self._dense = self._P <= _DENSE_MAX_NODES
 
         active = np.zeros(self._P, np.float32)
@@ -239,7 +245,8 @@ class MAC:
             lam2, grad = _woodbury_fw_step(
                 self._pre, self._active, self._chain_i, self._chain_j,
                 self._chain_w, self._lr_i, self._lr_j, self._lr_w_fixed,
-                self._ci, self._cj, self._cw, w_pad, self._lobpcg_iters)
+                self._ci, self._cj, self._cw, w_pad, self._lobpcg_iters,
+                self._lobpcg_short_iters)
         return float(lam2), np.asarray(grad)[:self._m]
 
     def evaluate_objective(self, w: np.ndarray) -> float:
@@ -298,7 +305,8 @@ class MAC:
                 self._chain_w, self._lr_i, self._lr_j, self._lr_w_fixed,
                 self._ci, self._cj, self._cw, jnp.asarray(w0), cmask, tol,
                 k=k, max_iters=max_iters,
-                lobpcg_iters=self._lobpcg_iters)
+                lobpcg_iters=self._lobpcg_iters,
+                lobpcg_short_iters=self._lobpcg_short_iters)
         w_host = np.asarray(w)[:self._m].astype(np.float64)
         return (self.round_solution_tiebreaker(w_host, k), w_host,
                 float(dual))
