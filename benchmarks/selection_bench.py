@@ -32,6 +32,10 @@ _args = _ap.parse_args()
 if _args.cpu:
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # the axon sitecustomize may have imported jax already — the env var
+    # alone is too late then
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
