@@ -36,8 +36,10 @@ from cslam_tpu.ops.nns_pallas import cosine_topk_fused2_pre
 BANK_CAPACITY = 131072      # 2^17 rows (covers the 100k-keyframe scenario)
 VALID_ROWS = 100000
 DIM = 64                    # CosPlace default descriptor size
-BATCH = 256
-SCAN_BATCHES = 256          # query batches folded into one dispatch
+BATCH = 512                 # on-chip sweep: B=512 measured 3.8M q/s vs
+                            # 2.5M at B=256 (amortizes the per-tile chain
+                            # work over more queries; BENCH.md round 3)
+SCAN_BATCHES = 128          # query batches folded into one dispatch
 K = 10                      # frontend.nb_best_matches default
 REFERENCE_QPS = 1.0 / 0.030  # 30 ms/query host loop (nns_matching.py:42)
 
@@ -50,6 +52,7 @@ def main():
     inv_norms = jnp.ones((BANK_CAPACITY,), jnp.float32)
     n = jnp.int32(VALID_ROWS)
     on_tpu = jax.devices()[0].platform != "cpu"
+    scan_batches = SCAN_BATCHES if on_tpu else 4  # CPU run = smoke only
     if on_tpu:
         # bank rows are unit vectors; the streaming kernel takes the
         # prenormalized bank directly (no per-dispatch inv multiply)
@@ -66,7 +69,7 @@ def main():
     assert (np.asarray(idx_f)[:8] == np.asarray(idx_ref)).all(), "path check"
 
     queries = jnp.asarray(rng.standard_normal(
-        (SCAN_BATCHES, BATCH, DIM)).astype(np.float32))
+        (scan_batches, BATCH, DIM)).astype(np.float32))
 
     @jax.jit
     def scan_bench(bank, inv_norms, n, queries):
@@ -89,7 +92,7 @@ def main():
         bank, inv_norms, n, queries * (1.0 + 1e-3 * (r + 1)))))
         for r in range(3))
     net = max(best - rtt, 1e-9)
-    qps = BATCH * SCAN_BATCHES / net
+    qps = BATCH * scan_batches / net
 
     print(json.dumps({
         "metric": f"descriptor_nns_queries_per_sec_{VALID_ROWS // 1000}k_bank",

@@ -22,3 +22,24 @@ if _platform == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite accumulates hundreds of compiled XLA programs in one
+    process; past ~120 tests the XLA CPU compiler segfaulted inside
+    backend_compile_and_load while compiling the distributed solve in
+    test_runtime.py (reproduced twice at the same spot; every subset probe
+    — the test alone, its file alone, either alphabetical half of the
+    preceding files + the file — passes). Dropping the jit caches at
+    module boundaries bounds the accumulated client state; shapes rarely
+    repeat across modules, so the recompile cost is small.
+    """
+    yield
+    import jax
+    jax.clear_caches()

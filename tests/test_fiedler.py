@@ -166,3 +166,49 @@ class TestFusedFrankWolfe:
         assert sel.sum() == 4
         assert np.isfinite(dual)
         assert np.all((w >= -1e-6) & (w <= 1 + 1e-6))
+
+
+class TestLobpcgEarlyExit:
+    """Two-stage early exit in the Woodbury-tier eigensolver: results must
+    match the full 48-iteration budget (the shift-inverted operator
+    converges well inside the 14-iteration first stage), and a
+    pathologically small first stage must trigger the continuation branch
+    rather than return an unconverged pair."""
+
+    def _problem(self, seed, P=700, n_lr=40):
+        import jax.numpy as jnp
+        from cslam_tpu.ops import fiedler as fd
+        rng = np.random.default_rng(seed)
+        chain_w = jnp.asarray(rng.uniform(0.5, 1.5, P - 1).astype(np.float32))
+        lr_i = rng.integers(0, P, n_lr).astype(np.int32)
+        lr_j = ((lr_i + rng.integers(1, P - 1, n_lr)) % P).astype(np.int32)
+        lr_w = jnp.asarray(rng.uniform(0.1, 1.0, n_lr).astype(np.float32))
+        active = jnp.ones(P, jnp.float32)
+        sigma = jnp.float32(2.0 * 4.0 * P / P * 4 + 50.0)
+        pre = fd.chain_lowrank_precompute(chain_w, jnp.asarray(lr_i),
+                                          jnp.asarray(lr_j), active, sigma)
+        return pre, lr_w, active
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_early_exit_matches_full_budget(self, seed):
+        from cslam_tpu.ops import fiedler as fd
+        pre, lr_w, active = self._problem(seed)
+        lam_fast, v_fast = fd.fiedler_pair_chain_lowrank(pre, lr_w, active)
+        lam_full, v_full = fd.fiedler_pair_chain_lowrank(pre, lr_w, active,
+                                                         short_iters=48)
+        assert float(lam_fast) == pytest.approx(float(lam_full), rel=1e-3)
+        align = abs(float(np.asarray(v_fast) @ np.asarray(v_full)))
+        assert align > 0.999
+
+    def test_tiny_first_stage_continues(self):
+        """short_iters=1 cannot converge; the residual check must route
+        through the continuation branch and still land on the answer."""
+        from cslam_tpu.ops import fiedler as fd
+        pre, lr_w, active = self._problem(5)
+        lam_ref, v_ref = fd.fiedler_pair_chain_lowrank(pre, lr_w, active,
+                                                       short_iters=48)
+        lam_t, v_t = fd.fiedler_pair_chain_lowrank(pre, lr_w, active,
+                                                   short_iters=1)
+        assert float(lam_t) == pytest.approx(float(lam_ref), rel=1e-3)
+        align = abs(float(np.asarray(v_t) @ np.asarray(v_ref)))
+        assert align > 0.999
