@@ -51,7 +51,7 @@ import struct
 import threading
 import time
 from collections import deque
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 from cslam_tpu.runtime.bus import MessageBus
 
@@ -275,11 +275,27 @@ class NetworkBus(MessageBus):
     #: outgoing frames buffered while the hub is unreachable (drop-oldest)
     PENDING_DEPTH = 1024
 
-    def __init__(self, hub_address: Tuple[str, int],
+    def __init__(self, hub_address: Optional[Tuple[str, int]] = None,
                  reconnect: bool = True,
-                 backoff_initial: float = 0.05, backoff_max: float = 2.0):
+                 backoff_initial: float = 0.05, backoff_max: float = 2.0,
+                 hub_addresses: Optional[Sequence[Tuple[str, int]]] = None):
+        """``hub_address`` targets one hub; ``hub_addresses`` lists primary
+        + standby hubs tried in rotation — when the connected hub dies the
+        reconnect loop fails over to the next address (each hub has its own
+        generation, so the existing new-generation resync path takes the
+        standby's full relayed window and the per-publisher watermarks
+        dedup anything already seen). This removes the single-broker
+        liveness gap vs the reference's masterless DDS: the swarm survives
+        any one hub as long as a standby is reachable."""
         super().__init__()
-        self._address = hub_address
+        if hub_addresses:
+            self._addresses = [tuple(a) for a in hub_addresses]
+        elif hub_address is not None:
+            self._addresses = [tuple(hub_address)]
+        else:
+            raise ValueError("need hub_address or hub_addresses")
+        self._addr_idx = 0
+        self.failovers = 0
         self._reconnect = reconnect
         self._backoff = (backoff_initial, backoff_max)
         self._hub_generation: Optional[str] = None
@@ -303,8 +319,33 @@ class NetworkBus(MessageBus):
         self._reader.start()
 
     def _connect_and_sync(self) -> socket.socket:
-        """Connect + HELLO/RESYNC handshake (see module docstring)."""
-        sock = socket.create_connection(self._address, timeout=10.0)
+        """Connect + HELLO/RESYNC handshake (see module docstring).
+
+        With multiple hub addresses, tries each in rotation starting from
+        the last-connected one; raises only when every hub is unreachable
+        (the reconnect loop then backs off and sweeps again).
+        """
+        last_err: Optional[OSError] = None
+        for k in range(len(self._addresses)):
+            idx = (self._addr_idx + k) % len(self._addresses)
+            try:
+                sock = self._handshake_with(self._addresses[idx])
+            except OSError as e:
+                last_err = e
+                continue
+            if idx != self._addr_idx:
+                self._addr_idx = idx
+                self.failovers += 1
+            return sock
+        raise last_err if last_err is not None else OSError("no hub")
+
+    @property
+    def hub_address(self) -> Tuple[str, int]:
+        """The currently targeted hub address."""
+        return self._addresses[self._addr_idx]
+
+    def _handshake_with(self, address: Tuple[str, int]) -> socket.socket:
+        sock = socket.create_connection(address, timeout=10.0)
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         hello = _read_frame(sock)
         if not (isinstance(hello, tuple) and len(hello) == 3
@@ -404,6 +445,8 @@ class NetworkBus(MessageBus):
                     "disconnects": self.disconnects,
                     "reconnects": self.reconnects,
                     "pending_out": len(self._pending_out),
+                    "failovers": self.failovers,
+                    "hub_address": self.hub_address,
                     "dropped_frames": self.dropped_frames,
                     "missed_frames": self.missed_frames,
                     "seq_gaps": self.seq_gaps}

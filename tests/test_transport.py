@@ -227,6 +227,62 @@ class TestHubResilience:
             bus_b.close()
             hub.close()
 
+    def test_failover_to_standby_hub(self):
+        """Clients given [primary, standby] survive the primary dying:
+        the reconnect loop rotates to the standby (new generation),
+        buffered frames flush through it, traffic resumes, and the
+        failover is surfaced in connection_stats."""
+        primary = TransportHub()
+        standby = TransportHub()
+        addrs = [primary.address, standby.address]
+        bus_a = NetworkBus(hub_addresses=addrs)
+        bus_b = NetworkBus(hub_addresses=addrs)
+        try:
+            got_b = []
+            bus_b.subscribe("/cslam/x", got_b.append)
+            bus_a.publish("/cslam/x", 1, src_robot=0)
+            assert wait_for(lambda: bus_b.deliver() or got_b)
+            assert bus_a.connection_stats()["hub_address"] == primary.address
+
+            primary.close()
+            assert wait_for(
+                lambda: not bus_a.connection_stats()["connected"]
+                or bus_a.connection_stats()["failovers"] >= 1)
+            bus_a.publish("/cslam/x", 2, src_robot=0)
+
+            assert wait_for(
+                lambda: bus_a.connection_stats()["connected"]
+                and bus_b.connection_stats()["connected"], timeout=10.0)
+            sa = bus_a.connection_stats()
+            assert sa["failovers"] >= 1
+            assert sa["hub_address"] == standby.address
+            # the buffered frame flushes through the standby
+            assert wait_for(lambda: bus_b.deliver() or len(got_b) >= 2,
+                            timeout=10.0)
+            bus_a.publish("/cslam/x", 3, src_robot=0)
+            assert wait_for(lambda: bus_b.deliver() or len(got_b) >= 3)
+            assert got_b == [1, 2, 3]
+        finally:
+            bus_a.close()
+            bus_b.close()
+            primary.close()
+            standby.close()
+
+    def test_startup_skips_dead_primary(self):
+        """A client whose first address is unreachable connects through
+        the standby at construction time."""
+        dead = TransportHub()
+        dead_addr = dead.address
+        dead.close()
+        live = TransportHub()
+        bus = NetworkBus(hub_addresses=[dead_addr, live.address])
+        try:
+            assert bus.connection_stats()["connected"]
+            assert bus.connection_stats()["hub_address"] == live.address
+        finally:
+            bus.close()
+            live.close()
+
     def test_no_reconnect_mode_stays_down(self):
         hub = TransportHub()
         bus = NetworkBus(hub.address, reconnect=False)
