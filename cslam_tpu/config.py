@@ -64,6 +64,11 @@ class FrontendConfig:
     # or "bfloat16" (halves HBM traffic per search pass; ~4e-3 relative
     # similarity error, far below the 0.9 detection-gate granularity)
     nns_bank_dtype: str = "float32"
+    # opt-in: scan-context ring-key shortlist through the streaming NNS
+    # kernel (euclidean-as-augmented-dot). Off until A/B'd on real
+    # hardware — flip after benchmarks/scancontext_scale_bench.py
+    # --fused-rk validates the tier on-chip
+    scancontext_fused_stage1: bool = False
     warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
     # local-descriptor payloads ship deflate-compressed, like the
     # reference's rtabmap-compressed features (rgbd_handler.cpp:404-431)

@@ -113,9 +113,10 @@ class ScanContextBank:
 
     def __init__(self, shape: Tuple[int, int] = (20, 60),
                  num_candidates: int = 10, threshold: float = 0.15,
-                 capacity: int = 1024):
+                 capacity: int = 1024, fused_stage1: bool = False):
         self.shape = tuple(shape)
         self.num_candidates = num_candidates
+        self.fused_stage1 = fused_stage1
         self.threshold = threshold
         self.items: Dict[int, Any] = {}
         self.nb_items = 0
@@ -129,11 +130,14 @@ class ScanContextBank:
         self._device_n = 0
 
     def _fused_stage1_ok(self) -> bool:
-        """Streaming-kernel shortlist eligibility: TPU platform, bank
+        """Streaming-kernel shortlist eligibility: opt-in
+        (``frontend.scancontext_fused_stage1`` — off by default until the
+        configuration has been A/B'd on real hardware), TPU platform, bank
         capacity on a kernel tile boundary, shortlist within the kernel's
         k budget (constants imported from ``ops.nns_pallas`` so retuning
         the kernel keeps this gate honest)."""
-        return (jax.devices()[0].platform == "tpu"
+        return (self.fused_stage1
+                and jax.devices()[0].platform == "tpu"
                 and self._capacity % TILE_N == 0
                 and self.num_candidates <= KERNEL_K)
 
@@ -181,18 +185,23 @@ class ScanContextBank:
         if self._device_n < self.nb_items:
             lo, hi = self._device_n, self.nb_items
             rk = jnp.asarray(self._rk_host[lo:hi])
-            self._rk_bank = jax.lax.dynamic_update_slice(
-                self._rk_bank, rk, (lo, 0))
-            self._rk_sq_norms = jax.lax.dynamic_update_slice(
-                self._rk_sq_norms, jnp.sum(rk * rk, axis=-1), (lo,))
             self._sc_bank = jax.lax.dynamic_update_slice(
                 self._sc_bank, jnp.asarray(self._sc_host[lo:hi]), (lo, 0, 0))
             if self._fused_stage1_ok():
+                # the unfused rk banks would be dead weight here: skip
+                # their per-add dispatches (everything resets on _grow,
+                # so a capacity that later leaves the fused gate rebuilds
+                # the unfused banks from the host mirror)
                 if self._rk_aug is None:
                     self._rk_aug = jnp.zeros((self._capacity, _RK_AUG_DIM),
                                              jnp.float32)
                 self._rk_aug = jax.lax.dynamic_update_slice(
                     self._rk_aug, _augment_ring_keys(rk), (lo, 0))
+            else:
+                self._rk_bank = jax.lax.dynamic_update_slice(
+                    self._rk_bank, rk, (lo, 0))
+                self._rk_sq_norms = jax.lax.dynamic_update_slice(
+                    self._rk_sq_norms, jnp.sum(rk * rk, axis=-1), (lo,))
             self._device_n = self.nb_items
 
     # ------------------------------------------------------------------

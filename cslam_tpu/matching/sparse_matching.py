@@ -20,7 +20,9 @@ def _make_bank(params: dict):
     if params.get("frontend.sensor_type") == "lidar":
         from cslam_tpu.matching.scancontext_bank import ScanContextBank
         return ScanContextBank(
-            capacity=params.get("frontend.bank_initial_capacity", 1024))
+            capacity=params.get("frontend.bank_initial_capacity", 1024),
+            fused_stage1=params.get(
+                "frontend.scancontext_fused_stage1", False))
     return DescriptorBank(
         capacity=params.get("frontend.bank_initial_capacity", 1024),
         dtype=params.get("frontend.nns_bank_dtype", "float32"))

@@ -104,6 +104,10 @@ class KittiSequence:
         self._scans = (sorted(
             os.path.join(velo_dir, f) for f in os.listdir(velo_dir)
             if f.endswith(".bin")) if os.path.isdir(velo_dir) else [])
+        if not self._left and not self._scans:
+            raise FileNotFoundError(
+                f"{path!r} is not a KITTI sequence directory: no "
+                "image_0/*.png and no velodyne/*.bin found")
 
         poses_file = os.path.join(path, "poses.txt")
         self.gt_poses: Optional[List[np.ndarray]] = None
@@ -276,7 +280,7 @@ class ReplayDriver:
             detection = DetectionFrontEnd(ctx, model=model)
             backend = DecentralizedPGO(ctx, synchronous_optimization=True)
             ids = (frame_ranges[rid] if frame_ranges is not None
-                   else range(len(seq)))
+                   else self._default_frame_ids(seq))
             self.robots.append(ReplayRobot(ctx, frontend, detection,
                                            backend, seq, ids))
 
@@ -286,7 +290,15 @@ class ReplayDriver:
         cfg.frontend.sensor_type = "stereo"
 
     def _make_frontend(self, ctx, seq: KittiSequence):
+        if seq.calib is None:
+            raise FileNotFoundError(
+                f"{seq.path!r} has no calib.txt — stereo replay needs the "
+                "projection matrices (use LidarReplayDriver for "
+                "velodyne-only sequences)")
         return StereoFrontEnd(ctx, seq.calib.stereo_model())
+
+    def _default_frame_ids(self, seq: KittiSequence):
+        return range(len(seq))
 
     def _push_sensor(self, robot: ReplayRobot, i: int,
                      odom: Odometry) -> None:
@@ -367,8 +379,15 @@ class LidarReplayDriver(ReplayDriver):
         cfg.frontend.global_descriptor_technique = "scancontext"
 
     def _make_frontend(self, ctx, seq: KittiSequence):
+        if seq.nb_scans == 0:
+            raise FileNotFoundError(
+                f"{seq.path!r} has no velodyne/*.bin scans — lidar replay "
+                "needs them (use ReplayDriver for image-only sequences)")
         from cslam_tpu.runtime.lidar_frontend import LidarFrontEnd
         return LidarFrontEnd(ctx)
+
+    def _default_frame_ids(self, seq: KittiSequence):
+        return range(seq.nb_scans)
 
     def _push_sensor(self, robot: ReplayRobot, i: int,
                      odom: Odometry) -> None:

@@ -137,6 +137,7 @@ def read_points(cloud: PointCloud2,
     if bool(cloud.is_bigendian) != native_big:
         # non-destructive: astype to the native-order analogue
         pts = pts.astype(_native_dtype(pts.dtype), copy=True)
+    filtered = False
     if skip_nans and not cloud.is_dense:
         keep = np.ones(len(pts), bool)
         for name in pts.dtype.names or ():
@@ -145,11 +146,16 @@ def read_points(cloud: PointCloud2,
                 bad = np.isnan(col)
                 keep &= ~(bad.any(axis=-1) if bad.ndim > 1 else bad)
         pts = pts[keep]
+        filtered = True
     if uvs is not None:
         idx = uvs if isinstance(uvs, np.ndarray) else np.fromiter(uvs, int)
         pts = pts[idx]
-    if reshape_organized_cloud and cloud.height > 1 and uvs is None \
-            and not skip_nans:
+        filtered = True
+    # the reference reshapes whenever height > 1 (ll.119-121) — but after
+    # row filtering the organized grid no longer exists, so only reshape
+    # when nothing was dropped/selected (a dense cloud with skip_nans=True
+    # still reshapes: the filter was a no-op)
+    if reshape_organized_cloud and cloud.height > 1 and not filtered:
         pts = pts.reshape(cloud.height, cloud.width)
     return pts
 

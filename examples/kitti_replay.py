@@ -65,8 +65,8 @@ def main():
             ranges = [range(min(len(s), args.max_frames))
                       for s in sequences]
 
-    model = TinyImageDescriptor()
-    if args.checkpoint:
+    model = None if args.lidar else TinyImageDescriptor()
+    if args.checkpoint and not args.lidar:
         from cslam_tpu.models.cosplace import CosPlace
         model = CosPlace({"frontend.nn_checkpoint": args.checkpoint,
                           "frontend.cosplace.descriptor_dim": 64,

@@ -137,6 +137,17 @@ class TestFilters:
         got = pc2.read_points(cloud, reshape_organized_cloud=True)
         assert got.shape == (3, 4)
         np.testing.assert_array_equal(got.reshape(-1)["z"], rec["z"])
+        # skip_nans on a DENSE organized cloud is a no-op filter: the 2D
+        # shape must survive (reference reshapes whenever height > 1)
+        got2 = pc2.read_points(cloud, skip_nans=True,
+                               reshape_organized_cloud=True)
+        assert got2.shape == (3, 4)
+        # but when rows are actually dropped the grid is gone -> flat
+        holey = _xyz_struct(12, seed=8, nan_rows=(5,))
+        c2 = pc2.make_cloud(holey, height=3)
+        got3 = pc2.read_points(c2, skip_nans=True,
+                               reshape_organized_cloud=True)
+        assert got3.ndim == 1 and len(got3) == 11
 
     def test_read_points_numpy_rejects_mixed_dtypes(self):
         rec = np.zeros(4, dtype=[("x", "<f4"), ("ring", "<u2")])

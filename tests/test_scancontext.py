@@ -277,7 +277,13 @@ class TestFusedRingKeyStage1:
         np.testing.assert_allclose(np.asarray(f_d), np.asarray(ref_d),
                                    rtol=1e-5, atol=1e-6)
 
-    def test_bank_gate_off_on_cpu(self):
+    def test_bank_gate_requires_opt_in(self):
+        import jax
         from cslam_tpu.matching.scancontext_bank import ScanContextBank
-        bank = ScanContextBank(capacity=4096)
-        assert not bank._fused_stage1_ok()  # platform is cpu in tests
+        assert not ScanContextBank(capacity=4096)._fused_stage1_ok()
+        fused = ScanContextBank(capacity=4096, fused_stage1=True)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        assert fused._fused_stage1_ok() == on_tpu
+        # capacity off the kernel tile boundary never qualifies
+        assert not ScanContextBank(capacity=1024,
+                                   fused_stage1=True)._fused_stage1_ok()

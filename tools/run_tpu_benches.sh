@@ -10,7 +10,7 @@ run() {
     log="benchmarks/results/${name}.log"
     echo "=== ${name}: $* (log ${log})"
     timeout 3000 "$@" 2>&1 | tee "${log}" | tail -3
-    echo "=== ${name} rc=$?"
+    echo "=== ${name} rc=${PIPESTATUS[0]}"
 }
 run bench_headline        python bench.py
 run nns_kernel_probe      python benchmarks/nns_kernel_probe.py
