@@ -61,15 +61,23 @@ _HEADER = struct.Struct("!I")
 _HELLO = "__hub_hello__"
 _RESYNC = "__hub_resync__"
 _DATA = "__hub_data__"
+_LATCHED = "__hub_latched__"
 
 
 def _encode(topic: str, msg: Any, src_robot: int,
-            pub: Optional[Tuple[str, int]] = None) -> bytes:
+            pub: Optional[Tuple[str, int]] = None,
+            latch: bool = False) -> bytes:
     """Frame a message. ``pub`` = (publisher id, publisher seq) lets
     receivers drop retransmits (a reconnect flush re-sends frames whose
-    first sendall may already have reached the hub)."""
-    item = ((topic, msg, src_robot) if pub is None
-            else (topic, msg, src_robot, pub))
+    first sendall may already have reached the hub). ``latch`` marks the
+    frame transient-local: the hub stores the latest latched value per
+    (topic, publisher) and serves it to every later-joining client."""
+    if latch:
+        item = (topic, msg, src_robot, pub, True)
+    elif pub is not None:
+        item = (topic, msg, src_robot, pub)
+    else:
+        item = (topic, msg, src_robot)
     payload = pickle.dumps(item, protocol=pickle.HIGHEST_PROTOCOL)
     return _HEADER.pack(len(payload)) + payload
 
@@ -174,6 +182,10 @@ class TransportHub:
         self._generation = os.urandom(8).hex()
         self._seq = 0
         self._history: deque = deque(maxlen=history)  # (seq, bytes)
+        # transient-local store: latest latched frame per (topic, pub id),
+        # as (seq, encoded _LATCHED frame) — served to late joiners whose
+        # resync window starts after the frame left the replay ring
+        self._latch_store: Dict[Tuple[str, Any], Tuple[int, bytes]] = {}
         self._running = True
         self._thread = threading.Thread(target=self._accept_loop, daemon=True)
         self._thread.start()
@@ -209,6 +221,13 @@ class TransportHub:
                 for s, data in self._history:
                     if s >= from_seq:
                         hc.send(data)
+                # transient-local durability (reference publishes
+                # ReferenceFrames latched, decentralized_pgo.cpp:194-196):
+                # latched values older than the resync window are served
+                # explicitly; newer ones arrive via replay/live and the
+                # receiver's per-publisher watermark drops this copy
+                for _seq0, data in self._latch_store.values():
+                    hc.send(data)
                 first = _HANDSHAKEN  # consumed
             # (else: legacy client sent data before resync — relay it below)
             self._clients[client] = hc
@@ -229,11 +248,16 @@ class TransportHub:
                 break
             topic, msg, src = frame[:3]
             pub = frame[3] if len(frame) > 3 else None
+            latch = bool(frame[4]) if len(frame) > 4 else False
             with self._lock:
                 seq = self._seq
                 self._seq += 1
-                data = _encode(_DATA, (seq, topic, msg, src, pub), -2)
+                data = _encode(_DATA, (seq, topic, msg, src, pub, latch), -2)
                 self._history.append((seq, data))
+                if latch:
+                    pid = pub[0] if pub else None
+                    self._latch_store[(topic, pid)] = (seq, _encode(
+                        _LATCHED, (topic, msg, src, pub), -2))
                 # fan out UNDER the lock (send is a cheap deque append):
                 # two relay threads enqueueing to the same destination out
                 # of seq-assignment order would trip the client watermark
@@ -309,6 +333,11 @@ class NetworkBus(MessageBus):
         self.seq_gaps = 0
         self._client_id = os.urandom(8).hex()
         self._pub_seq = 0
+        # publisher-side durability: our latched frames, re-sent whenever
+        # the hub generation changes (restart or failover to a standby
+        # whose latch store never saw them); receivers that already
+        # delivered them drop the copy at their per-publisher watermark
+        self._latched_out: Dict[str, bytes] = {}
         self._pub_seen: Dict[str, int] = {}  # publisher id -> watermark
         self._pending_out: deque = deque(maxlen=self.PENDING_DEPTH)
         self._inbox: deque = deque()
@@ -323,7 +352,9 @@ class NetworkBus(MessageBus):
 
         With multiple hub addresses, tries each in rotation starting from
         the last-connected one; raises only when every hub is unreachable
-        (the reconnect loop then backs off and sweeps again).
+        (the reconnect loop then backs off and sweeps again). Sets
+        ``self._generation_changed`` so the reconnect path can re-latch
+        our transient-local frames onto a fresh hub generation.
         """
         last_err: Optional[OSError] = None
         for k in range(len(self._addresses)):
@@ -361,6 +392,7 @@ class NetworkBus(MessageBus):
         else:
             from_seq = 0                 # hub restarted: take everything the
             self._last_seq = -1          # new generation relayed so far
+        self._generation_changed = generation != self._hub_generation
         self._hub_generation = generation
         sock.sendall(_encode(_RESYNC, from_seq, -2))
         sock.settimeout(None)
@@ -371,10 +403,24 @@ class NetworkBus(MessageBus):
             frame = _read_frame(self._sock)
             if frame is not None:
                 if (isinstance(frame, tuple) and len(frame) == 3
+                        and frame[0] == _LATCHED):
+                    topic, msg, src, pub = frame[1]
+                    if pub is not None:
+                        pid, pseq = pub
+                        if pseq <= self._pub_seen.get(pid, -1):
+                            continue  # already delivered via replay/live
+                        self._pub_seen[pid] = pseq
+                    self._latched[topic] = (msg, src)
+                    with self._inbox_lock:
+                        self._inbox.append((topic, msg, src))
+                    continue
+                if (isinstance(frame, tuple) and len(frame) == 3
                         and frame[0] == _DATA):
                     payload = frame[1]
                     seq, topic, msg, src = payload[:4]
                     pub = payload[4] if len(payload) > 4 else None
+                    latch = (bool(payload[5]) if len(payload) > 5
+                             else False)
                     if seq <= self._last_seq:
                         continue  # hub replay overlap: already seen
                     if seq > self._last_seq + 1:
@@ -394,6 +440,8 @@ class NetworkBus(MessageBus):
                         if pseq <= self._pub_seen.get(pid, -1):
                             continue  # publisher retransmit (flush overlap)
                         self._pub_seen[pid] = pseq
+                    if latch:
+                        self._latched[topic] = (msg, src)
                     with self._inbox_lock:
                         self._inbox.append((topic, msg, src))
                 continue
@@ -422,6 +470,14 @@ class NetworkBus(MessageBus):
                     self.reconnects += 1
                     pending = deque(self._pending_out)
                     self._pending_out.clear()
+                    if getattr(self, "_generation_changed", False):
+                        # a fresh hub never saw our latched frames: re-send
+                        # them first (receivers that already delivered them
+                        # drop the copy at the per-publisher watermark; a
+                        # newer latched value sitting in pending overwrites
+                        # the hub's store right after)
+                        for data in self._latched_out.values():
+                            pending.appendleft(data)
                     try:
                         while pending:
                             sock.sendall(pending[0])
@@ -460,17 +516,20 @@ class NetworkBus(MessageBus):
 
     def publish(self, topic: str, msg: Any, src_robot: int = -1,
                 latch: bool = False) -> None:
-        # ``latch`` (transient-local) is accepted for Publisher
-        # compatibility; across the hub, late joiners are covered by the
-        # generation/seq replay ring instead of per-topic latching
-        del latch
         with self._send_lock:
             # stamp (publisher id, publisher seq) so receivers can drop the
             # retransmit if this sendall raises AFTER the kernel shipped
             # the frame and the reconnect flush re-sends it
             data = _encode(topic, msg, src_robot,
-                           pub=(self._client_id, self._pub_seq))
+                           pub=(self._client_id, self._pub_seq),
+                           latch=latch)
             self._pub_seq += 1
+            if latch:
+                # keep the latest latched frame per topic for re-latching
+                # onto a fresh hub generation; also latch locally so
+                # late in-process subscribers get transient-local QoS
+                self._latched_out[topic] = data
+                self._latched[topic] = (msg, src_robot)
             if not self.connected:
                 self._buffer_out(data)
                 return

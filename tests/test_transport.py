@@ -398,6 +398,106 @@ sys.exit(0 if not missing else 1)
 
 
 @pytest.mark.slow
+class TestTransientLocal:
+    """Transient-local (latched) durability across the hub: the reference
+    publishes ReferenceFrames latched so robots that come into range LATE
+    still receive them (decentralized_pgo.cpp:194-196). The hub keeps the
+    latest latched frame per (topic, publisher) and serves it at every
+    resync; publishers re-latch onto fresh hub generations."""
+
+    def test_late_joiner_receives_latched_frame(self):
+        # small ring so the latched frame is long gone from replay
+        hub = TransportHub(history=4)
+        bus_a = NetworkBus(hub.address)
+        try:
+            bus_a.publish("/cslam/ref", {"origin": 0}, src_robot=0,
+                          latch=True)
+            for i in range(16):   # evict it from the replay ring
+                bus_a.publish("/cslam/noise", i, src_robot=0)
+
+            bus_late = NetworkBus(hub.address)   # fresh join, future-only
+            got = []
+            from cslam_tpu.runtime.bus import QoSProfile
+            bus_late.subscribe("/cslam/ref", got.append,
+                               qos=QoSProfile(transient_local=True))
+            assert wait_for(lambda: bus_late.deliver() or got)
+            assert got == [{"origin": 0}]
+            bus_late.close()
+        finally:
+            bus_a.close()
+            hub.close()
+
+    def test_latched_value_last_write_wins(self):
+        hub = TransportHub()
+        bus_a = NetworkBus(hub.address)
+        try:
+            bus_a.publish("/cslam/ref", 1, src_robot=0, latch=True)
+            bus_a.publish("/cslam/ref", 2, src_robot=0, latch=True)
+            bus_late = NetworkBus(hub.address)
+            got = []
+            bus_late.subscribe("/cslam/ref", got.append)
+            assert wait_for(lambda: bus_late.deliver() or got)
+            assert got[-1] == 2 and len(got) == 1
+            bus_late.close()
+        finally:
+            bus_a.close()
+            hub.close()
+
+    def test_relatch_after_hub_restart(self):
+        hub = TransportHub()
+        host, port = hub.address
+        bus_a = NetworkBus(hub.address)
+        try:
+            got_a_own = []
+            bus_a.subscribe("/cslam/ref", got_a_own.append)
+            bus_a.publish("/cslam/ref", {"g": 1}, src_robot=0, latch=True)
+            assert wait_for(lambda: bus_a.deliver() or got_a_own)
+
+            hub.close()
+            assert wait_for(
+                lambda: not bus_a.connection_stats()["connected"])
+            hub = TransportHub(host, port)   # fresh generation, empty store
+            assert wait_for(
+                lambda: bus_a.connection_stats()["connected"], timeout=10.0)
+
+            # a client joining only the NEW hub still gets the frame
+            bus_late = NetworkBus(hub.address)
+            got = []
+            bus_late.subscribe("/cslam/ref", got.append)
+            assert wait_for(lambda: bus_late.deliver() or got, timeout=10.0)
+            assert got == [{"g": 1}]
+            # and the original publisher did not double-deliver to itself
+            bus_a.deliver()
+            assert got_a_own == [{"g": 1}]
+            bus_late.close()
+        finally:
+            bus_a.close()
+            hub.close()
+
+    def test_relatch_after_failover(self):
+        primary = TransportHub()
+        standby = TransportHub()
+        bus_a = NetworkBus(hub_addresses=[primary.address, standby.address])
+        try:
+            bus_a.publish("/cslam/ref", "frameA", src_robot=0, latch=True)
+            time.sleep(0.3)
+            primary.close()
+            assert wait_for(
+                lambda: bus_a.connection_stats()["connected"]
+                and bus_a.connection_stats()["failovers"] >= 1,
+                timeout=10.0)
+            bus_late = NetworkBus(standby.address)
+            got = []
+            bus_late.subscribe("/cslam/ref", got.append)
+            assert wait_for(lambda: bus_late.deliver() or got, timeout=10.0)
+            assert got == ["frameA"]
+            bus_late.close()
+        finally:
+            bus_a.close()
+            primary.close()
+            standby.close()
+
+
 def test_hub_restart_across_processes(tmp_path):
     """Two real OS-process clients across a hub kill/restart: zero frame
     loss. In-process threaded tests have missed stream races that real
