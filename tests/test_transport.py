@@ -526,3 +526,63 @@ def test_hub_restart_across_processes(tmp_path):
             if p.poll() is None:
                 p.kill()
         hub.close()
+
+
+class TestTransportChaos:
+    """Property-style stress: under random hub kills/restarts/failovers,
+    every receiver must see each publisher's stream as a STRICTLY
+    INCREASING subsequence (exactly-once up to counted losses, never
+    duplicated, never reordered) — the invariant all the watermark/
+    replay/re-latch machinery exists to uphold."""
+
+    def test_ordering_and_no_duplicates_under_hub_chaos(self):
+        primary = TransportHub(history=64)
+        standby = TransportHub(history=64)
+        addr_p, addr_s = primary.address, standby.address
+        hubs = {"p": primary, "s": standby}
+        buses = [NetworkBus(hub_addresses=[addr_p, addr_s])
+                 for _ in range(3)]
+        received = [[] for _ in buses]
+        for bus, sink in zip(buses, received):
+            bus.subscribe("/cslam/chaos", sink.append)
+        try:
+            n_msgs = 60
+            for i in range(n_msgs):
+                for pid, bus in enumerate(buses):
+                    bus.publish("/cslam/chaos", (pid, i), src_robot=pid)
+                for bus in buses:
+                    bus.deliver()
+                time.sleep(0.01)
+                if i in (15, 35):        # kill whichever hub is alive first
+                    key = "p" if i == 15 else "s"
+                    hubs[key].close()
+                    # wait until every client left the dead hub
+                    assert wait_for(lambda: all(
+                        b.connection_stats()["connected"] for b in buses),
+                        timeout=10.0)
+                if i == 25:              # resurrect the primary
+                    hubs["p"] = TransportHub(addr_p[0], addr_p[1],
+                                             history=64)
+            deadline = time.time() + 5
+            while time.time() < deadline:
+                for bus in buses:
+                    bus.deliver()
+                time.sleep(0.05)
+
+            for rid, sink in enumerate(received):
+                per_pub = {}
+                for pid, i in sink:
+                    per_pub.setdefault(pid, []).append(i)
+                for pid, seq in per_pub.items():
+                    assert seq == sorted(set(seq)), (
+                        f"receiver {rid} saw publisher {pid} out of order "
+                        f"or duplicated: {seq}")
+                # liveness: the final messages (published when a hub was
+                # up and stable) must have arrived from every publisher
+                assert all(per_pub.get(pid, [-1])[-1] >= n_msgs - 5
+                           for pid in range(len(buses))), per_pub
+        finally:
+            for bus in buses:
+                bus.close()
+            for hub in hubs.values():
+                hub.close()
