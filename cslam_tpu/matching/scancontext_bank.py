@@ -174,10 +174,11 @@ class ScanContextBank:
         self._device_n = 0
 
     def _sync_device(self) -> None:
-        if self._rk_bank is None:
-            self._rk_bank = jnp.zeros((self._capacity, self.shape[0]),
-                                      jnp.float32)
-            self._rk_sq_norms = jnp.zeros((self._capacity,), jnp.float32)
+        if self._sc_bank is None or self._sc_bank.shape[0] != self._capacity:
+            # unfused ring-key banks are created lazily below (in fused
+            # mode they would be dead device memory at full capacity)
+            self._rk_bank = None
+            self._rk_sq_norms = None
             self._sc_bank = jnp.zeros((self._capacity,) + self.shape,
                                       jnp.float32)
             self._rk_aug = None  # re-created lazily at the new capacity
@@ -198,6 +199,11 @@ class ScanContextBank:
                 self._rk_aug = jax.lax.dynamic_update_slice(
                     self._rk_aug, _augment_ring_keys(rk), (lo, 0))
             else:
+                if self._rk_bank is None:
+                    self._rk_bank = jnp.zeros(
+                        (self._capacity, self.shape[0]), jnp.float32)
+                    self._rk_sq_norms = jnp.zeros((self._capacity,),
+                                                  jnp.float32)
                 self._rk_bank = jax.lax.dynamic_update_slice(
                     self._rk_bank, rk, (lo, 0))
                 self._rk_sq_norms = jax.lax.dynamic_update_slice(

@@ -339,6 +339,10 @@ class NetworkBus(MessageBus):
         # delivered them drop the copy at their per-publisher watermark
         self._latched_out: Dict[str, bytes] = {}
         self._pub_seen: Dict[str, int] = {}  # publisher id -> watermark
+        # (topic, publisher id) -> newest latched pseq delivered; separate
+        # from _pub_seen so an old-but-unseen latched value is never
+        # shadowed by newer non-latched traffic from the same publisher
+        self._latch_seen: Dict[Tuple[str, str], int] = {}
         self._pending_out: deque = deque(maxlen=self.PENDING_DEPTH)
         self._inbox: deque = deque()
         self._inbox_lock = threading.Lock()
@@ -405,14 +409,18 @@ class NetworkBus(MessageBus):
                 if (isinstance(frame, tuple) and len(frame) == 3
                         and frame[0] == _LATCHED):
                     topic, msg, src, pub = frame[1]
+                    # dedup by the PER-(topic, publisher) latch watermark —
+                    # NOT the shared retransmit watermark: a late joiner
+                    # whose resync replayed newer frames from this
+                    # publisher must still deliver the older latched value
                     if pub is not None:
                         pid, pseq = pub
-                        if pseq <= self._pub_seen.get(pid, -1):
-                            continue  # already delivered via replay/live
-                        self._pub_seen[pid] = pseq
-                    self._latched[topic] = (msg, src)
+                        key = (topic, pid)
+                        if pseq <= self._latch_seen.get(key, -1):
+                            continue  # this latched value already seen
+                        self._latch_seen[key] = pseq
                     with self._inbox_lock:
-                        self._inbox.append((topic, msg, src))
+                        self._inbox.append((topic, msg, src, True))
                     continue
                 if (isinstance(frame, tuple) and len(frame) == 3
                         and frame[0] == _DATA):
@@ -440,10 +448,12 @@ class NetworkBus(MessageBus):
                         if pseq <= self._pub_seen.get(pid, -1):
                             continue  # publisher retransmit (flush overlap)
                         self._pub_seen[pid] = pseq
-                    if latch:
-                        self._latched[topic] = (msg, src)
+                        if latch:
+                            key = (topic, pid)
+                            self._latch_seen[key] = max(
+                                self._latch_seen.get(key, -1), pseq)
                     with self._inbox_lock:
-                        self._inbox.append((topic, msg, src))
+                        self._inbox.append((topic, msg, src, latch))
                 continue
             # connection lost (or close() shut the socket down)
             if not self._running:
@@ -472,12 +482,14 @@ class NetworkBus(MessageBus):
                     self._pending_out.clear()
                     if getattr(self, "_generation_changed", False):
                         # a fresh hub never saw our latched frames: re-send
-                        # them first (receivers that already delivered them
-                        # drop the copy at the per-publisher watermark; a
-                        # newer latched value sitting in pending overwrites
-                        # the hub's store right after)
-                        for data in self._latched_out.values():
-                            pending.appendleft(data)
+                        # them first, in publisher-seq order (reversing the
+                        # order would make receivers' retransmit watermark
+                        # drop all but the newest); receivers that already
+                        # delivered them drop the copies, and a newer
+                        # latched value sitting in pending overwrites the
+                        # hub's store right after
+                        pending = deque(list(self._latched_out.values())
+                                        + list(pending))
                     try:
                         while pending:
                             sock.sendall(pending[0])
@@ -544,10 +556,13 @@ class NetworkBus(MessageBus):
         with self._inbox_lock:
             pending = list(self._inbox)
             self._inbox.clear()
-        for topic, msg, src in pending:
-            # route through QoS bounding: best-effort topics keep only the
-            # freshest `depth` frames that arrived between two delivers
-            self._enqueue(topic, msg, src)
+        for topic, msg, src, latch in pending:
+            # route through the in-process publish path: QoS bounding for
+            # best-effort subscribers AND latch marking in one place, on
+            # the delivering thread — marking _latched from the reader
+            # thread raced subscribe() into a double delivery (latch-
+            # pending copy + inbox copy)
+            MessageBus.publish(self, topic, msg, src, latch=latch)
         return super().deliver(max_messages)
 
     def close(self) -> None:

@@ -145,8 +145,11 @@ def read_points(cloud: PointCloud2,
             if np.issubdtype(col.dtype.base, np.floating):
                 bad = np.isnan(col)
                 keep &= ~(bad.any(axis=-1) if bad.ndim > 1 else bad)
-        pts = pts[keep]
-        filtered = True
+        if not keep.all():
+            # sensors often set is_dense=False conservatively; only an
+            # actual drop destroys the organized grid
+            pts = pts[keep]
+            filtered = True
     if uvs is not None:
         idx = uvs if isinstance(uvs, np.ndarray) else np.fromiter(uvs, int)
         pts = pts[idx]

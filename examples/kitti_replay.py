@@ -50,11 +50,15 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
+    def nb_frames(seq):
+        # lidar mode indexes the scan list; image counts can differ
+        return seq.nb_scans if args.lidar else len(seq)
+
     if args.split > 1:
         assert len(args.sequences) == 1
         seq = KittiSequence(args.sequences[0])
-        n = len(seq) if not args.max_frames else min(len(seq),
-                                                     args.max_frames)
+        n = nb_frames(seq) if not args.max_frames else min(
+            nb_frames(seq), args.max_frames)
         per = n // args.split
         sequences = [seq] * args.split
         ranges = [range(i * per, (i + 1) * per) for i in range(args.split)]
@@ -62,7 +66,7 @@ def main():
         sequences = [KittiSequence(p) for p in args.sequences]
         ranges = None
         if args.max_frames:
-            ranges = [range(min(len(s), args.max_frames))
+            ranges = [range(min(nb_frames(s), args.max_frames))
                       for s in sequences]
 
     model = None if args.lidar else TinyImageDescriptor()

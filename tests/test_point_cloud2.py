@@ -148,6 +148,13 @@ class TestFilters:
         got3 = pc2.read_points(c2, skip_nans=True,
                                reshape_organized_cloud=True)
         assert got3.ndim == 1 and len(got3) == 11
+        # sensors often mark clouds non-dense conservatively: a NaN-free
+        # cloud with is_dense=False must still reshape (filter = no-op)
+        c4 = pc2.make_cloud(_xyz_struct(12, seed=8), height=3)
+        c4.is_dense = False
+        got4 = pc2.read_points(c4, skip_nans=True,
+                               reshape_organized_cloud=True)
+        assert got4.shape == (3, 4)
 
     def test_read_points_numpy_rejects_mixed_dtypes(self):
         rec = np.zeros(4, dtype=[("x", "<f4"), ("ring", "<u2")])

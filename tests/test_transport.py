@@ -443,6 +443,69 @@ class TestTransientLocal:
             bus_a.close()
             hub.close()
 
+    def test_multi_topic_latch_store_order_independent(self):
+        """Review scenario: latch refA, latch refB, update refA — the hub
+        store now serves refA(newest) before refB. A shared-watermark
+        dedup would drop refB forever; the per-(topic, publisher) latch
+        watermark must deliver both."""
+        hub = TransportHub()
+        bus_a = NetworkBus(hub.address)
+        try:
+            bus_a.publish("/cslam/refA", "A0", src_robot=0, latch=True)
+            bus_a.publish("/cslam/refB", "B0", src_robot=0, latch=True)
+            bus_a.publish("/cslam/refA", "A1", src_robot=0, latch=True)
+            for i in range(8):
+                bus_a.publish("/cslam/noise", i, src_robot=0)
+            bus_late = NetworkBus(hub.address)
+            got_a, got_b = [], []
+            bus_late.subscribe("/cslam/refA", got_a.append)
+            bus_late.subscribe("/cslam/refB", got_b.append)
+            assert wait_for(
+                lambda: bus_late.deliver() or (got_a and got_b),
+                timeout=10.0)
+            assert got_a == ["A1"] and got_b == ["B0"]
+            bus_late.close()
+        finally:
+            bus_a.close()
+            hub.close()
+
+    def test_latched_frame_survives_replay_of_newer_traffic(self):
+        """Review scenario: a joiner whose resync replays NEWER frames
+        from the publisher first (advancing the retransmit watermark)
+        must still deliver the older latched frame afterwards."""
+        hub = TransportHub(history=64)
+        bus_a = NetworkBus(hub.address)
+        bus_b = NetworkBus(hub.address)
+        try:
+            got = []
+            bus_b.subscribe("/cslam/ref", got.append)
+            bus_a.publish("/cslam/ref", "frame0", src_robot=0, latch=True)
+            for i in range(10):
+                bus_a.publish("/cslam/noise", i, src_robot=0)
+            assert wait_for(lambda: bus_b.deliver() or got)
+            # simulate the raced handshake: force bus_b to resync from 0
+            # on its current connection state (replays everything — newer
+            # noise frames advance the shared watermark — then the hub
+            # serves the latched frame again; nothing may double-deliver)
+            from cslam_tpu.runtime.transport import _shutdown_close
+            bus_b._last_seq = -1
+            bus_b._pub_seen.clear()
+            bus_b._latch_seen.clear()
+            _shutdown_close(bus_b._sock)   # blip -> reconnect same gen
+            assert wait_for(
+                lambda: bus_b.connection_stats()["reconnects"] >= 1
+                and bus_b.connection_stats()["connected"], timeout=10.0)
+            deadline = time.time() + 3
+            while time.time() < deadline:
+                bus_b.deliver()
+                time.sleep(0.05)
+            assert got == ["frame0", "frame0"]  # replayed once, not lost
+            assert bus_b._latched.get("/cslam/ref") == ("frame0", 0)
+        finally:
+            bus_a.close()
+            bus_b.close()
+            hub.close()
+
     def test_relatch_after_hub_restart(self):
         hub = TransportHub()
         host, port = hub.address
@@ -473,6 +536,34 @@ class TestTransientLocal:
         finally:
             bus_a.close()
             hub.close()
+
+    def test_relatch_flush_order_preserves_all_topics(self):
+        """Review scenario: two latched topics re-flushed onto a standby
+        must arrive in publisher-seq order — a reversed flush makes
+        receivers' retransmit watermark drop all but the newest."""
+        primary = TransportHub()
+        standby = TransportHub()
+        bus_a = NetworkBus(hub_addresses=[primary.address, standby.address])
+        bus_b = NetworkBus(standby.address)   # already on the standby
+        try:
+            got_a, got_b = [], []
+            bus_b.subscribe("/cslam/refA", got_a.append)
+            bus_b.subscribe("/cslam/refB", got_b.append)
+            bus_a.publish("/cslam/refA", "A", src_robot=0, latch=True)
+            bus_a.publish("/cslam/refB", "B", src_robot=0, latch=True)
+            time.sleep(0.3)
+            primary.close()
+            assert wait_for(
+                lambda: bus_a.connection_stats()["failovers"] >= 1
+                and bus_a.connection_stats()["connected"], timeout=10.0)
+            assert wait_for(
+                lambda: bus_b.deliver() or (got_a and got_b), timeout=10.0)
+            assert got_a == ["A"] and got_b == ["B"]
+        finally:
+            bus_a.close()
+            bus_b.close()
+            primary.close()
+            standby.close()
 
     def test_relatch_after_failover(self):
         primary = TransportHub()
@@ -555,8 +646,17 @@ class TestTransportChaos:
                 time.sleep(0.01)
                 if i in (15, 35):        # kill whichever hub is alive first
                     key = "p" if i == 15 else "s"
+                    before = [b.connection_stats()["disconnects"]
+                              + b.connection_stats()["failovers"]
+                              for b in buses]
                     hubs[key].close()
-                    # wait until every client left the dead hub
+                    # first wait until every client OBSERVED the death
+                    # (connected stays True until the reader hits EOF),
+                    # then until every client landed somewhere again
+                    assert wait_for(lambda: all(
+                        b.connection_stats()["disconnects"]
+                        + b.connection_stats()["failovers"] > pre
+                        for b, pre in zip(buses, before)), timeout=10.0)
                     assert wait_for(lambda: all(
                         b.connection_stats()["connected"] for b in buses),
                         timeout=10.0)
