@@ -36,6 +36,8 @@ is a single ``shard_map``-ped jitted program over ``Mesh(('robots',))``.
 """
 from __future__ import annotations
 
+import dataclasses
+
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -50,6 +52,14 @@ from cslam_tpu.pgo.solver import lm_optimize
 from cslam_tpu.types import PoseGraphEdge
 
 AXIS = "robots"
+
+# warm-mode mu0: intra-robot robust chi2 above this multiple of barc_sq at
+# the carried (previously converged) poses counts as a previous-round
+# reject and is excluded from the adaptive-mu0 max (see the derivation in
+# make_distributed_solve). 25x sits between "new genuine edge with rough
+# alignment" (single-digit multiples after a converged round) and
+# "persistent gross outlier" (hundreds+).
+_WARM_INTRA_GROSS = 25.0
 
 
 def _stack_tree(trees):
@@ -215,8 +225,13 @@ def _repad(g: PoseGraphArrays, np_tier: int, ne_tier: int,
         pad_shape = list(x.shape)
         pad_shape[axis] = n - cur
         if identity:
+            # tile over a leading axis: (k, 1, 1) reps — tiling with a
+            # bare (k,) rep spreads eye(4) along the LAST axis and the
+            # reshape scrambles it into rank-deficient non-SE(3) filler
+            # (caught in review; the garbage only survived because every
+            # downstream op happened to be masked)
             filler = jnp.tile(jnp.eye(4, dtype=x.dtype),
-                              (n - cur,) + (1,) * 0).reshape(pad_shape)
+                              (n - cur, 1, 1))
         else:
             filler = jnp.zeros(pad_shape, x.dtype)
         return jnp.concatenate([x, filler], axis=axis)
@@ -497,10 +512,7 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
         # the canonical weights are computed from the replicated global
         # arrays, so they are already identical on every device
         w_sep_global = w_canon
-        g = PoseGraphArrays(
-            my_poses, g.node_valid, g.edge_i, g.edge_j, g.meas,
-            g.sqrt_info, g.edge_valid, g.robust, g.prior_idx, g.prior_pose,
-            g.prior_sqrt_info, g.prior_valid)
+        g = dataclasses.replace(g, poses=my_poses)
 
         B = g.prior_idx.shape[0]
         M = idx.shape[0]
@@ -510,10 +522,9 @@ def _make_sharded_sweep(mesh: Mesh, lm_iters: int, cg_iters: int,
         prior_info = g.prior_sqrt_info.at[1:1 + n_fill].set(info[:n_fill])
         prior_valid = g.prior_valid.at[1:1 + n_fill].set(valid[:n_fill])
 
-        g_local = PoseGraphArrays(
-            g.poses, g.node_valid, g.edge_i, g.edge_j, g.meas, g.sqrt_info,
-            g.edge_valid, g.robust, prior_idx, prior_pose, prior_info,
-            prior_valid)
+        g_local = dataclasses.replace(
+            g, prior_idx=prior_idx, prior_pose=prior_pose,
+            prior_sqrt_info=prior_info, prior_valid=prior_valid)
         # GNC over robust local edges (intra-robot loop closures)
         from cslam_tpu.pgo.solver import edge_residuals
         r_loc = edge_residuals(g.poses, g_local)
@@ -560,12 +571,7 @@ def make_distributed_step(mesh: Mesh, lm_iters: int = 15,
             @highest_precision
             def _step(local, sep, mu, coarse):
                 new_poses, _ = sharded(local, sep, mu, coarse)
-                return PoseGraphArrays(
-                    new_poses, local.node_valid, local.edge_i,
-                    local.edge_j, local.meas, local.sqrt_info,
-                    local.edge_valid, local.robust, local.prior_idx,
-                    local.prior_pose, local.prior_sqrt_info,
-                    local.prior_valid)
+                return dataclasses.replace(local, poses=new_poses)
 
             cache[key] = _step
         return cache[key]
@@ -647,11 +653,7 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
         # chi2 enough to flip TLS weights near the inlier boundary
         # (CLAUDE.md hard-won fact; CPU tests cannot catch this).
         def with_poses(poses):
-            return PoseGraphArrays(
-                poses, local.node_valid, local.edge_i, local.edge_j,
-                local.meas, local.sqrt_info, local.edge_valid, local.robust,
-                local.prior_idx, local.prior_pose, local.prior_sqrt_info,
-                local.prior_valid)
+            return dataclasses.replace(local, poses=poses)
 
         nb_sep = sep["valid"].shape[0]
 
@@ -710,7 +712,19 @@ def _make_jitted_solve(sharded, final_sharded, *, max_sweeps, mu0, mu_step,
             r_loc = jax.vmap(lambda g: edge_residuals(g.poses, g))(local0)
             chi2_loc = jnp.sum(r_loc * r_loc, axis=-1)  # [R, Ne]
             rob_mask = local0.robust * local0.edge_valid
-            loc_max = jnp.max(jnp.where(rob_mask > 0, chi2_loc, 0.0))
+            loc_keep = rob_mask > 0
+            if "w_carry" in sep:
+                # warm steady state: intra-robot loop closures that are
+                # GROSS at the warm poses (= the previous round's converged
+                # solution) were hard-TLS-cut by that round — letting
+                # their huge chi2 drive mu0 down would force a full
+                # re-graduation every round (the separator analogue is
+                # known_out above). Moderate chi2 stays in the max so a
+                # NEW genuine edge with imperfect alignment still
+                # graduates instead of being hard-cut on arrival.
+                loc_keep = loc_keep & (
+                    chi2_loc <= _WARM_INTRA_GROSS * barc_sq)
+            loc_max = jnp.max(jnp.where(loc_keep, chi2_loc, 0.0))
             max_chi2 = jnp.minimum(jnp.maximum(sep_max, loc_max),
                                    mu0_chi2_cap * barc_sq)
             mu_init = jnp.where(max_chi2 > barc_sq,

@@ -24,6 +24,7 @@ odometry chain itself.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Tuple
 
@@ -216,10 +217,11 @@ def _make_matvec(g, Ji, Jj, Jp, weights, lam, diag_h, one_hots=None):
 
 
 _DENSE_SOLVE_MAX_NODES = 512  # below this, one Cholesky beats iterative PCG
+_DEMASK_IRLS_MAX = 4          # GM de-masking IRLS iteration cap
 
 
 def _dense_normal_solve(g, Ji, Jj, Jp, weights, lam, diag_h, grad,
-                        one_hots=None):
+                        one_hots=None, D_blocks=None):
     """Solve (H + lam*diag(H)) delta = -grad by dense Cholesky.
 
     For small padded graphs the full Hessian is a ``[6Np, 6Np]`` matrix that
@@ -243,16 +245,23 @@ def _dense_normal_solve(g, Ji, Jj, Jp, weights, lam, diag_h, grad,
                     jnp.einsum("eab,em->eamb", JiT_Jj, Sj))
     Ho = Ho + jnp.einsum("en,eamb->namb", Sj,
                          jnp.einsum("eba,em->eamb", JiT_Jj, Si))
-    # block diagonal (edge + prior terms, damping, padded-node identity)
-    D = (jnp.einsum("en,eij->nij", Si,
-                    jnp.einsum("eki,ekj->eij", Ji, Ji) * w3)
-         + jnp.einsum("en,eij->nij", Sj,
-                      jnp.einsum("eki,ekj->eij", Jj, Jj) * w3)
-         + jnp.einsum("bn,bij->nij", Sp,
-                      jnp.einsum("bki,bkj->bij", Jp, Jp)))
+    # block diagonal (edge + prior terms, damping, padded-node identity);
+    # both callers already assembled these blocks via _hessian_blocks for
+    # the damping diagonal — reuse them instead of re-running the segment
+    # matmuls every LM iteration
     eye6 = jnp.eye(6, dtype=dtype)
-    D = (D + lam * diag_h[:, :, None] * eye6[None]
-         + (1.0 - g.node_valid)[:, None, None] * eye6[None])
+    if D_blocks is not None:
+        # _hessian_blocks already placed the padded-node identity
+        D = D_blocks + lam * diag_h[:, :, None] * eye6[None]
+    else:
+        D = (jnp.einsum("en,eij->nij", Si,
+                        jnp.einsum("eki,ekj->eij", Ji, Ji) * w3)
+             + jnp.einsum("en,eij->nij", Sj,
+                          jnp.einsum("eki,ekj->eij", Jj, Jj) * w3)
+             + jnp.einsum("bn,bij->nij", Sp,
+                          jnp.einsum("bki,bkj->bij", Jp, Jp)))
+        D = (D + lam * diag_h[:, :, None] * eye6[None]
+             + (1.0 - g.node_valid)[:, None, None] * eye6[None])
     eyeN = jnp.eye(Np, dtype=dtype)
     H = Ho + eyeN[:, None, :, None] * D[:, :, None, :]
     Hm = H.reshape(Np * 6, Np * 6)
@@ -408,7 +417,7 @@ def lm_optimize(g: PoseGraphArrays, weights: jax.Array,
         diag_h = jnp.maximum(jnp.einsum("nii->ni", D), 1e-8)
         if g.num_nodes <= _DENSE_SOLVE_MAX_NODES:
             delta = _dense_normal_solve(g, Ji, Jj, Jp, weights, lam, diag_h,
-                                        grad, one_hots)
+                                        grad, one_hots, D_blocks=D)
         else:
             M = (D + lam * diag_h[:, None]
                  * jnp.eye(6, dtype=poses.dtype)[None])
@@ -463,41 +472,6 @@ def _tls_weights(chi2: jax.Array, mu: jax.Array, barc_sq: float) -> jax.Array:
     w = jnp.where(chi2 >= upper, 0.0,
                   jnp.where(chi2 <= lower, 1.0, jnp.clip(mid, 0.0, 1.0)))
     return w
-
-
-def _gn_step(g: PoseGraphArrays, weights: jax.Array, poses: jax.Array,
-             lam: float = 1e-3) -> jax.Array:
-    """One damped Gauss-Newton step (no accept/reject, no cost eval).
-
-    Used as the inexact inner solve of the GNC graduation loop: weights move
-    slowly between outer iterations, so a single warm-started step tracks
-    the optimum at a third of an LM iteration's cost; the final polish runs
-    full LM.
-    """
-    g_at = PoseGraphArrays(poses, g.node_valid, g.edge_i, g.edge_j, g.meas,
-                           g.sqrt_info, g.edge_valid, g.robust, g.prior_idx,
-                           g.prior_pose, g.prior_sqrt_info, g.prior_valid)
-    r, Ji, Jj, rp, Jp = _linearize(poses, g_at)
-    one_hots = _one_hots(g_at, poses.dtype)
-    w = weights * g.edge_valid
-    rw = r * w[:, None]
-    grad = _assemble_grad(g_at, Ji, Jj, Jp, rw, rp, one_hots)
-    D = _hessian_blocks(g_at, Ji, Jj, Jp, weights, one_hots)
-    diag_h = jnp.maximum(jnp.einsum("nii->ni", D), 1e-8)
-    lam_t = jnp.asarray(lam, poses.dtype)
-    if g.num_nodes <= _DENSE_SOLVE_MAX_NODES:
-        delta = _dense_normal_solve(g_at, Ji, Jj, Jp, weights, lam_t, diag_h,
-                                    grad, one_hots)
-    else:
-        M = D + lam_t * diag_h[:, None] * jnp.eye(6, dtype=poses.dtype)[None]
-        matvec = _make_matvec(g_at, Ji, Jj, Jp, weights, lam_t, diag_h,
-                              one_hots)
-        coarse = (_coarse_correction(g_at, poses, Ji, Jj, Jp, weights,
-                                     lam_t, diag_h)
-                  if _USE_COARSE else None)
-        delta = _pcg(matvec, -grad, jnp.linalg.inv(M), 100, 1e-6, coarse)
-    delta = delta * g.node_valid[:, None]
-    return se3.retract(poses, delta)
 
 
 class GncResult(NamedTuple):
@@ -571,15 +545,12 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
 
     def irls_cond(state):
         i, _, cut_prev, cut_cur = state
-        return jnp.logical_and(i < 4,
+        return jnp.logical_and(i < _DEMASK_IRLS_MAX,
                                jnp.any(cut_prev != cut_cur))
 
     def irls_body(state):
         i, poses, _, cut_cur = state
-        g_i = PoseGraphArrays(poses, g.node_valid, g.edge_i, g.edge_j,
-                              g.meas, g.sqrt_info, g.edge_valid, g.robust,
-                              g.prior_idx, g.prior_pose, g.prior_sqrt_info,
-                              g.prior_valid)
+        g_i = dataclasses.replace(g, poses=poses)
         chi2_i = _edge_chi2(poses, g)
         poses = lm_optimize(g_i, _gm_weights(chi2_i), max_iters=lm_iters,
                             cg_iters=cg_iters, rel_tol=1e-5).poses
@@ -589,10 +560,16 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
 
     needs_irls = jnp.any(jnp.where(robust_mask, chi2, 0.0) > barc_sq)
     cut0 = jnp.where(robust_mask, chi2 > 2.0 * barc_sq, False)
+    # seed cut_prev with the complement so the FIRST GM solve always runs
+    # when needs_irls — with a zeros seed, moderate outliers sitting in
+    # (barc_sq, 2*barc_sq] at init produced an all-False cut0 equal to the
+    # seed and the loop body never executed (review finding): the
+    # documented de-masking protection silently did not engage in exactly
+    # the hiding-among-genuine-loops regime it exists for
     _, res0_poses, _, _ = jax.lax.while_loop(
         irls_cond, irls_body,
-        (jnp.where(needs_irls, 0, 4), res0_poses,
-         jnp.zeros_like(cut0), cut0))
+        (jnp.where(needs_irls, 0, _DEMASK_IRLS_MAX), res0_poses,
+         jnp.logical_not(cut0), cut0))
 
     # Chordal restart: dead-reckoned inits on large graphs strand LM in
     # rotation local minima that de-masking alone cannot escape (measured
@@ -607,10 +584,7 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
         from cslam_tpu.pgo.chordal import chordal_initialize
         w_gm = _gm_weights(_edge_chi2(poses, g))
         poses_c = chordal_initialize(g, w_gm)
-        g_c = PoseGraphArrays(poses_c, g.node_valid, g.edge_i, g.edge_j,
-                              g.meas, g.sqrt_info, g.edge_valid, g.robust,
-                              g.prior_idx, g.prior_pose, g.prior_sqrt_info,
-                              g.prior_valid)
+        g_c = dataclasses.replace(g, poses=poses_c)
         poses_c = lm_optimize(g_c, w_gm, max_iters=lm_iters,
                               cg_iters=cg_iters, rel_tol=1e-5).poses
         better = (cost(poses_c, g, w_gm) < cost(poses, g, w_gm))
@@ -639,10 +613,7 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
     def outer_body(state):
         i, poses, mu, w_prev, _ = state
         weights = reweighted(poses, mu)
-        g_i = PoseGraphArrays(poses, g.node_valid, g.edge_i, g.edge_j,
-                              g.meas, g.sqrt_info, g.edge_valid, g.robust,
-                              g.prior_idx, g.prior_pose, g.prior_sqrt_info,
-                              g.prior_valid)
+        g_i = dataclasses.replace(g, poses=poses)
         # short warm-started LM (accept/reject keeps graduation stable;
         # plain GN steps without it degrade large problems)
         new_poses = lm_optimize(g_i, weights, max_iters=graduation_lm_iters,
@@ -658,10 +629,7 @@ def gnc_optimize(g: PoseGraphArrays, max_outer: int = 100,
     iters, poses, mu, weights, _ = jax.lax.while_loop(outer_cond, outer_body,
                                                       init)
     # final polish at full LM budget with the converged weights
-    g_f = PoseGraphArrays(poses, g.node_valid, g.edge_i, g.edge_j,
-                          g.meas, g.sqrt_info, g.edge_valid, g.robust,
-                          g.prior_idx, g.prior_pose, g.prior_sqrt_info,
-                          g.prior_valid)
+    g_f = dataclasses.replace(g, poses=poses)
     res_f = lm_optimize(g_f, weights, max_iters=lm_iters, cg_iters=cg_iters)
     final_cost = cost(res_f.poses, g, weights)
     return GncResult(res_f.poses, weights, final_cost, iters)
@@ -701,10 +669,7 @@ def gnc_reoptimize(g: PoseGraphArrays, warm_weights: jax.Array,
     chi2 = _edge_chi2(res1.poses, g)
     w1 = jnp.where(g.robust > 0,
                    (chi2 < barc_sq).astype(g.poses.dtype), 1.0)
-    g1 = PoseGraphArrays(res1.poses, g.node_valid, g.edge_i, g.edge_j,
-                         g.meas, g.sqrt_info, g.edge_valid, g.robust,
-                         g.prior_idx, g.prior_pose, g.prior_sqrt_info,
-                         g.prior_valid)
+    g1 = dataclasses.replace(g, poses=res1.poses)
     res2 = lm_optimize(g1, w1, max_iters=lm_iters, cg_iters=cg_iters)
     chi2 = _edge_chi2(res2.poses, g)
     w2 = jnp.where(g.robust > 0,

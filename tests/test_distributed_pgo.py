@@ -316,3 +316,29 @@ def test_falsely_carried_classification_self_corrects():
     assert info3.sep_weights[-1] < 0.01
     assert np.all(info3.sep_weights[:nb_sep] > 0.9)
     assert ate(est3, gt) < ate(est2, gt) + 0.02
+
+
+def test_repad_identity_filler_is_identity():
+    """Regression (review): jnp.tile with a bare (k,) rep spread eye(4)
+    along the last axis, so padded poses/meas/prior_pose were scrambled
+    rank-deficient garbage instead of the documented identity padding."""
+    import jax.numpy as jnp
+    from cslam_tpu.pgo.distributed import _repad
+    from cslam_tpu.pgo.factor_graph import FactorGraph
+
+    g = FactorGraph()
+    g.add_variable((0, 0), np.eye(4))
+    g.add_variable((0, 1), np.eye(4))
+    z = np.eye(4); z[0, 3] = 1.0
+    g.add_between((0, 0), (0, 1), z, np.full(6, 0.1))
+    arrays = g.to_arrays()
+    padded = _repad(arrays, 16, 16, 4)
+    n0 = arrays.poses.shape[0]
+    for field, valid_n in ((padded.poses, n0),
+                           (padded.meas, arrays.meas.shape[0]),
+                           (padded.prior_pose, arrays.prior_pose.shape[0])):
+        fill = np.asarray(field[valid_n:])
+        assert fill.shape[1:] == (4, 4)
+        np.testing.assert_array_equal(
+            fill, np.tile(np.eye(4, dtype=fill.dtype),
+                          (fill.shape[0], 1, 1)))
