@@ -116,6 +116,10 @@ def main():
                "bank_passes_per_s": round(passes, 1),
                "eff_GBps": round(gbps, 1),
                "pct_hbm_peak": round(100 * gbps / HBM_PEAK_GBPS, 1)}
+        if gbps > HBM_PEAK_GBPS:
+            # faster than the hardware can stream the bank = the relay's
+            # timing noise swallowed the scan (best <= rtt); not a result
+            row["suspect"] = True
         results.append(row)
         print(json.dumps(row))
 

@@ -27,6 +27,8 @@ _ap.add_argument("--cpu", action="store_true")
 _ap.add_argument("--repeats", type=int, default=5)
 _ap.add_argument("--full-lobpcg", action="store_true",
                  help="disable the two-stage LOBPCG early exit (A/B)")
+_ap.add_argument("--warm-ritz", action="store_true",
+                 help="carry the LOBPCG Ritz block across FW iterations (A/B)")
 _args = _ap.parse_args()
 
 if _args.cpu:
@@ -44,8 +46,12 @@ from cslam_tpu.types import EdgeInterRobot  # noqa: E402
 
 
 def build_acm(nb_robots, nb_poses, nb_candidates, nb_fixed, rng):
-    extra = ({"frontend.mac_lobpcg_short_iters": 48}
-             if _args.full_lobpcg else None)
+    extra = {}
+    if _args.full_lobpcg:
+        extra["frontend.mac_lobpcg_short_iters"] = 48
+    if _args.warm_ritz:
+        extra["frontend.mac_fw_warm_ritz"] = True
+    extra = extra or None
     acm = AlgebraicConnectivityMaximization(robot_id=0,
                                             max_nb_robots=nb_robots,
                                             extra_params=extra)
@@ -92,7 +98,8 @@ def main():
     last = rows[-1]
     print(json.dumps({
         "metric": "mac_selection_wallclock_10robot_5000pose_1000cand",
-        "lobpcg": "full48" if _args.full_lobpcg else "early_exit",
+        "lobpcg": ("full48" if _args.full_lobpcg
+                   else "warm_ritz" if _args.warm_ritz else "early_exit"),
         "value": round(last[3] * 1e3, 1), "unit": "ms",
         "tiers": [{"robots": r, "poses": n, "candidates": c,
                    "median_ms": round(t * 1e3, 1)}

@@ -69,6 +69,14 @@ class FrontendConfig:
     # hardware — flip after benchmarks/scancontext_scale_bench.py
     # --fused-rk validates the tier on-chip
     scancontext_fused_stage1: bool = False
+    # MAC Woodbury-tier LOBPCG budgets: first-stage iterations before the
+    # residual-gated continuation (48 disables the early exit), and the
+    # opt-in Frank-Wolfe warm start that carries the Ritz block across FW
+    # iterations (shrinking the first stage to mac_lobpcg_warm_iters). Warm
+    # start off until A/B'd on real hardware — selection_bench --warm-ritz
+    mac_lobpcg_short_iters: int = 14
+    mac_fw_warm_ritz: bool = False
+    mac_lobpcg_warm_iters: int = 6
     warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
     # local-descriptor payloads ship deflate-compressed, like the
     # reference's rtabmap-compressed features (rgbd_handler.cpp:404-431)

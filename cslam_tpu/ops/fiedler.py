@@ -154,8 +154,9 @@ def fiedler_pair_chain_lowrank(pre: dict, lr_w: jax.Array, active: jax.Array,
                                lobpcg_iters: int = 48,
                                block: int = 4,
                                short_iters: int = 14,
-                               resid_tol: float = 1e-4
-                               ) -> tuple[jax.Array, jax.Array]:
+                               resid_tol: float = 1e-4,
+                               X0: jax.Array | None = None,
+                               return_block: bool = False):
     """(lambda_2, Fiedler vector) via LOBPCG on the Woodbury-inverted operator.
 
     Two-stage early exit: LOBPCG on the exact shift-inverted operator has
@@ -180,6 +181,14 @@ def fiedler_pair_chain_lowrank(pre: dict, lr_w: jax.Array, active: jax.Array,
             two-stage split).
         resid_tol: relative residual ``||B^-1 v - theta v|| / theta`` above
             which the second stage runs.
+        X0: optional ``[P, block]`` warm-start block (e.g. the Ritz block
+            from the previous Frank-Wolfe iteration's solve, whose operator
+            differs only by the small ``alpha * (s - w)`` weight step). The
+            residual gate makes the warm start safe: a stale block that no
+            longer converges within ``short_iters`` routes through the
+            full-budget continuation.
+        return_block: also return the full Ritz block ``V`` (for threading
+            through an outer ``lax.while_loop`` carry).
     """
     P = active.shape[0]
     M = lr_w.shape[0]
@@ -196,9 +205,10 @@ def fiedler_pair_chain_lowrank(pre: dict, lr_w: jax.Array, active: jax.Array,
         z = jax.scipy.linalg.cho_solve(chol, pre["U"].T @ t)
         return t - pre["Y"] @ z
 
-    # Deterministic start block, orthogonal-ish to the deflated direction.
-    key = jax.random.PRNGKey(7)
-    X0 = jax.random.normal(key, (P, block), jnp.float32) * active[:, None]
+    if X0 is None:
+        # Deterministic start block, orthogonal-ish to the deflated direction.
+        key = jax.random.PRNGKey(7)
+        X0 = jax.random.normal(key, (P, block), jnp.float32) * active[:, None]
     if short_iters >= lobpcg_iters:
         theta, V, _ = lobpcg_standard(b_inverse, X0, m=lobpcg_iters)
     else:
@@ -220,4 +230,6 @@ def fiedler_pair_chain_lowrank(pre: dict, lr_w: jax.Array, active: jax.Array,
     # Rayleigh quotient over the actual edges downstream (MAC does this);
     # here return the shift-corrected estimate as a fallback.
     lam2 = 1.0 / jnp.maximum(theta[0], 1e-30) - _EPS_SHIFT
+    if return_block:
+        return jnp.maximum(lam2, 0.0), v, V
     return jnp.maximum(lam2, 0.0), v

@@ -283,7 +283,11 @@ class AlgebraicConnectivityMaximization:
                        nb_to_choose: int) -> np.ndarray:
         mac = MAC(fixed_edges, candidate_edges, self.total_nb_poses,
                   lobpcg_short_iters=int(self.params.get(
-                      "frontend.mac_lobpcg_short_iters", 14)))
+                      "frontend.mac_lobpcg_short_iters", 14)),
+                  fw_warm_ritz=bool(self.params.get(
+                      "frontend.mac_fw_warm_ritz", False)),
+                  lobpcg_warm_iters=int(self.params.get(
+                      "frontend.mac_lobpcg_warm_iters", 6)))
         try:
             result, _, _ = mac.fw_subset(w_init, nb_to_choose,
                                          max_iters=self.max_iters)

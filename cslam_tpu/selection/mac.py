@@ -91,23 +91,29 @@ def _woodbury_fw_step(pre, active, chain_i, chain_j, chain_w,
     return lam2, cw * diff * diff
 
 
-def _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol):
+def _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=None):
     """The whole Frank-Wolfe loop as one traced ``lax.while_loop``.
 
     Semantics identical to the reference's host loop (``mac.py:191-233``):
     evaluate (lambda_2, supergradient), one-hot top-k direction, dual
     upper-bound update, duality-gap early stop BEFORE the step, step size
     alpha = 2/(it+2). Returns (relaxed w, dual, iterations used).
+
+    ``eval_fn(w, aux) -> (f, grad, aux)`` may thread solver state across
+    iterations through ``aux`` (e.g. the warm-started LOBPCG Ritz block);
+    tiers without such state pass a scalar dummy through unchanged.
     """
     E = w0.shape[0]
+    if aux0 is None:
+        aux0 = jnp.float32(0.0)
 
     def cond(st):
-        _, _, it, done = st
+        _, _, it, done, _ = st
         return jnp.logical_and(it < max_iters, jnp.logical_not(done))
 
     def body(st):
-        w, dual, it, _ = st
-        f, grad = eval_fn(w)
+        w, dual, it, _, aux = st
+        f, grad, aux = eval_fn(w, aux)
         g = jnp.where(cmask > 0, grad, -jnp.inf)
         _, idx = jax.lax.top_k(g, k)
         s = jnp.sum(jax.nn.one_hot(idx, E, dtype=w.dtype), axis=0)
@@ -116,10 +122,10 @@ def _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol):
         done_now = (new_dual - f) < tol
         alpha = 2.0 / (it.astype(jnp.float32) + 2.0)
         w_new = jnp.where(done_now, w, w + alpha * (s - w))
-        return (w_new, new_dual, it + 1, done_now)
+        return (w_new, new_dual, it + 1, done_now, aux)
 
-    init = (w0, jnp.float32(jnp.inf), jnp.int32(0), jnp.bool_(False))
-    w, dual, it, _ = jax.lax.while_loop(cond, body, init)
+    init = (w0, jnp.float32(jnp.inf), jnp.int32(0), jnp.bool_(False), aux0)
+    w, dual, it, _, _ = jax.lax.while_loop(cond, body, init)
     return w, dual, it
 
 
@@ -127,36 +133,56 @@ def _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol):
 @highest_precision
 def _dense_fw_loop(L_fixed, active, ci, cj, cw, w0, cmask, tol,
                    k: int, max_iters: int):
-    def eval_fn(w):
+    def eval_fn(w, aux):
         P = L_fixed.shape[0]
         Lw = L_fixed + fd.laplacian_from_edges(ci, cj, w * cw, P)
         lam2, v = fd.fiedler_pair(Lw, active)
         diff = v[ci] - v[cj]
-        return lam2, cw * diff * diff
+        return lam2, cw * diff * diff, aux
 
     return _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "max_iters", "lobpcg_iters",
-                                    "lobpcg_short_iters"))
+                                    "lobpcg_short_iters", "warm_ritz",
+                                    "lobpcg_warm_iters"))
 @highest_precision
 def _woodbury_fw_loop(pre, active, chain_i, chain_j, chain_w,
                       lr_i, lr_j, lr_w_fixed, ci, cj, cw, w0, cmask, tol,
                       k: int, max_iters: int, lobpcg_iters: int,
-                      lobpcg_short_iters: int = 14):
-    def eval_fn(w):
+                      lobpcg_short_iters: int = 14,
+                      warm_ritz: bool = False,
+                      lobpcg_warm_iters: int = 6):
+    def eval_fn(w, aux):
         cand_w = w * cw
         lr_w = jnp.concatenate([lr_w_fixed, cand_w])
-        _, v = fd.fiedler_pair_chain_lowrank(
-            pre, lr_w, active, lobpcg_iters=lobpcg_iters,
-            short_iters=lobpcg_short_iters)
+        if warm_ritz:
+            # Carry the Ritz block across FW iterations: successive
+            # Laplacians differ only by the alpha*(s-w) candidate-weight
+            # step, so the previous block is a near-converged start and
+            # the short stage can shrink to ``lobpcg_warm_iters``; the
+            # residual-gated continuation in the eigensolver covers the
+            # cold first iteration and any stale-block surprise.
+            _, v, aux = fd.fiedler_pair_chain_lowrank(
+                pre, lr_w, active, lobpcg_iters=lobpcg_iters,
+                short_iters=lobpcg_warm_iters, X0=aux, return_block=True)
+        else:
+            _, v = fd.fiedler_pair_chain_lowrank(
+                pre, lr_w, active, lobpcg_iters=lobpcg_iters,
+                short_iters=lobpcg_short_iters)
         lam2 = (fd.rayleigh_quotient(chain_i, chain_j, chain_w, v)
                 + fd.rayleigh_quotient(lr_i, lr_j, lr_w, v))
         diff = v[ci] - v[cj]
-        return lam2, cw * diff * diff
+        return lam2, cw * diff * diff, aux
 
-    return _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol)
+    aux0 = None
+    if warm_ritz:
+        P = active.shape[0]
+        key = jax.random.PRNGKey(7)
+        aux0 = (jax.random.normal(key, (P, 4), jnp.float32)
+                * active[:, None])
+    return _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=aux0)
 
 
 class MAC:
@@ -170,13 +196,16 @@ class MAC:
 
     def __init__(self, fixed_edges: Sequence[Edge],
                  candidate_edges: Sequence[Edge], num_poses: int,
-                 lobpcg_iters: int = 48, lobpcg_short_iters: int = 14):
+                 lobpcg_iters: int = 48, lobpcg_short_iters: int = 14,
+                 fw_warm_ritz: bool = False, lobpcg_warm_iters: int = 6):
         self.num_poses = num_poses
         self._P = _tier(max(num_poses, 2))
         self._E = _tier(max(len(candidate_edges), 1))
         self._m = len(candidate_edges)
         self._lobpcg_iters = lobpcg_iters
         self._lobpcg_short_iters = lobpcg_short_iters
+        self._fw_warm_ritz = fw_warm_ritz
+        self._lobpcg_warm_iters = lobpcg_warm_iters
         self._dense = self._P <= _DENSE_MAX_NODES
 
         active = np.zeros(self._P, np.float32)
@@ -306,7 +335,9 @@ class MAC:
                 self._ci, self._cj, self._cw, jnp.asarray(w0), cmask, tol,
                 k=k, max_iters=max_iters,
                 lobpcg_iters=self._lobpcg_iters,
-                lobpcg_short_iters=self._lobpcg_short_iters)
+                lobpcg_short_iters=self._lobpcg_short_iters,
+                warm_ritz=self._fw_warm_ritz,
+                lobpcg_warm_iters=self._lobpcg_warm_iters)
         w_host = np.asarray(w)[:self._m].astype(np.float64)
         return (self.round_solution_tiebreaker(w_host, k), w_host,
                 float(dual))

@@ -159,6 +159,27 @@ class TestFusedFrankWolfe:
         # host — identical decisions, last-ulp different bound
         np.testing.assert_allclose(dual_f, dual_h, rtol=1e-3, atol=1e-6)
 
+    def test_warm_ritz_matches_default_selection(self):
+        """Carrying the LOBPCG Ritz block across FW iterations (opt-in
+        ``frontend.mac_fw_warm_ritz``) must land on the same rounded
+        selection and objective as the cold-start path: the eigensolver's
+        residual gate keeps every iterate converged, so only last-ulp
+        eigenvector noise can differ."""
+        from cslam_tpu.selection.mac import MAC
+        rng = np.random.default_rng(17)
+        mac_cold = self._random_mac(rng, 700, n_fixed=5, n_cand=30)
+        rng = np.random.default_rng(17)
+        mac_warm = self._random_mac(rng, 700, n_fixed=5, n_cand=30)
+        mac_warm._fw_warm_ritz = True
+        assert not mac_cold._dense
+        w_init = np.full(30, 5 / 30.0)
+        sel_c, w_c, dual_c = mac_cold.fw_subset(w_init, 5, max_iters=12)
+        sel_w, w_w, dual_w = mac_warm.fw_subset(w_init, 5, max_iters=12)
+        np.testing.assert_array_equal(sel_c, sel_w)
+        lam_c = mac_cold.evaluate_objective(sel_c)
+        lam_w = mac_warm.evaluate_objective(sel_w)
+        assert lam_w == pytest.approx(lam_c, rel=1e-4)
+
     def test_fused_early_stop_and_budget(self):
         rng = np.random.default_rng(3)
         mac = self._random_mac(rng, 50, n_fixed=3, n_cand=12)
@@ -199,6 +220,21 @@ class TestLobpcgEarlyExit:
         assert float(lam_fast) == pytest.approx(float(lam_full), rel=1e-3)
         align = abs(float(np.asarray(v_fast) @ np.asarray(v_full)))
         assert align > 0.999
+
+    def test_warm_start_block_converges_in_short_stage(self):
+        """Restarting from a converged Ritz block (the FW warm-start path)
+        must reproduce the answer even with a tiny first stage, and return
+        the block for the next carry."""
+        from cslam_tpu.ops import fiedler as fd
+        pre, lr_w, active = self._problem(4)
+        lam_ref, v_ref, V = fd.fiedler_pair_chain_lowrank(
+            pre, lr_w, active, short_iters=48, return_block=True)
+        lam_w, v_w, V2 = fd.fiedler_pair_chain_lowrank(
+            pre, lr_w, active, short_iters=2, X0=V, return_block=True)
+        assert float(lam_w) == pytest.approx(float(lam_ref), rel=1e-3)
+        align = abs(float(np.asarray(v_w) @ np.asarray(v_ref)))
+        assert align > 0.999
+        assert V2.shape == V.shape
 
     def test_tiny_first_stage_continues(self):
         """short_iters=1 cannot converge; the residual check must route
