@@ -23,3 +23,4 @@ run scancontext_scale     python benchmarks/scancontext_scale_bench.py
 run scancontext_65k       python benchmarks/scancontext_scale_bench.py --bank 65536
 run scancontext_65k_fused python benchmarks/scancontext_scale_bench.py --bank 65536 --fused-rk
 run selection_bench       python benchmarks/selection_bench.py
+run selection_bench_full  python benchmarks/selection_bench.py --full-lobpcg
