@@ -139,6 +139,9 @@ def main():
 
     t0 = time.perf_counter()
     for i in range(steps):
+        if i % 25 == 0:
+            print(f"# step {i}/{steps} at {time.perf_counter() - t0:.1f} s",
+                  flush=True)
         for r in range(R):
             s, p = gt[r][i]
             robots[r][1].lidar_callback(observe(s, p),
