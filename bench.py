@@ -24,7 +24,16 @@ Prints exactly one JSON line:
 vs_baseline is the speedup over the reference's measured 33.3 q/s.
 """
 import json
+import os
 import time
+
+# Persistent XLA compile cache: the axon remote compile service does not
+# cache across processes (a re-run of this bench a day later re-paid the
+# full ~8 min compile), so ask jax to keep compiled programs on disk.
+# Harmless no-op if the axon plugin can't serialize executables.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,10 @@
 # fails (the tunnel can drop mid-run — rerun to fill in the gaps).
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p benchmarks/results
+mkdir -p benchmarks/results .jax_cache
+# persistent compile cache across bench processes (axon re-compiles are
+# minutes each; no-op if the plugin can't serialize executables)
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
 run() {
     name=$1; shift
     log="benchmarks/results/${name}.log"
