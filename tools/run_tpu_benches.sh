@@ -13,8 +13,12 @@ run() {
     limit=$1; name=$2; shift 2
     log="benchmarks/results/${name}.log"
     echo "=== ${name}: $* (log ${log}, timeout ${limit}s)"
-    timeout "${limit}" "$@" 2>&1 | tee "${log}" | tail -3
-    echo "=== ${name} rc=${PIPESTATUS[0]}"
+    # Write to .tmp and only replace the committed log on rc==0 so a
+    # tunnel-drop / timeout rerun can't destroy a previously good result.
+    timeout "${limit}" "$@" 2>&1 | tee "${log}.tmp" | tail -3
+    rc=${PIPESTATUS[0]}
+    if [ "${rc}" -eq 0 ]; then mv "${log}.tmp" "${log}"; fi
+    echo "=== ${name} rc=${rc}"
 }
 run 5400 lidar_e2e_scale       python benchmarks/lidar_e2e_scale_bench.py
 run 3000 scancontext_65k       python benchmarks/scancontext_scale_bench.py --bank 65536
