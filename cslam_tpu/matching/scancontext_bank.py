@@ -108,6 +108,24 @@ def _two_stage_best_fused(rk_aug: jax.Array, sc_bank: jax.Array,
     return _stage2_best(sc_bank, n, idx, queries_sc, num_candidates)
 
 
+@functools.partial(jax.jit, static_argnames=("num_candidates",))
+def _multi_bank_best(rk_banks, rk_sqs, sc_banks, ns, query_sc,
+                     num_candidates: int) -> tuple[jax.Array, jax.Array]:
+    """One query against SEVERAL banks in ONE dispatch.
+
+    ``rk_banks/rk_sqs/sc_banks/ns`` are tuples of per-bank arrays (possibly
+    different capacities — compile is keyed on the shape tuple). Replaces
+    the per-other-robot ``search_best`` round-trips in the per-keyframe hot
+    path (reference ``lcsm.py:36-54`` searches every other robot's bank per
+    new descriptor): R-1 dispatch+read cycles become one.
+    Returns ([R] best row, [R] best distance).
+    """
+    outs = [_two_stage_best(rk, rksq, sc, n, query_sc[None], num_candidates)
+            for rk, rksq, sc, n in zip(rk_banks, rk_sqs, sc_banks, ns)]
+    return (jnp.stack([o[0][0] for o in outs]),
+            jnp.stack([o[1][0] for o in outs]))
+
+
 class ScanContextBank:
     """Growable bank of Scan Context descriptors."""
 
@@ -237,8 +255,19 @@ class ScanContextBank:
         similarity 0 (``scancontext_matching.py:80-83``).
         """
         self._sync_device()
-        queries_sc = jnp.asarray(
-            np.asarray(queries, np.float32).reshape((-1,) + self.shape))
+        q = np.asarray(queries, np.float32).reshape((-1,) + self.shape)
+        b = len(q)
+        # pad the query batch to a power-of-two tier: gossip chunk lengths
+        # vary per message and each distinct batch size would otherwise be
+        # a fresh XLA compile (minutes each on the remote compile service);
+        # all-zero padding queries have no engaged columns -> distance 1
+        tier = 1
+        while tier < b:
+            tier *= 2
+        if tier != b:
+            q = np.concatenate(
+                [q, np.zeros((tier - b,) + self.shape, np.float32)])
+        queries_sc = jnp.asarray(q)
         if self._rk_aug is not None:
             idx, dists = _two_stage_best_fused(
                 self._rk_aug, self._sc_bank, jnp.int32(self.nb_items),
@@ -247,7 +276,66 @@ class ScanContextBank:
             idx, dists = _two_stage_best(
                 self._rk_bank, self._rk_sq_norms, self._sc_bank,
                 jnp.int32(self.nb_items), queries_sc, self.num_candidates)
-        idx, dists = np.asarray(idx), np.asarray(dists)
+        idx, dists = np.asarray(idx)[:b], np.asarray(dists)[:b]
         return [(self.items[int(i)], float(1.0 - d)) if d < 1.0
                 else (self.items[0], 0.0)
                 for i, d in zip(idx, dists)]
+
+
+def warmup_search_tiers(capacity: int, shape: Tuple[int, int] = (20, 60),
+                        num_candidates: int = 10,
+                        batch_tiers=(1, 2, 4, 8, 16, 32),
+                        multi_bank_counts=()) -> None:
+    """Precompile the two-stage search for the given query-batch tiers (and
+    optionally the multi-bank variant for the given bank counts) at one
+    bank capacity, so no live search pays JIT latency (remote-compile
+    latency on the relay-attached chip is minutes per program)."""
+    rk = jnp.zeros((capacity, shape[0]), jnp.float32)
+    rksq = jnp.zeros((capacity,), jnp.float32)
+    sc = jnp.zeros((capacity,) + tuple(shape), jnp.float32)
+    n = jnp.int32(1)
+    for b in batch_tiers:
+        _two_stage_best(rk, rksq, sc, n,
+                        jnp.zeros((b,) + tuple(shape), jnp.float32),
+                        num_candidates)[0].block_until_ready()
+    for r in multi_bank_counts:
+        if r < 1:
+            continue
+        _multi_bank_best((rk,) * r, (rksq,) * r, (sc,) * r, (n,) * r,
+                         jnp.zeros(tuple(shape), jnp.float32),
+                         num_candidates)[0].block_until_ready()
+
+
+def multi_search_best(banks: List["ScanContextBank"], query: np.ndarray
+                      ) -> List[Tuple[Any, Optional[float]]]:
+    """Best (item, similarity) of one query in EACH bank, one dispatch.
+
+    Result-identical to ``[b.search_best(query) for b in banks]`` (each
+    bank is searched independently); empty banks return (None, None) and
+    are excluded from the device program. Banks in fused-stage-1 mode keep
+    their own dispatch (their ring-key layout differs).
+    """
+    out: List[Tuple[Any, Optional[float]]] = [(None, None)] * len(banks)
+    grouped: List[Tuple[int, ScanContextBank]] = []
+    for i, b in enumerate(banks):
+        if b.nb_items < 1:
+            continue
+        b._sync_device()
+        if b._rk_bank is None:  # fused-stage-1 layout
+            out[i] = b.search_best(query)
+        else:
+            grouped.append((i, b))
+    if grouped:
+        shape = grouped[0][1].shape
+        q = jnp.asarray(np.asarray(query, np.float32).reshape(shape))
+        idx, dists = _multi_bank_best(
+            tuple(b._rk_bank for _, b in grouped),
+            tuple(b._rk_sq_norms for _, b in grouped),
+            tuple(b._sc_bank for _, b in grouped),
+            tuple(jnp.int32(b.nb_items) for _, b in grouped),
+            q, grouped[0][1].num_candidates)
+        idx, dists = np.asarray(idx), np.asarray(dists)
+        for (i, b), j, d in zip(grouped, idx, dists):
+            out[i] = ((b.items[int(j)], float(1.0 - d)) if d < 1.0
+                      else (b.items[0], 0.0))
+    return out

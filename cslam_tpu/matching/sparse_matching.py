@@ -57,12 +57,23 @@ class LoopClosureSparseMatching:
         self.local_nnsm.add_item(embedding, keyframe_id)
         hits: List[Tuple[int, Any, float]] = []
         groups: Dict[int, list] = {}
+        sc_banks: List[Tuple[int, Any]] = []
         for rid, bank in self.other_robots_nnsm.items():
             if (isinstance(bank, DescriptorBank) and bank.n > 0
                     and bank.capacity <= self._MULTI_SEARCH_MAX_CAPACITY):
                 groups.setdefault(bank.capacity, []).append((rid, bank))
-            else:
+            elif isinstance(bank, DescriptorBank):
                 kf, similarity = bank.search_best(embedding)
+                if kf is not None:
+                    hits.append((rid, kf, similarity))
+            else:
+                sc_banks.append((rid, bank))
+        if sc_banks:
+            # scan-context banks: all other robots searched in ONE dispatch
+            from cslam_tpu.matching.scancontext_bank import multi_search_best
+            for (rid, _), (kf, similarity) in zip(
+                    sc_banks,
+                    multi_search_best([b for _, b in sc_banks], embedding)):
                 if kf is not None:
                     hits.append((rid, kf, similarity))
         if groups:

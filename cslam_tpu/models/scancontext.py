@@ -10,6 +10,21 @@ import numpy as np
 
 from cslam_tpu.ops import scancontext as sc_ops
 
+# Clouds are padded up to power-of-two point-count tiers before the jitted
+# binning op: voxel-downsampled clouds have a different row count every
+# keyframe, and an unpadded call would recompile per distinct N (measured:
+# 104 XLA compiles of points_to_scancontext in a 250-keyframe e2e run —
+# minutes each on the remote TPU compile service). Padding rows are NaN,
+# which the op already treats as invalid (scancontext_utils.py:58 parity).
+_MIN_TIER = 512
+
+
+def _pad_tier(n: int) -> int:
+    tier = _MIN_TIER
+    while tier < n:
+        tier *= 2
+    return tier
+
 
 class ScanContext:
     """Scan Context descriptor for point clouds."""
@@ -19,7 +34,23 @@ class ScanContext:
         self.shape = [sc_ops.NUM_RING, sc_ops.NUM_SECTOR]
         self.max_length = sc_ops.MAX_LENGTH
 
+    def warmup(self, max_points: int) -> None:
+        """Precompile the binning op for every point-count tier up to
+        ``max_points``."""
+        tier = _MIN_TIER
+        while True:
+            self.compute_embedding(np.zeros((tier, 3), np.float32))
+            if tier >= max_points:
+                return
+            tier *= 2
+
     def compute_embedding(self, keyframe: np.ndarray) -> np.ndarray:
         """``[N, 3]`` points -> flattened ``[1200]`` descriptor."""
-        sc = sc_ops.points_to_scancontext(jnp.asarray(keyframe, jnp.float32))
+        pts = np.asarray(keyframe, np.float32).reshape(-1, 3)
+        tier = _pad_tier(len(pts))
+        if tier != len(pts):
+            padded = np.full((tier, 3), np.nan, np.float32)
+            padded[:len(pts)] = pts
+            pts = padded
+        sc = sc_ops.points_to_scancontext(jnp.asarray(pts))
         return np.asarray(sc).reshape(-1)

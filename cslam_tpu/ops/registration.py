@@ -419,6 +419,90 @@ def global_registration(src: jax.Array, src_mask: jax.Array,
     return T, inl[best]
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "num_yaw_hypotheses"))
+@highest_precision
+def robust_registration_batch(src, src_mask, dst, dst_mask, corr_dist: float,
+                              iters: int = 24, num_yaw_hypotheses: int = 8):
+    """Vmapped :func:`robust_registration` over ``[P, N, 3]`` cloud pairs:
+    one dispatch verifies a whole batch of candidate loop closures (each
+    per-pair dispatch otherwise costs a full relay round-trip)."""
+    return jax.vmap(
+        lambda s, sm, d, dm: robust_registration(
+            s, sm, d, dm, corr_dist, iters, num_yaw_hypotheses)
+    )(src, src_mask, dst, dst_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "icp_iters", "n_yaw"))
+@highest_precision
+def global_registration_batch(src, src_mask, dst, dst_mask, corr_dist: float,
+                              k: int = 16, icp_iters: int = 24,
+                              n_yaw: int = 32):
+    """Vmapped :func:`global_registration` over ``[P, N, 3]`` cloud pairs."""
+    return jax.vmap(
+        lambda s, sm, d, dm: global_registration(
+            s, sm, d, dm, corr_dist, k, icp_iters, n_yaw)
+    )(src, src_mask, dst, dst_mask)
+
+
+def compute_transform_batch(pairs, voxel_size: float, min_inliers: int,
+                            pad_size: int = 1024,
+                            min_inlier_ratio: float = 0.6):
+    """Batched :func:`compute_transform`: verify several candidate pairs in
+    (up to) two device dispatches — one multi-start ICP batch, then one
+    prior-free global-registration batch over only the pairs the first
+    stage failed. Decision flow and returned (Z, success) per pair are
+    identical to calling :func:`compute_transform` in a loop.
+
+    ``pairs`` is a list of ``(src_points, dst_points)``; the pair count is
+    padded to a power-of-two tier (repeating the last pair) so each tier
+    compiles once.
+    """
+    if not pairs:
+        return []
+    p = len(pairs)
+    tier = 1
+    while tier < p:
+        tier *= 2
+    padded = list(pairs) + [pairs[-1]] * (tier - p)
+    src = np.stack([pad_cloud(s, pad_size)[0] for s, _ in padded])
+    src_m = np.stack([pad_cloud(s, pad_size)[1] for s, _ in padded])
+    dst = np.stack([pad_cloud(d, pad_size)[0] for _, d in padded])
+    dst_m = np.stack([pad_cloud(d, pad_size)[1] for _, d in padded])
+    corr_dist = float(voxel_size) * 1.5
+    T, inl = robust_registration_batch(
+        jnp.asarray(src), jnp.asarray(src_m), jnp.asarray(dst),
+        jnp.asarray(dst_m), corr_dist=corr_dist)
+    # np.asarray on device arrays returns read-only views; the fallback
+    # loop below writes winners in place
+    T, inl = np.array(T), np.array(inl)
+    n_src = np.maximum(src_m.sum(axis=1), 1.0)
+
+    def gate(count, i):
+        return (int(count) > min_inliers
+                and float(count) / n_src[i] > min_inlier_ratio)
+
+    success = [gate(inl[i], i) for i in range(p)]
+    failed = [i for i in range(p) if not success[i]]
+    if failed:
+        # one global-registration dispatch over just the failures (its
+        # FPFH + dense yaw-correlation stage is ~4x the ICP sweep's cost)
+        ftier = 1
+        while ftier < len(failed):
+            ftier *= 2
+        fidx = failed + [failed[-1]] * (ftier - len(failed))
+        T_g, inl_g = global_registration_batch(
+            jnp.asarray(src[fidx]), jnp.asarray(src_m[fidx]),
+            jnp.asarray(dst[fidx]), jnp.asarray(dst_m[fidx]),
+            corr_dist=corr_dist)
+        T_g, inl_g = np.asarray(T_g), np.asarray(inl_g)
+        for j, i in enumerate(failed):
+            if int(inl_g[j]) > int(inl[i]):
+                T[i], inl[i] = T_g[j], inl_g[j]
+                success[i] = gate(inl_g[j], i)
+    return [(np.linalg.inv(np.asarray(T[i], np.float64)), success[i])
+            for i in range(p)]
+
+
 def compute_transform(src_points: np.ndarray, dst_points: np.ndarray,
                       voxel_size: float, min_inliers: int,
                       pad_size: int = 1024,

@@ -74,6 +74,26 @@ class LidarFrontEnd:
     def gps_callback(self, msg) -> None:
         self.latest_gps = msg
 
+    def warmup(self, pair_tiers=(1, 2), pad_size: int = 1024,
+               include_global: bool = True) -> None:
+        """Precompile the geometric-verification programs for the given
+        pair-batch tiers (the multi-start ICP sweep and, optionally, the
+        prior-free global fallback) so live verification never pays JIT
+        latency mid-run. Use with jax's persistent compilation cache, like
+        ``DecentralizedPGO.warmup``."""
+        corr = float(self.params.get("frontend.voxel_size", 0.5)) * 1.5
+        import jax.numpy as jnp
+        cloud = jnp.zeros((max(pair_tiers), pad_size, 3), jnp.float32)
+        mask = jnp.ones((max(pair_tiers), pad_size), jnp.float32)
+        for p in pair_tiers:
+            registration.robust_registration_batch(
+                cloud[:p], mask[:p], cloud[:p], mask[:p],
+                corr_dist=corr)[1].block_until_ready()
+            if include_global:
+                registration.global_registration_batch(
+                    cloud[:p], mask[:p], cloud[:p], mask[:p],
+                    corr_dist=corr)[1].block_until_ready()
+
     # ------------------------------------------------------------------
 
     def lidar_callback(self, points, odom: Odometry) -> None:
@@ -163,13 +183,21 @@ class LidarFrontEnd:
             points=compression.maybe_decompress(msg.points),
             matches_robot_id=msg.matches_robot_id,
             matches_keyframe_id=msg.matches_keyframe_id)
+        jobs = []  # all pairs addressed to me verify as ONE batched dispatch
         for rid, kf_id in zip(msg.matches_robot_id, msg.matches_keyframe_id):
             if rid != self.robot_id:
                 continue
             local = self.local_descriptors_map.get(kf_id)
             if local is None:
                 continue
-            transform, success = self._registration(local, msg.points)
+            jobs.append((kf_id, local))
+        if not jobs:
+            return
+        results = registration.compute_transform_batch(
+            [(local, msg.points) for _, local in jobs],
+            self.params.get("frontend.voxel_size", 0.5),
+            self.params.get("frontend.registration_min_inliers", 60))
+        for (kf_id, _), (transform, success) in zip(jobs, results):
             self.inter_robot_loop_closure_publisher.publish(
                 InterRobotLoopClosure(
                     robot0_id=self.robot_id, robot0_keyframe_id=kf_id,

@@ -202,3 +202,49 @@ class TestGlobalRegistration:
                                        min_inliers=60, pad_size=1024,
                                        min_inlier_ratio=0.45)
         assert not success
+
+
+class TestBatchedVerification:
+    """compute_transform_batch must be decision- and result-identical to a
+    per-pair compute_transform loop (it exists to cut per-pair dispatch
+    round-trips, not to change verification outcomes)."""
+
+    def _pairs(self):
+        rng = np.random.default_rng(7)
+        pairs = []
+        for yaw, t in [(0, [0.5, -0.3, 0.1]), (95, [2.0, 1.0, 0.0]),
+                       (180, [-1.0, 3.0, 0.2])]:
+            src = structured_cloud(rng)
+            dst = transform_cloud(src, yaw, t) \
+                + rng.normal(scale=0.02, size=src.shape)
+            pairs.append((src.astype(np.float32), dst.astype(np.float32)))
+        # one genuinely unrelated pair (exercises the global fallback +
+        # a failing gate inside the batch)
+        src = structured_cloud(rng)[:150]
+        dst = (rng.uniform(300, 400, (150, 3)) * [1, 1, 0.05]
+               ).astype(np.float32)
+        pairs.append((src, dst))
+        return pairs
+
+    def test_matches_per_pair_loop(self):
+        from cslam_tpu.ops.registration import compute_transform_batch
+        pairs = self._pairs()
+        batched = compute_transform_batch(pairs, voxel_size=0.3,
+                                          min_inliers=60)
+        assert len(batched) == len(pairs)
+        for (src, dst), (Zb, okb) in zip(pairs, batched):
+            Z, ok = compute_transform(src, dst, voxel_size=0.3,
+                                      min_inliers=60)
+            assert okb == ok
+            if ok:
+                # same hypothesis family; allow vmap-lowering numerics
+                assert np.allclose(Zb, Z, atol=1e-3), (Zb, Z)
+
+    def test_empty_and_single(self):
+        from cslam_tpu.ops.registration import compute_transform_batch
+        assert compute_transform_batch([], 0.3, 60) == []
+        pairs = self._pairs()[:1]
+        (Zb, okb), = compute_transform_batch(pairs, voxel_size=0.3,
+                                             min_inliers=60)
+        Z, ok = compute_transform(*pairs[0], voxel_size=0.3, min_inliers=60)
+        assert okb == ok and np.allclose(Zb, Z, atol=1e-3)

@@ -287,3 +287,44 @@ class TestFusedRingKeyStage1:
         # capacity off the kernel tile boundary never qualifies
         assert not ScanContextBank(capacity=1024,
                                    fused_stage1=True)._fused_stage1_ok()
+
+
+class TestMultiBankSearch:
+    """multi_search_best (one dispatch over several banks) must be
+    result-identical to per-bank search_best round-trips."""
+
+    def test_matches_per_bank_search(self):
+        from cslam_tpu.matching.scancontext_bank import (ScanContextBank,
+                                                         multi_search_best)
+        rng = np.random.default_rng(11)
+        banks = []
+        for r in range(3):
+            b = ScanContextBank(capacity=32)
+            for k in range(5 + 3 * r):
+                sc = (rng.random((20, 60)) * (rng.random((20, 60)) > 0.7)
+                      ).astype(np.float32) * 6.0
+                b.add_item(sc, ("item", r, k))
+            banks.append(b)
+        banks.append(ScanContextBank(capacity=32))  # empty bank
+        query = banks[1]._sc_host[2]
+        multi = multi_search_best(banks, query)
+        single = [b.search_best(query) for b in banks]
+        assert multi == single
+        assert multi[1][0] == ("item", 1, 2)
+        assert multi[3] == (None, None)
+
+    def test_query_batch_tier_padding_invariant(self):
+        """search_best_batch results must not depend on the power-of-two
+        padding tier the batch lands in."""
+        from cslam_tpu.matching.scancontext_bank import ScanContextBank
+        rng = np.random.default_rng(13)
+        b = ScanContextBank(capacity=32)
+        scans = [(rng.random((20, 60)) * (rng.random((20, 60)) > 0.7)
+                  ).astype(np.float32) * 6.0 for _ in range(8)]
+        for k, sc in enumerate(scans):
+            b.add_item(sc, k)
+        q = np.stack(scans[:3])  # tier 4: one padding row
+        got = b.search_best_batch(q)
+        assert [item for item, _ in got] == [0, 1, 2]
+        one_by_one = [b.search_best(s) for s in scans[:3]]
+        assert got == one_by_one
