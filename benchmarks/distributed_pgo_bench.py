@@ -27,8 +27,12 @@ if "--tpu" not in sys.argv:
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
+        # virtual mesh sized to --robots (>= 8 keeps old runs comparable)
+        _n = 8
+        if "--robots" in sys.argv:
+            _n = max(_n, int(sys.argv[sys.argv.index("--robots") + 1]))
         os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+            flags + f" --xla_force_host_platform_device_count={_n}").strip()
     os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np  # noqa: E402

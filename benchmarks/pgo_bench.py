@@ -28,6 +28,10 @@ SIGMAS = np.array([0.01] * 3 + [0.1] * 3)
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--robots", type=int, default=5)
 _ap.add_argument("--poses", type=int, default=100)
+_ap.add_argument("--export-g2o", default=None, metavar="BASE",
+                 help="write BASE_init.g2o / BASE_gt.g2o / "
+                      "BASE_optimized.g2o for external (GTSAM) cross-checks"
+                      " — see tools/gtsam_crosscheck.md")
 _args, _ = _ap.parse_known_args()
 NB_ROBOTS, NB_POSES = _args.robots, _args.poses
 
@@ -86,6 +90,12 @@ def main():
             [np.linalg.norm(est[k][:3, 3] - gt[k][:3, 3]) ** 2 for k in gt])))
 
     init_ate = ate(arrays.poses)
+    if _args.export_g2o:
+        from cslam_tpu.evaluation.g2o import write_g2o
+        edges = graph.edges_as_records()
+        write_g2o(f"{_args.export_g2o}_init.g2o",
+                  {k: graph.get_pose(k) for k in graph.keys()}, edges)
+        write_g2o(f"{_args.export_g2o}_gt.g2o", gt, [])
     res = gnc_optimize(arrays)              # compile
     _ = float(res.final_cost)               # force full materialization
     # timed region: one cached dispatch, timed to a forced scalar read (the
@@ -124,6 +134,10 @@ def main():
     _ = float(res_w.final_cost)
     dt_warm = max(time.perf_counter() - t0 - rtt, 0.0)
 
+    if _args.export_g2o:
+        write_g2o(f"{_args.export_g2o}_optimized.g2o",
+                  {tuple(v.key.as_tuple()): v.pose
+                   for v in graph.values_from_arrays(res.poses)}, [])
     w = np.asarray(res.weights)
     rb = (np.asarray(arrays.robust) > 0) & (np.asarray(arrays.edge_valid) > 0)
     ridx = np.nonzero(rb)[0]

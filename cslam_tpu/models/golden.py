@@ -65,6 +65,33 @@ def golden_resnet18_trunk(rng, sd: Dict, prefix: str) -> None:
             cin = feats
 
 
+def golden_resnet50_trunk(rng, sd: Dict, prefix: str) -> None:
+    """torchvision resnet50 trunk as nn.Sequential (Bottleneck blocks:
+    conv1/conv2/conv3 + downsample on every stage's first block, including
+    layer1 where the expansion 64 -> 256 forces one)."""
+    sd[f"{prefix}0.weight"] = _conv_w(rng, 64, 3, 7, 7)
+    _bn(rng, sd, f"{prefix}1", 64)
+    blocks, _ = _RESNET_LAYERS["resnet50"]
+    cin = 64
+    for stage, (n_blocks, width) in enumerate(
+            zip(blocks, (64, 128, 256, 512))):
+        seq = stage + 4
+        cout = width * 4
+        for b in range(n_blocks):
+            bp = f"{prefix}{seq}.{b}."
+            sd[bp + "conv1.weight"] = _conv_w(rng, width, cin, 1, 1)
+            _bn(rng, sd, bp + "bn1", width)
+            sd[bp + "conv2.weight"] = _conv_w(rng, width, width, 3, 3)
+            _bn(rng, sd, bp + "bn2", width)
+            sd[bp + "conv3.weight"] = _conv_w(rng, cout, width, 1, 1)
+            _bn(rng, sd, bp + "bn3", cout)
+            if b == 0:  # stride (stages 2-4) or expansion (stage 1)
+                sd[bp + "downsample.0.weight"] = _conv_w(rng, cout, cin,
+                                                         1, 1)
+                _bn(rng, sd, bp + "downsample.1", cout)
+            cin = cout
+
+
 def golden_vgg16_trunk(rng, sd: Dict, prefix: str) -> None:
     """torchvision vgg16.features[:-2] as nn.Sequential (conv indices
     0,2,5,...,28) — the layout ``convert_vgg16_trunk`` consumes."""
@@ -80,15 +107,25 @@ def golden_vgg16_trunk(rng, sd: Dict, prefix: str) -> None:
         seq_idx += 2
 
 
-def golden_cosplace_state_dict(seed: int = 7,
-                               fc_output_dim: int = 64) -> Dict:
-    """Reference-layout CosPlace resnet18 state_dict from a seed."""
+_COSPLACE_TRUNKS = {
+    "resnet18": (golden_resnet18_trunk, 512),
+    "resnet50": (golden_resnet50_trunk, 2048),
+    "vgg16": (golden_vgg16_trunk, 512),
+}
+
+
+def golden_cosplace_state_dict(seed: int = 7, fc_output_dim: int = 64,
+                               backbone: str = "resnet18") -> Dict:
+    """Reference-layout CosPlace state_dict from a seed, for any backbone
+    the config accepts (reference ``network.py:38-68``)."""
     rng = np.random.default_rng(seed)
+    trunk, features_dim = _COSPLACE_TRUNKS[backbone]
     sd: Dict = {}
-    golden_resnet18_trunk(rng, sd, "backbone.")
+    trunk(rng, sd, "backbone.")
     sd["aggregation.1.p"] = np.asarray([3.0], np.float32)
     sd["aggregation.3.weight"] = rng.normal(
-        0.0, np.sqrt(1.0 / 512), (fc_output_dim, 512)).astype(np.float32)
+        0.0, np.sqrt(1.0 / features_dim),
+        (fc_output_dim, features_dim)).astype(np.float32)
     sd["aggregation.3.bias"] = rng.normal(
         0.0, 0.01, fc_output_dim).astype(np.float32)
     return sd

@@ -50,6 +50,51 @@ class TBasicBlock(tnn.Module):
         return F.relu(y + idt)
 
 
+class TBottleneck(tnn.Module):
+    """torchvision Bottleneck (v1.5: stride on the 3x3 conv2)."""
+
+    def __init__(self, cin, width, stride=1):
+        super().__init__()
+        cout = width * 4
+        self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                tnn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return F.relu(y + idt)
+
+
+def torch_resnet50_trunk() -> tnn.Sequential:
+    """torchvision resnet50 feature trunk (children()[:-2]) layout."""
+    def stage(cin, width, n, stride):
+        blocks = [TBottleneck(cin, width, stride)]
+        blocks += [TBottleneck(width * 4, width) for _ in range(n - 1)]
+        return tnn.Sequential(*blocks)
+
+    return tnn.Sequential(
+        tnn.Conv2d(3, 64, 7, 2, 3, bias=False),
+        tnn.BatchNorm2d(64),
+        tnn.ReLU(inplace=True),
+        tnn.MaxPool2d(3, 2, 1),
+        stage(64, 64, 3, 1),
+        stage(256, 128, 4, 2),
+        stage(512, 256, 6, 2),
+        stage(1024, 512, 3, 2),
+    )
+
+
 def torch_resnet18_trunk() -> tnn.Sequential:
     """torchvision resnet18 feature trunk (children()[:-2]) layout."""
     layers = [
@@ -92,15 +137,20 @@ class TGeM(tnn.Module):
 
 class TCosPlace(tnn.Module):
     """CosPlace GeoLocalizationNet replica (reference
-    cosplace_utils/network.py:19-35), resnet18 backbone."""
+    cosplace_utils/network.py:19-35); any reference backbone name."""
 
-    def __init__(self, dim=64):
+    _TRUNKS = {"resnet18": (torch_resnet18_trunk, 512),
+               "resnet50": (torch_resnet50_trunk, 2048),
+               "vgg16": (torch_vgg16_trunk, 512)}
+
+    def __init__(self, dim=64, backbone="resnet18"):
         super().__init__()
-        self.backbone = torch_resnet18_trunk()
+        trunk, features_dim = self._TRUNKS[backbone]
+        self.backbone = trunk()
         # aggregation: 0 L2Norm, 1 GeM, 2 Flatten, 3 Linear, 4 L2Norm
         self.aggregation = tnn.ModuleDict()
         self.gem = TGeM()
-        self.fc = tnn.Linear(512, dim)
+        self.fc = tnn.Linear(features_dim, dim)
 
     def state_dict_reference_layout(self) -> Dict[str, torch.Tensor]:
         sd = {}

@@ -288,22 +288,34 @@ class AlgebraicConnectivityMaximization:
                       "frontend.mac_fw_warm_ritz", False)),
                   lobpcg_warm_iters=int(self.params.get(
                       "frontend.mac_lobpcg_warm_iters", 6)))
-        try:
-            result, _, _ = mac.fw_subset(w_init, nb_to_choose,
-                                         max_iters=self.max_iters)
-            return result
-        except (np.linalg.LinAlgError, FloatingPointError) as exc:
-            # The dense deflated eigensolver cannot hit the reference's LU
-            # singular-matrix failure mode (acm.py:449-465); a genuinely
-            # numeric failure falls back to the initial guess — counted and
-            # logged so a degraded selection plane is visible. Programming
-            # errors (anything else) propagate.
-            self.mac_solver_failures += 1
-            logging.getLogger(__name__).warning(
-                "MAC solver numeric failure #%d (%s); selection degraded "
-                "to the greedy initialization", self.mac_solver_failures,
-                exc)
-            return w_init.copy()
+        # Retry ladder with increasingly random initializations, the
+        # reference's recovery semantics (acm.py:448-465: singular-matrix
+        # failures happen when the selected measurements disconnect the
+        # graph; re-initializing with `trial` random picks escapes it).
+        # Our dense deflated eigensolver cannot hit the reference's LU
+        # failure mode, but a genuinely numeric failure walks the same
+        # ladder before degrading to the initial guess — counted and
+        # logged so a degraded selection plane is visible. Programming
+        # errors (anything else) propagate.
+        w_try, last_exc = w_init, None
+        for trial in range(max(nb_to_choose, 1)):
+            try:
+                result, _, _ = mac.fw_subset(w_try, nb_to_choose,
+                                             max_iters=self.max_iters)
+                if trial:
+                    logging.getLogger(__name__).warning(
+                        "MAC solver recovered at retry %d", trial)
+                return result
+            except (np.linalg.LinAlgError, FloatingPointError) as exc:
+                last_exc = exc
+                w_try = self.pseudo_greedy_initialization(
+                    nb_to_choose, trial + 1, candidate_edges)
+        self.mac_solver_failures += 1
+        logging.getLogger(__name__).warning(
+            "MAC solver numeric failure #%d (%s) after %d retries; "
+            "selection degraded to the initial guess",
+            self.mac_solver_failures, last_exc, max(nb_to_choose, 1) - 1)
+        return w_init.copy()
 
     def select_candidates(self, nb_candidates_to_choose: int,
                           is_other_robot_considered: Dict[int, bool],

@@ -342,3 +342,14 @@ def test_repad_identity_filler_is_identity():
         np.testing.assert_array_equal(
             fill, np.tile(np.eye(4, dtype=fill.dtype),
                           (fill.shape[0], 1, 1)))
+
+
+def test_sixteen_robot_solve_subprocess():
+    """Scale the mesh story past 8 (round-3 VERDICT next-round #8): a
+    16-robot solve on a 16-virtual-device mesh, executed in a subprocess
+    because this suite's conftest pins 8 host devices. Uses the driver's
+    dryrun path — sharded bank search + one sharded step + the full
+    while_loop solve — so the exact program the driver validates at 8 is
+    exercised at 16."""
+    import __graft_entry__ as g
+    g.dryrun_multichip(16)  # self-bootstraps a 16-device CPU subprocess

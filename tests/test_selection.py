@@ -341,6 +341,34 @@ class TestMacSolver:
         np.testing.assert_array_equal(out, w_init)
         assert acm.mac_solver_failures == 1
 
+    def test_numeric_failure_retry_ladder_recovers(self, monkeypatch):
+        """The reference retries MAC with increasingly random inits on
+        singular-matrix failure before degrading (acm.py:448-465); a
+        failure that clears on a re-initialization must recover without
+        counting as a solver failure."""
+        from cslam_tpu.selection import acm as acm_mod
+        from cslam_tpu.selection.acm import (
+            AlgebraicConnectivityMaximization)
+
+        calls = {"n": 0}
+
+        def flaky(self, w_init, k, max_iters=20):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise np.linalg.LinAlgError("singular")
+            return w_init, None, None
+
+        monkeypatch.setattr(acm_mod.MAC, "fw_subset", flaky)
+        acm = AlgebraicConnectivityMaximization(robot_id=0, max_nb_robots=2)
+        acm.total_nb_poses = 8
+        candidates = [Edge(0, 2, 1.0), Edge(1, 3, 0.9), Edge(2, 4, 0.8),
+                      Edge(0, 4, 0.7)]
+        out = acm.run_mac_solver([Edge(0, 1, 1.0)], candidates,
+                                 np.array([1.0, 1.0, 1.0, 0.0]), 3)
+        assert calls["n"] == 3           # two failures, then recovery
+        assert acm.mac_solver_failures == 0
+        assert out.sum() >= 1            # a pseudo-greedy re-init solution
+
     def test_disconnected_graph_does_not_raise(self):
         """Where the reference's LU eigensolver throws on disconnected graphs
         (reference acm.py:449-465), ours returns lambda_2 = 0 gracefully."""

@@ -34,13 +34,15 @@ def main():
     images = golden.golden_images()
     x_t = torch.from_numpy(images.transpose(0, 3, 1, 2))
 
-    # CosPlace: full descriptor path
-    sd = {k: torch.as_tensor(v)
-          for k, v in golden.golden_cosplace_state_dict().items()}
-    tmodel = torch_ref.TCosPlace(dim=64).eval()
-    tmodel.load_reference_layout(sd)
-    with torch.no_grad():
-        d_cosplace = tmodel(x_t).numpy()
+    # CosPlace: full descriptor path, every backbone the config accepts
+    d_cosplace = {}
+    for backbone in ("resnet18", "resnet50", "vgg16"):
+        sd = {k: torch.as_tensor(v) for k, v in
+              golden.golden_cosplace_state_dict(backbone=backbone).items()}
+        tmodel = torch_ref.TCosPlace(dim=64, backbone=backbone).eval()
+        tmodel.load_reference_layout(sd)
+        with torch.no_grad():
+            d_cosplace[backbone] = tmodel(x_t).numpy()
 
     # NetVLAD: raw VLAD + PCA-projected descriptor
     sd = {k: torch.as_tensor(v)
@@ -56,12 +58,14 @@ def main():
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(
         OUT,
-        cosplace=d_cosplace.astype(np.float16),
+        cosplace=d_cosplace["resnet18"].astype(np.float16),
+        cosplace_resnet50=d_cosplace["resnet50"].astype(np.float16),
+        cosplace_vgg16=d_cosplace["vgg16"].astype(np.float16),
         netvlad_vlad=vlad.astype(np.float16),
         netvlad_pca=d_netvlad.astype(np.float16))
     print(f"wrote {os.path.abspath(OUT)}: "
-          f"cosplace {d_cosplace.shape}, vlad {vlad.shape}, "
-          f"pca {d_netvlad.shape}")
+          f"cosplace {d_cosplace['resnet18'].shape} (+resnet50, vgg16), "
+          f"vlad {vlad.shape}, pca {d_netvlad.shape}")
 
 
 if __name__ == "__main__":
