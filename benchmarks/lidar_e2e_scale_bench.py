@@ -164,6 +164,8 @@ def main():
         warm_s = time.perf_counter() - tw
         print(f"# warmup (tier precompilation) {warm_s:.1f} s", flush=True)
 
+    from cslam_tpu.utils import profiling
+    profiling.reset_spans()
     t0 = time.perf_counter()
     for i in range(steps):
         if i % 25 == 0:
@@ -209,6 +211,9 @@ def main():
           f"{be0.optimization_count}")
     print(f"# ATE robot0: odometry {ate_odo:.3f} m -> optimized "
           f"{ate_opt:.3f} m")
+    print("# where the steady-state time went (host-side spans):")
+    for line in profiling.report().splitlines():
+        print("#   " + line)
     print(json.dumps({
         "metric": "lidar_e2e_keyframes_per_sec",
         "value": round(total_kf / wall, 2),

@@ -91,10 +91,19 @@ def main():
             times.append(time.perf_counter() - t0)
         t = float(np.median(times))
         n_nodes = R * Np
-        rows.append((R, n_nodes, C, t, len(sel)))
+        # deterministic fingerprint of the LAST repeat's selection: the
+        # bench seeds rng(0) and consumes it identically regardless of
+        # solver flags, so two processes (e.g. early-exit vs --warm-ritz)
+        # produce comparable hashes — identical hash = identical selection
+        import hashlib
+        key = ";".join(sorted(
+            f"{e.robot0_id},{e.robot0_keyframe_id},"
+            f"{e.robot1_id},{e.robot1_keyframe_id}" for e in sel))
+        sel_hash = hashlib.sha1(key.encode()).hexdigest()[:12]
+        rows.append((R, n_nodes, C, t, len(sel), sel_hash))
         print(f"# {R} robots, {n_nodes} poses, {C} candidates: "
               f"select_candidates(budget=5) median {t * 1e3:.1f} ms "
-              f"({len(sel)} selected)")
+              f"({len(sel)} selected, sel_hash {sel_hash})")
     last = rows[-1]
     print(json.dumps({
         "metric": "mac_selection_wallclock_10robot_5000pose_1000cand",
@@ -102,8 +111,8 @@ def main():
                    else "warm_ritz" if _args.warm_ritz else "early_exit"),
         "value": round(last[3] * 1e3, 1), "unit": "ms",
         "tiers": [{"robots": r, "poses": n, "candidates": c,
-                   "median_ms": round(t * 1e3, 1)}
-                  for r, n, c, t, _ in rows],
+                   "median_ms": round(t * 1e3, 1), "sel_hash": h}
+                  for r, n, c, t, _, h in rows],
     }))
 
 

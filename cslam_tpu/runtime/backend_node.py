@@ -28,6 +28,7 @@ from cslam_tpu import config
 from cslam_tpu.pgo import FactorGraph
 from cslam_tpu.pgo.solver import gnc_optimize, gnc_reoptimize
 from cslam_tpu.runtime.rendezvous import SimulatedRendezVous
+from cslam_tpu.utils import profiling
 from cslam_tpu.types import (Heartbeat, InterRobotLoopClosure,
                              IntraRobotLoopClosure, KeyframeOdom,
                              OptimizationResult, OptimizerStateMsg, PoseGraph,
@@ -559,6 +560,10 @@ class DecentralizedPGO:
         return poses
 
     def _optimize(self, graph: FactorGraph):
+        with profiling.span("pgo.optimize"):
+            return self._optimize_impl(graph)
+
+    def _optimize_impl(self, graph: FactorGraph):
         if self.logger is not None:
             self.logger.start_timer()
         if self.params.get("backend.pgo_mode", "centralized") == "distributed":

@@ -19,6 +19,7 @@ import numpy as np
 from cslam_tpu.matching.sparse_matching import LoopClosureSparseMatching
 from cslam_tpu.models import make_global_descriptor
 from cslam_tpu.selection.broker import Broker
+from cslam_tpu.utils import profiling
 from cslam_tpu.runtime.neighbors import NeighborManager
 from cslam_tpu.types import (EdgeInterRobot, GlobalDescriptor,
                              GlobalDescriptors, InterRobotLoopClosure,
@@ -127,8 +128,10 @@ class DetectionFrontEnd:
 
     def receive_keyframe(self, msg) -> None:
         data = msg.image if self.keyframe_type == "rgb" else msg.points
-        embedding = self.model.compute_embedding(data)
-        self.add_global_descriptor_to_map(np.asarray(embedding), msg.id)
+        with profiling.span("lcd.embed"):
+            embedding = self.model.compute_embedding(data)
+        with profiling.span("lcd.local_detect"):
+            self.add_global_descriptor_to_map(np.asarray(embedding), msg.id)
 
     def add_global_descriptor_to_map(self, embedding: np.ndarray,
                                      kf_id: int) -> None:
@@ -235,7 +238,9 @@ class DetectionFrontEnd:
         pending, self._gossip_intake = self._gossip_intake, []
         # whole cycle's intake (all senders) searched against the local
         # bank in ONE device dispatch
-        for match in self.lcm.add_other_robot_global_descriptors(pending):
+        with profiling.span("lcd.gossip_search"):
+            matches = self.lcm.add_other_robot_global_descriptors(pending)
+        for match in matches:
             self.inter_robot_matches_buffer[
                 self.nb_inter_robot_matches] = match
             self.nb_inter_robot_matches += 1
@@ -258,8 +263,10 @@ class DetectionFrontEnd:
                 or not self.neighbor_manager.local_robot_is_broker()):
             return
         t0 = self.ctx.clock.now()
-        selection = self.lcm.select_candidates(
-            self.params["frontend.inter_robot_loop_closure_budget"], in_range)
+        with profiling.span("lcd.select_candidates"):
+            selection = self.lcm.select_candidates(
+                self.params["frontend.inter_robot_loop_closure_budget"],
+                in_range)
         vertices_info = self._edge_list_to_vertices(selection)
         broker = Broker(selection, in_range_list)
         for vertex_set in broker.brokerage(

@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from cslam_tpu.ops import registration
-from cslam_tpu.utils import compression, point_cloud2
+from cslam_tpu.utils import compression, point_cloud2, profiling
 from cslam_tpu.types import (InterRobotLoopClosure, IntraRobotLoopClosure,
                              KeyframeOdom, KeyframePointCloud, KeyValue,
                              LocalDescriptorsRequest,
@@ -129,8 +129,9 @@ class LidarFrontEnd:
         if not self._generate_new_keyframe(odom):
             return
         kf_id = self.nb_local_keyframes
-        cloud = registration.voxel_downsample(
-            points, self.params.get("frontend.voxel_size", 0.5))
+        with profiling.span("lidar.voxel_downsample"):
+            cloud = registration.voxel_downsample(
+                points, self.params.get("frontend.voxel_size", 0.5))
         self.local_descriptors_map[kf_id] = cloud
         self.keyframe_pointcloud_publisher.publish(
             KeyframePointCloud(id=kf_id, points=cloud))
@@ -193,10 +194,11 @@ class LidarFrontEnd:
             jobs.append((kf_id, local))
         if not jobs:
             return
-        results = registration.compute_transform_batch(
-            [(local, msg.points) for _, local in jobs],
-            self.params.get("frontend.voxel_size", 0.5),
-            self.params.get("frontend.registration_min_inliers", 60))
+        with profiling.span("lidar.verify_batch"):
+            results = registration.compute_transform_batch(
+                [(local, msg.points) for _, local in jobs],
+                self.params.get("frontend.voxel_size", 0.5),
+                self.params.get("frontend.registration_min_inliers", 60))
         for (kf_id, _), (transform, success) in zip(jobs, results):
             self.inter_robot_loop_closure_publisher.publish(
                 InterRobotLoopClosure(
@@ -210,7 +212,8 @@ class LidarFrontEnd:
         pc1 = self.local_descriptors_map.get(msg.keyframe1_id)
         if pc0 is None or pc1 is None:
             return
-        transform, success = self._registration(pc0, pc1)
+        with profiling.span("lidar.verify_intra"):
+            transform, success = self._registration(pc0, pc1)
         self.intra_robot_loop_closure_publisher.publish(
             IntraRobotLoopClosure(
                 keyframe0_id=msg.keyframe0_id, keyframe1_id=msg.keyframe1_id,

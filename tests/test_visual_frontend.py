@@ -281,6 +281,192 @@ class TestSteeredBrief:
             f"steered {good_s} vs unsteered {good_u} at {deg} deg")
 
 
+class TestPerspectiveRealism:
+    """Perspective-warped textured quads (not axis-aligned stamps): each
+    landmark is a tilted 3D plane whose texture reaches the image through
+    the true plane-induced homography, with per-view lighting changes and
+    camera roll. Asserts the full feature -> steered-BRIEF match -> GNC
+    verification chain survives 15-30 deg in-plane rotation + perspective
+    + lighting (round-3 VERDICT item 6; the reference leans on production
+    rtabmap features here, rgbd_handler.cpp:266-312)."""
+
+    TEX = 16          # texels per quad side
+    QUAD = 0.55       # quad half-size in meters
+
+    @classmethod
+    def _make_quads(cls, rng, n=90):
+        centers = np.stack([rng.uniform(-4, 4, n), rng.uniform(-3, 3, n),
+                            rng.uniform(4.5, 9, n)], axis=1)
+        # unit normals tilted up to ~35 deg away from facing the camera
+        tilt = rng.uniform(0, np.deg2rad(35), n)
+        az = rng.uniform(0, 2 * np.pi, n)
+        normals = np.stack([np.sin(tilt) * np.cos(az),
+                            np.sin(tilt) * np.sin(az),
+                            -np.cos(tilt)], axis=1)
+        textures = rng.integers(20, 255, (n, cls.TEX, cls.TEX)).astype(
+            np.float64)
+        return centers, normals, textures
+
+    @classmethod
+    def _render(cls, quads, pose, gain=1.0, bias=0.0):
+        """Homography-correct render with z-buffer; returns (img, depth)."""
+        centers, normals, textures = quads
+        img = np.full((H, W), 12, np.float64)
+        zbuf = np.full((H, W), np.inf)
+        depth = np.zeros((H, W), np.float32)
+        K = np.array([[CAM.fx, 0, CAM.cx], [0, CAM.fy, CAM.cy], [0, 0, 1.0]])
+        inv = np.linalg.inv(pose)
+        Rc, tc = inv[:3, :3], inv[:3, 3]
+        t_max = cls.TEX - 1
+        for c, nrm, tex in zip(centers, normals, textures):
+            # in-plane axes of the quad
+            u_ax = np.cross(nrm, [0.0, 1.0, 0.0])
+            u_ax /= np.linalg.norm(u_ax)
+            v_ax = np.cross(nrm, u_ax)
+            origin = c - cls.QUAD * u_ax - cls.QUAD * v_ax
+            step = 2 * cls.QUAD / t_max
+            # texture (s,t) -> camera: P = origin + s*step*u + t*step*v
+            M = np.stack([Rc @ u_ax * step, Rc @ v_ax * step,
+                          Rc @ origin + tc], axis=1)
+            Hmat = K @ M
+            corners_c = (np.array([[0, 0], [t_max, 0], [t_max, t_max],
+                                   [0, t_max]], np.float64)
+                         @ M[:, :2].T) + M[:, 2]
+            if np.any(corners_c[:, 2] < 0.5):
+                continue
+            uv = corners_c[:, :2] * (np.array([CAM.fx, CAM.fy])
+                                     / corners_c[:, 2:3]) \
+                + np.array([CAM.cx, CAM.cy])
+            u0, v0 = np.floor(uv.min(axis=0)).astype(int) - 1
+            u1, v1 = np.ceil(uv.max(axis=0)).astype(int) + 1
+            u0, v0 = max(u0, 0), max(v0, 0)
+            u1, v1 = min(u1, W - 1), min(v1, H - 1)
+            if u1 <= u0 or v1 <= v0:
+                continue
+            gu, gv = np.meshgrid(np.arange(u0, u1 + 1),
+                                 np.arange(v0, v1 + 1))
+            pix = np.stack([gu.ravel(), gv.ravel(),
+                            np.ones(gu.size)], axis=0)
+            st = np.linalg.inv(Hmat) @ pix
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = st[0] / st[2]
+                t = st[1] / st[2]
+            inside = ((st[2] > 0) & (s >= 0) & (s <= t_max)
+                      & (t >= 0) & (t <= t_max))
+            if not inside.any():
+                continue
+            s, t = s[inside], t[inside]
+            uu, vv = gu.ravel()[inside], gv.ravel()[inside]
+            z = M[2, 0] * s + M[2, 1] * t + M[2, 2]
+            s0 = np.clip(s.astype(int), 0, t_max - 1)
+            t0 = np.clip(t.astype(int), 0, t_max - 1)
+            fs, ft = s - s0, t - t0
+            val = (tex[t0, s0] * (1 - fs) * (1 - ft)
+                   + tex[t0, s0 + 1] * fs * (1 - ft)
+                   + tex[t0 + 1, s0] * (1 - fs) * ft
+                   + tex[t0 + 1, s0 + 1] * fs * ft)
+            closer = z < zbuf[vv, uu]
+            vv, uu = vv[closer], uu[closer]
+            zbuf[vv, uu] = z[closer]
+            img[vv, uu] = val[closer]
+            depth[vv, uu] = z[closer]
+        img = np.clip(gain * img + bias, 0, 255).astype(np.uint8)
+        return img, depth
+
+    @staticmethod
+    def _pose_roll(x, y, z, roll_deg):
+        """Camera at (x,y,z) looking along +z, rolled about the optical
+        axis by roll_deg."""
+        r = np.deg2rad(roll_deg)
+        T = np.eye(4)
+        T[:3, :3] = [[np.cos(r), -np.sin(r), 0],
+                     [np.sin(r), np.cos(r), 0], [0, 0, 1.0]]
+        T[:3, 3] = [x, y, z]
+        return T
+
+    def _features(self, img, dep):
+        kp, _ = native.fast_detect(img, 18, 400)
+        desc, _ = native.steered_brief_describe(img, kp)
+        p3d = vreg.project_to_3d(kp, dep, CAM.fx, CAM.fy, CAM.cx, CAM.cy)
+        return p3d, desc
+
+    @pytest.mark.parametrize("roll", [15, 30])
+    def test_verification_survives_roll_and_perspective(self, roll):
+        rng = np.random.default_rng(21)
+        quads = self._make_quads(rng)
+        Xa = self._pose_roll(0, 0, 0, 0)
+        Xb = self._pose_roll(0.35, -0.2, 0.3, roll)
+        img_a, dep_a = self._render(quads, Xa)
+        img_b, dep_b = self._render(quads, Xb, gain=1.15, bias=-8.0)
+        pa, da = self._features(img_a, dep_a)
+        pb, db = self._features(img_b, dep_b)
+        assert len(pa) > 60 and len(pb) > 60
+        Z, success, inliers = vreg.verify_keyframe_pair(
+            pa, da, pb, db, min_inliers=8, inlier_dist=0.35)
+        assert success, f"verification failed at roll {roll}"
+        assert inliers >= 12
+        Z_gt = np.linalg.inv(Xa) @ Xb
+        np.testing.assert_allclose(Z[:3, 3], Z_gt[:3, 3], atol=0.15)
+        # rotation error under ~5 deg
+        dR = Z[:3, :3].T @ Z_gt[:3, :3]
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 5.0
+
+    def test_steered_beats_unsteered_at_30deg(self):
+        """At 30 deg roll the steered descriptors must keep several times
+        more geometrically-consistent matches than unsteered BRIEF."""
+        rng = np.random.default_rng(22)
+        quads = self._make_quads(rng)
+        Xa = self._pose_roll(0, 0, 0, 0)
+        Xb = self._pose_roll(0.15, 0.1, 0.0, 30)
+        img_a, dep_a = self._render(quads, Xa)
+        img_b, dep_b = self._render(quads, Xb)
+        kp_a, _ = native.fast_detect(img_a, 18, 400)
+        kp_b, _ = native.fast_detect(img_b, 18, 400)
+
+        def inlier_count(desc_a, desc_b):
+            pairs = native.hamming_match(desc_a, desc_b, max_dist=55)
+            if len(pairs) < 5:
+                return 0
+            pa = vreg.project_to_3d(kp_a, dep_a, CAM.fx, CAM.fy,
+                                    CAM.cx, CAM.cy)
+            pb = vreg.project_to_3d(kp_b, dep_b, CAM.fx, CAM.fy,
+                                    CAM.cx, CAM.cy)
+            Z_gt = np.linalg.inv(Xa) @ Xb
+            good = 0
+            for i, j in pairs:
+                if pa[i][2] <= 0 or pb[j][2] <= 0:
+                    continue
+                mapped = Z_gt[:3, :3] @ pb[j] + Z_gt[:3, 3]
+                if np.linalg.norm(mapped - pa[i]) < 0.3:
+                    good += 1
+            return good
+
+        good_steered = inlier_count(
+            native.steered_brief_describe(img_a, kp_a)[0],
+            native.steered_brief_describe(img_b, kp_b)[0])
+        good_plain = inlier_count(native.brief_describe(img_a, kp_a),
+                                  native.brief_describe(img_b, kp_b))
+        assert good_steered >= 10
+        assert good_steered >= 2 * max(good_plain, 1), (
+            f"steered {good_steered} vs plain {good_plain}")
+
+    def test_lighting_only_change_is_not_a_new_keyframe(self):
+        """Same view under different lighting must re-identify (the
+        keyframe inlier-ratio gate depends on it)."""
+        rng = np.random.default_rng(23)
+        quads = self._make_quads(rng)
+        X = self._pose_roll(0, 0, 0, 0)
+        img_a, dep_a = self._render(quads, X)
+        img_b, dep_b = self._render(quads, X, gain=0.75, bias=12.0)
+        pa, da = self._features(img_a, dep_a)
+        pb, db = self._features(img_b, dep_b)
+        Z, success, inliers = vreg.verify_keyframe_pair(
+            pa, da, pb, db, min_inliers=10, inlier_dist=0.25)
+        assert success and inliers > 20
+        np.testing.assert_allclose(Z[:3, 3], np.zeros(3), atol=0.05)
+
+
 class TestStereoCameraModel:
     """Reference stereo_handler.cpp:119-205 parity: rectified-pair model
     construction from camera infos, baseline sanity, fallback path."""
