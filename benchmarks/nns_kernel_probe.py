@@ -27,7 +27,7 @@ import sys
 sys.path.insert(0, ".")
 
 from cslam_tpu.ops.nns_pallas import (  # noqa: E402
-    TILE_N, cosine_topk_fused, cosine_topk_fused2_pre)
+    TILE_N, cosine_topk_fused, cosine_topk_fused2_pre, pick_tile_n)
 
 BANK_CAPACITY = 131072
 DIM = 64
@@ -108,14 +108,15 @@ def main():
     n = jnp.int32(BANK_CAPACITY)
     results = []
 
-    def report(name, B, scan_batches, net, bank_bytes):
+    def report(name, B, scan_batches, net, bank_bytes, **extra):
         qps = B * scan_batches / net
         passes = scan_batches / net
         gbps = passes * bank_bytes / 1e9
         row = {"variant": name, "B": B, "qps": round(qps),
                "bank_passes_per_s": round(passes, 1),
                "eff_GBps": round(gbps, 1),
-               "pct_hbm_peak": round(100 * gbps / HBM_PEAK_GBPS, 1)}
+               "pct_hbm_peak": round(100 * gbps / HBM_PEAK_GBPS, 1),
+               **extra}
         if gbps > HBM_PEAK_GBPS:
             # faster than the hardware can stream the bank = the relay's
             # timing noise swallowed the scan (best <= rtt); not a result
@@ -136,15 +137,20 @@ def main():
             sims, idx = cosine_topk_fused(bank_, inv_norms, n, q, K)
             return sims[0, 0] + idx[0, 0].astype(jnp.float32)
 
-        # A2: shipping round-3 streaming kernel (f32 / bf16 bank tiers)
+        # A2: shipping round-3 streaming kernel (f32 / bf16 bank tiers).
+        # tile_n comes from the VMEM envelope model: at B=1024 the
+        # default 4096 tile's sims block alone is 16 MiB (the round-3
+        # compile failure); the model shrinks the tile instead.
+        tile = pick_tile_n(B, DIM, BANK_CAPACITY)
+
         def fused2(bank_, q):
-            sims, idx = cosine_topk_fused2_pre(bank_, n, q, K)
+            sims, idx = cosine_topk_fused2_pre(bank_, n, q, K, tile_n=tile)
             return sims[0, 0] + idx[0, 0].astype(jnp.float32)
 
         # A3: masked-tile specialization A/B — full tiles skip the
         # per-chunk negmask adds behind a second pl.when branch
         def fused2_spec(bank_, q):
-            sims, idx = cosine_topk_fused2_pre(bank_, n, q, K,
+            sims, idx = cosine_topk_fused2_pre(bank_, n, q, K, tile_n=tile,
                                                specialize=True)
             return sims[0, 0] + idx[0, 0].astype(jnp.float32)
 
@@ -163,7 +169,9 @@ def main():
                 ("max_only_bf16", sol, bank_bf16, bf16_bytes)):
             try:
                 net = timed_scan(fn, bk, qs, lambda x: x)
-                report(name, B, scan_batches, net, nbytes)
+                extra = ({"tile": tile} if name.startswith("fused2")
+                         else {})
+                report(name, B, scan_batches, net, nbytes, **extra)
             except Exception as e:  # VMEM OOM at large B, etc.
                 print(json.dumps({"variant": name, "B": B,
                                   "error": str(e)[:120]}))

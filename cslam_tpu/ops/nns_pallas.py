@@ -131,6 +131,34 @@ def cosine_topk_fused(bank: jax.Array, inv_norms: jax.Array, n: jax.Array,
 _TOPC = 4          # per-lane-column global candidates kept in scratch
 MAX_K = _LANE      # cosine_topk_fused2 supports k up to one lane block
 
+# VMEM envelope (v5e: ~16 MiB/core). The dominant term is the per-tile
+# similarity block sims[B, tile_n] (f32); at B=1024 x TILE_N=4096 that is
+# 16 MiB alone, which is exactly the round-3 on-chip compile failure
+# (HTTP 500 / tpu_compile_helper exit 1 for every fused2 B=1024 variant,
+# benchmarks/results/nns_kernel_probe.log). Budget below leaves headroom
+# for Mosaic's own buffers; callers at large B must shrink the tile.
+_VMEM_BUDGET = 13 * 2 ** 20
+
+
+def pick_tile_n(batch: int, dim: int, rows: int,
+                bank_itemsize: int = 4) -> int:
+    """Largest power-of-two tile (<= TILE_N) whose fused2 working set fits
+    the VMEM budget: sims[B, t] + double-buffered bank tile + queries +
+    negmask + the per-column candidate scratch. ``rows`` must stay a
+    multiple of the returned tile (halving preserves that for the
+    power-of-two bank capacities every caller uses)."""
+    t = TILE_N
+    while t > _LANE:
+        need = (batch * t * 4                       # sims block
+                + 2 * t * dim * bank_itemsize       # bank tile (dbl-buf)
+                + 2 * t * 4                         # negmask slices
+                + batch * dim * 4                   # queries
+                + (2 * _TOPC + 1) * batch * _LANE * 4)   # M + A + F scratch
+        if need <= _VMEM_BUDGET and rows % t == 0:
+            return t
+        t //= 2
+    return t
+
 
 def _scan_kernel2(k, specialize, n_ref, q_ref, bank_ref, negm_ref,
                   vals_ref, idx_ref, flag_ref,

@@ -317,6 +317,39 @@ class TestStreamingFusedKernel:
         for n in (1, 5, 129, TILE_N):
             self._check(bank, n, q, 8)
 
+    def test_vmem_tile_picker(self):
+        """The VMEM envelope model keeps the headline tile at small B and
+        shrinks it where the round-3 on-chip compile failed (B=1024 at
+        tile 4096: the sims block alone is 16 MiB > VMEM)."""
+        from cslam_tpu.ops.nns_pallas import TILE_N, _LANE, pick_tile_n
+        assert pick_tile_n(512, 64, 131072) == TILE_N
+        t1024 = pick_tile_n(1024, 64, 131072)
+        assert _LANE <= t1024 < TILE_N
+        assert 131072 % t1024 == 0
+        # the model is monotone: bigger batches never get a bigger tile
+        assert (pick_tile_n(2048, 64, 131072) <= t1024)
+
+    def test_nondefault_tile_exact(self):
+        """Exactness is tile-size independent (the B>=1024 envelope runs
+        at a shrunk tile)."""
+        import jax.numpy as jnp
+        from cslam_tpu.ops import topk as topk_ops
+        from cslam_tpu.ops.nns_pallas import cosine_topk_fused2
+        rng = np.random.default_rng(11)
+        N = 4096
+        bank = rng.standard_normal((N, 16)).astype(np.float32)
+        inv = (1.0 / np.linalg.norm(bank, axis=1)).astype(np.float32)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        n = N - 700
+        rv, ri = topk_ops.cosine_topk(jnp.asarray(bank), jnp.asarray(inv),
+                                      jnp.int32(n), jnp.asarray(q), 9)
+        fv, fi = cosine_topk_fused2(jnp.asarray(bank), jnp.asarray(inv),
+                                    jnp.int32(n), jnp.asarray(q), 9,
+                                    tile_n=1024, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(fi))
+        np.testing.assert_allclose(np.asarray(rv), np.asarray(fv),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_fuzz_random_counts(self):
         from cslam_tpu.ops.nns_pallas import TILE_N
         for trial in range(4):
