@@ -158,6 +158,10 @@ def main():
                 c, batch_tiers=(1, 2, 4, 8, 16, 32),
                 multi_bank_counts=(R - 1,))
         robots[0][1].warmup(pair_tiers=(1, 2))
+        # MAC selection tiers (one FW program per (pose, candidate) tier;
+        # k is a traced operand so budgets don't multiply programs)
+        from cslam_tpu.selection.mac import warmup_selection_tiers
+        warmup_selection_tiers(R * steps, 128)
         # the elected optimizer aggregates ALL robots' subgraphs
         robots[0][3].warmup(expected_poses=R * steps,
                             expected_edges=2 * R * steps)

@@ -108,6 +108,75 @@ def _two_stage_best_fused(rk_aug: jax.Array, sc_bank: jax.Array,
     return _stage2_best(sc_bank, n, idx, queries_sc, num_candidates)
 
 
+# Bank appends ride the search dispatch: pending host rows are padded to
+# this fixed block size so one program per batch tier serves every pending
+# count (each separate dynamic_update_slice dispatch + device_put upload
+# costs a relay round-trip; fusing them into the search call collapses the
+# per-keyframe bank-maintenance traffic to zero extra round-trips).
+_PENDING_PAD = 32
+
+
+@functools.partial(jax.jit, static_argnames=("num_candidates",),
+                   donate_argnums=(0, 1, 2))
+def _append_two_stage_best(rk_bank, rk_sq_norms, sc_bank, n_dev,
+                           new_rk, new_sc, m, queries_sc,
+                           num_candidates: int):
+    """Append a padded pending block at row ``n_dev`` and search, in ONE
+    dispatch. Block rows beyond ``m`` write zeros past the live region;
+    they are masked out by ``n = n_dev + m`` and overwritten by the next
+    append (which starts exactly at ``n``). The caller guarantees
+    ``n_dev + _PENDING_PAD <= capacity`` (dynamic_update_slice would
+    otherwise clamp the start and corrupt live rows)."""
+    rk_bank = jax.lax.dynamic_update_slice(rk_bank, new_rk, (n_dev, 0))
+    rk_sq_norms = jax.lax.dynamic_update_slice(
+        rk_sq_norms, jnp.sum(new_rk * new_rk, axis=-1), (n_dev,))
+    sc_bank = jax.lax.dynamic_update_slice(sc_bank, new_sc, (n_dev, 0, 0))
+    idx, dists = _two_stage_best(rk_bank, rk_sq_norms, sc_bank, n_dev + m,
+                                 queries_sc, num_candidates)
+    return rk_bank, rk_sq_norms, sc_bank, idx, dists
+
+
+@functools.partial(jax.jit, static_argnames=("num_candidates",),
+                   donate_argnums=(0, 1))
+def _append_two_stage_best_fused(rk_aug, sc_bank, n_dev, new_rk, new_sc, m,
+                                 queries_sc, num_candidates: int):
+    """Fused-stage-1 (streaming-kernel) variant of
+    :func:`_append_two_stage_best`."""
+    rk_aug = jax.lax.dynamic_update_slice(
+        rk_aug, _augment_ring_keys(new_rk), (n_dev, 0))
+    sc_bank = jax.lax.dynamic_update_slice(sc_bank, new_sc, (n_dev, 0, 0))
+    idx, dists = _two_stage_best_fused(rk_aug, sc_bank, n_dev + m,
+                                       queries_sc, num_candidates)
+    return rk_aug, sc_bank, idx, dists
+
+
+@functools.partial(jax.jit, static_argnames=("num_candidates",),
+                   donate_argnums=(0, 1, 2))
+def _append_multi_bank_best(rk_banks, rk_sqs, sc_banks, starts,
+                            new_rks, new_scs, ns_live, query_sc,
+                            num_candidates: int):
+    """One query against SEVERAL banks, each bank's pending block appended
+    in the same dispatch (see :func:`_append_two_stage_best` for the
+    padded-block semantics). ``starts`` are the per-bank write offsets and
+    ``ns_live`` the post-append live row counts; a bank with nothing
+    pending passes an identity block (its first ``_PENDING_PAD`` mirror
+    rows at start 0 — a bitwise no-op rewrite), keeping one compiled
+    program for every pending combination."""
+    out_banks, idxs, ds = [], [], []
+    for rk, rksq, sc, start, nrk, nsc, n_live in zip(
+            rk_banks, rk_sqs, sc_banks, starts, new_rks, new_scs, ns_live):
+        rk = jax.lax.dynamic_update_slice(rk, nrk, (start, 0))
+        rksq = jax.lax.dynamic_update_slice(
+            rksq, jnp.sum(nrk * nrk, axis=-1), (start,))
+        sc = jax.lax.dynamic_update_slice(sc, nsc, (start, 0, 0))
+        idx, d = _two_stage_best(rk, rksq, sc, n_live, query_sc[None],
+                                 num_candidates)
+        out_banks.append((rk, rksq, sc))
+        idxs.append(idx[0])
+        ds.append(d[0])
+    return tuple(out_banks), jnp.stack(idxs), jnp.stack(ds)
+
+
 @functools.partial(jax.jit, static_argnames=("num_candidates",))
 def _multi_bank_best(rk_banks, rk_sqs, sc_banks, ns, query_sc,
                      num_candidates: int) -> tuple[jax.Array, jax.Array]:
@@ -177,7 +246,11 @@ class ScanContextBank:
         if self.nb_items >= self._capacity:
             self._grow()
         self._sc_host[self.nb_items] = sc
-        self._rk_host[self.nb_items] = np.asarray(sc_ops.ring_key(sc))
+        # ring key on the HOST (same math as sc_ops.ring_key — per-ring
+        # mean over sectors): routing it through the device op cost one
+        # relay dispatch+read PER gossiped descriptor (measured as the
+        # bulk of the lidar e2e's 161 ms/flush lcd.gossip_search span)
+        self._rk_host[self.nb_items] = sc.mean(axis=-1)
         self.items[self.nb_items] = item
         self.nb_items += 1
 
@@ -254,7 +327,20 @@ class ScanContextBank:
         Distances >= 1.0 keep the reference fallback: first item with
         similarity 0 (``scancontext_matching.py:80-83``).
         """
-        self._sync_device()
+        pend = self.nb_items - self._device_n
+        fused_mode = self._fused_stage1_ok()
+        bank_ready = (
+            self._sc_bank is not None
+            and self._sc_bank.shape[0] == self._capacity
+            and ((self._rk_aug is not None) if fused_mode
+                 else (self._rk_bank is not None)))
+        # small pending blocks ride the search dispatch (no extra relay
+        # round-trips); bulk syncs (cold bank, post-grow, near-capacity)
+        # go through _sync_device
+        use_append = (bank_ready and 0 < pend <= _PENDING_PAD
+                      and self._device_n + _PENDING_PAD <= self._capacity)
+        if not use_append:
+            self._sync_device()
         q = np.asarray(queries, np.float32).reshape((-1,) + self.shape)
         b = len(q)
         # pad the query batch to a power-of-two tier: gossip chunk lengths
@@ -268,7 +354,26 @@ class ScanContextBank:
             q = np.concatenate(
                 [q, np.zeros((tier - b,) + self.shape, np.float32)])
         queries_sc = jnp.asarray(q)
-        if self._rk_aug is not None:
+        if use_append:
+            lo = self._device_n
+            new_sc = np.zeros((_PENDING_PAD,) + self.shape, np.float32)
+            new_sc[:pend] = self._sc_host[lo:lo + pend]
+            new_rk = np.zeros((_PENDING_PAD, self.shape[0]), np.float32)
+            new_rk[:pend] = self._rk_host[lo:lo + pend]
+            if fused_mode:
+                (self._rk_aug, self._sc_bank, idx,
+                 dists) = _append_two_stage_best_fused(
+                    self._rk_aug, self._sc_bank, lo, jnp.asarray(new_rk),
+                    jnp.asarray(new_sc), pend, queries_sc,
+                    self.num_candidates)
+            else:
+                (self._rk_bank, self._rk_sq_norms, self._sc_bank, idx,
+                 dists) = _append_two_stage_best(
+                    self._rk_bank, self._rk_sq_norms, self._sc_bank, lo,
+                    jnp.asarray(new_rk), jnp.asarray(new_sc), pend,
+                    queries_sc, self.num_candidates)
+            self._device_n = self.nb_items
+        elif self._rk_aug is not None:
             idx, dists = _two_stage_best_fused(
                 self._rk_aug, self._sc_bank, jnp.int32(self.nb_items),
                 queries_sc, self.num_candidates)
@@ -294,16 +399,28 @@ def warmup_search_tiers(capacity: int, shape: Tuple[int, int] = (20, 60),
     rksq = jnp.zeros((capacity,), jnp.float32)
     sc = jnp.zeros((capacity,) + tuple(shape), jnp.float32)
     n = jnp.int32(1)
+    pend_rk = jnp.zeros((_PENDING_PAD, shape[0]), jnp.float32)
+    pend_sc = jnp.zeros((_PENDING_PAD,) + tuple(shape), jnp.float32)
     for b in batch_tiers:
-        _two_stage_best(rk, rksq, sc, n,
-                        jnp.zeros((b,) + tuple(shape), jnp.float32),
+        q = jnp.zeros((b,) + tuple(shape), jnp.float32)
+        _two_stage_best(rk, rksq, sc, n, q,
                         num_candidates)[0].block_until_ready()
+        # append-fused variant (donates its bank operands — pass copies)
+        _append_two_stage_best(
+            rk + 0, rksq + 0, sc + 0, 0, pend_rk, pend_sc, 1, q,
+            num_candidates)[-1].block_until_ready()
     for r in multi_bank_counts:
         if r < 1:
             continue
+        q1 = jnp.zeros(tuple(shape), jnp.float32)
         _multi_bank_best((rk,) * r, (rksq,) * r, (sc,) * r, (n,) * r,
-                         jnp.zeros(tuple(shape), jnp.float32),
-                         num_candidates)[0].block_until_ready()
+                         q1, num_candidates)[0].block_until_ready()
+        _append_multi_bank_best(
+            tuple(rk + 0 for _ in range(r)),
+            tuple(rksq + 0 for _ in range(r)),
+            tuple(sc + 0 for _ in range(r)),
+            (0,) * r, (pend_rk,) * r, (pend_sc,) * r, (1,) * r,
+            q1, num_candidates)[-1].block_until_ready()
 
 
 def multi_search_best(banks: List["ScanContextBank"], query: np.ndarray
@@ -320,20 +437,53 @@ def multi_search_best(banks: List["ScanContextBank"], query: np.ndarray
     for i, b in enumerate(banks):
         if b.nb_items < 1:
             continue
-        b._sync_device()
-        if b._rk_bank is None:  # fused-stage-1 layout
+        if b._fused_stage1_ok():  # fused-stage-1 layout: own dispatch
             out[i] = b.search_best(query)
-        else:
-            grouped.append((i, b))
+            continue
+        pend = b.nb_items - b._device_n
+        appendable = (b._sc_bank is not None
+                      and b._sc_bank.shape[0] == b._capacity
+                      and b._rk_bank is not None
+                      and pend <= _PENDING_PAD
+                      and b._device_n + _PENDING_PAD <= b._capacity)
+        if not appendable:
+            b._sync_device()  # bulk path (cold bank / post-grow)
+        grouped.append((i, b))
     if grouped:
         shape = grouped[0][1].shape
         q = jnp.asarray(np.asarray(query, np.float32).reshape(shape))
-        idx, dists = _multi_bank_best(
+        # per-bank pending blocks ride the same dispatch; a bank with
+        # nothing pending passes m=0 and an identity block (its first
+        # _PENDING_PAD mirror rows at start 0 — a bitwise no-op rewrite,
+        # keeping one compiled program for every pending combination)
+        new_rks, new_scs, starts, ns_live = [], [], [], []
+        for _, b in grouped:
+            pend = b.nb_items - b._device_n
+            new_sc = np.zeros((_PENDING_PAD,) + b.shape, np.float32)
+            new_rk = np.zeros((_PENDING_PAD, b.shape[0]), np.float32)
+            if pend > 0:
+                lo = b._device_n
+                new_sc[:pend] = b._sc_host[lo:lo + pend]
+                new_rk[:pend] = b._rk_host[lo:lo + pend]
+                starts.append(lo)
+            else:
+                new_sc[:] = b._sc_host[:_PENDING_PAD]
+                new_rk[:] = b._rk_host[:_PENDING_PAD]
+                starts.append(0)
+            new_rks.append(new_rk)
+            new_scs.append(new_sc)
+            ns_live.append(b.nb_items)
+        new_banks, idx, dists = _append_multi_bank_best(
             tuple(b._rk_bank for _, b in grouped),
             tuple(b._rk_sq_norms for _, b in grouped),
             tuple(b._sc_bank for _, b in grouped),
-            tuple(jnp.int32(b.nb_items) for _, b in grouped),
-            q, grouped[0][1].num_candidates)
+            tuple(starts),
+            tuple(jnp.asarray(r) for r in new_rks),
+            tuple(jnp.asarray(s) for s in new_scs),
+            tuple(ns_live), q, grouped[0][1].num_candidates)
+        for (i, b), (rk, rksq, sc) in zip(grouped, new_banks):
+            b._rk_bank, b._rk_sq_norms, b._sc_bank = rk, rksq, sc
+            b._device_n = b.nb_items
         idx, dists = np.asarray(idx), np.asarray(dists)
         for (i, b), j, d in zip(grouped, idx, dists):
             out[i] = ((b.items[int(j)], float(1.0 - d)) if d < 1.0

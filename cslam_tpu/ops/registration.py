@@ -136,16 +136,26 @@ def _robust_icp_single(src, src_mask, dst, dst_mask, R0, t0,
     return R, t, inliers
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "num_yaw_hypotheses"))
+@functools.partial(jax.jit, static_argnames=("iters", "num_yaw_hypotheses",
+                                              "coarse_stride", "refine_top"))
 @highest_precision
 def robust_registration(src: jax.Array, src_mask: jax.Array, dst: jax.Array,
                         dst_mask: jax.Array, corr_dist: float,
-                        iters: int = 24, num_yaw_hypotheses: int = 8):
+                        iters: int = 24, num_yaw_hypotheses: int = 8,
+                        coarse_stride: int = 4, refine_top: int = 2):
     """Multi-start robust ICP: src -> dst transform.
 
     Returns (T [4,4], inlier count) of the best yaw hypothesis. The
     convention matches the reference's use: the returned transform maps
     src-frame coordinates into dst frame.
+
+    Coarse-to-fine: the full yaw sweep runs on a ``coarse_stride``-strided
+    src subset (the [N_src, N_dst] correspondence matrix each iteration is
+    the cost center; pose estimation doesn't need every point), then only
+    the ``refine_top`` best hypotheses by coarse inlier count are refined
+    at full resolution with a tight robust kernel. The final inlier count
+    (the success gate) is always full-resolution. ~4x less distance-matrix
+    work than refining every hypothesis at full res, same decision flow.
     """
     yaws = jnp.arange(num_yaw_hypotheses) * (2 * jnp.pi / num_yaw_hypotheses)
     # center-of-mass initial translation per hypothesis
@@ -154,15 +164,27 @@ def robust_registration(src: jax.Array, src_mask: jax.Array, dst: jax.Array,
     cs = jnp.sum(src * src_mask[:, None], axis=0) / ws
     cd = jnp.sum(dst * dst_mask[:, None], axis=0) / wd
 
-    def run(yaw):
+    src_c, mask_c = src[::coarse_stride], src_mask[::coarse_stride]
+
+    def run_coarse(yaw):
         R0 = _yaw_matrix(yaw)
         t0 = cd - R0 @ cs
-        return _robust_icp_single(src, src_mask, dst, dst_mask, R0, t0,
+        return _robust_icp_single(src_c, mask_c, dst, dst_mask, R0, t0,
                                   jnp.float32(corr_dist), iters)
 
-    Rs, ts, inliers = jax.vmap(run)(yaws)
+    Rs, ts, inl_c = jax.vmap(run_coarse)(yaws)
+    _, top = jax.lax.top_k(inl_c, refine_top)
+
+    def run_fine(R0, t0):
+        # the init is a converged coarse pose: keep the kernel tight
+        # (start_scale 2 — see _robust_icp_single's drift note)
+        return _robust_icp_single(src, src_mask, dst, dst_mask, R0, t0,
+                                  jnp.float32(corr_dist), max(iters // 3, 4),
+                                  start_scale=2.0)
+
+    Rf, tf, inliers = jax.vmap(run_fine)(Rs[top], ts[top])
     best = jnp.argmax(inliers)
-    R, t = Rs[best], ts[best]
+    R, t = Rf[best], tf[best]
     T = jnp.eye(4, dtype=jnp.float32)
     T = T.at[:3, :3].set(R).at[:3, 3].set(t)
     return T, inliers[best]

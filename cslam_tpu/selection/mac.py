@@ -99,6 +99,13 @@ def _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=None):
     upper-bound update, duality-gap early stop BEFORE the step, step size
     alpha = 2/(it+2). Returns (relaxed w, dual, iterations used).
 
+    ``k`` is a traced operand, NOT a static: the budget is clamped to the
+    (growing) candidate count every detection round, so a static k would
+    compile a fresh FW program per distinct count — measured on the lidar
+    e2e run as ~3 s of compile/cache-load per selection round, 39% of
+    steady wall. The direction step ranks the whole padded edge tier once
+    and masks to the first k rows instead.
+
     ``eval_fn(w, aux) -> (f, grad, aux)`` may thread solver state across
     iterations through ``aux`` (e.g. the warm-started LOBPCG Ritz block);
     tiers without such state pass a scalar dummy through unchanged.
@@ -115,8 +122,9 @@ def _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=None):
         w, dual, it, _, aux = st
         f, grad, aux = eval_fn(w, aux)
         g = jnp.where(cmask > 0, grad, -jnp.inf)
-        _, idx = jax.lax.top_k(g, k)
-        s = jnp.sum(jax.nn.one_hot(idx, E, dtype=w.dtype), axis=0)
+        _, idx = jax.lax.top_k(g, E)
+        keep = (jnp.arange(E) < k)[:, None]
+        s = jnp.sum(jax.nn.one_hot(idx, E, dtype=w.dtype) * keep, axis=0)
         new_dual = jnp.minimum(
             dual, f + jnp.sum(jnp.where(cmask > 0, grad * (s - w), 0.0)))
         done_now = (new_dual - f) < tol
@@ -129,10 +137,10 @@ def _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=None):
     return w, dual, it
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters"))
+@functools.partial(jax.jit, static_argnames=("max_iters",))
 @highest_precision
 def _dense_fw_loop(L_fixed, active, ci, cj, cw, w0, cmask, tol,
-                   k: int, max_iters: int):
+                   k, max_iters: int):
     def eval_fn(w, aux):
         P = L_fixed.shape[0]
         Lw = L_fixed + fd.laplacian_from_edges(ci, cj, w * cw, P)
@@ -144,13 +152,13 @@ def _dense_fw_loop(L_fixed, active, ci, cj, cw, w0, cmask, tol,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "max_iters", "lobpcg_iters",
+                   static_argnames=("max_iters", "lobpcg_iters",
                                     "lobpcg_short_iters", "warm_ritz",
                                     "lobpcg_warm_iters"))
 @highest_precision
 def _woodbury_fw_loop(pre, active, chain_i, chain_j, chain_w,
                       lr_i, lr_j, lr_w_fixed, ci, cj, cw, w0, cmask, tol,
-                      k: int, max_iters: int, lobpcg_iters: int,
+                      k, max_iters: int, lobpcg_iters: int,
                       lobpcg_short_iters: int = 14,
                       warm_ritz: bool = False,
                       lobpcg_warm_iters: int = 6):
@@ -183,6 +191,35 @@ def _woodbury_fw_loop(pre, active, chain_i, chain_j, chain_w,
         aux0 = (jax.random.normal(key, (P, 4), jnp.float32)
                 * active[:, None])
     return _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=aux0)
+
+
+def warmup_selection_tiers(expected_poses: int, expected_candidates: int,
+                           max_iters: int = 20, **mac_kwargs) -> None:
+    """Precompile the fused Frank-Wolfe program for every (pose tier,
+    candidate tier) up to the expected sizes.
+
+    The budget ``k`` is a traced operand, so ONE program per tier pair
+    serves every detection round; without this warmup the first selection
+    at each new tier pays the remote compile/cache-load (measured 3-16 s
+    per program on the relay-attached chip — it dominated the lidar e2e
+    steady state at 39% of wall). Combine with jax's persistent
+    compilation cache, like ``DecentralizedPGO.warmup``.
+    """
+    p = 64
+    while True:
+        e = 64
+        while True:
+            fixed = [Edge(i, i + 1, 1.0) for i in range(p - 1)]
+            cands = [Edge(i % (p - 1), (i + p // 2) % p, 1.0)
+                     for i in range(e)]
+            m = MAC(fixed, cands, p, **mac_kwargs)
+            m.fw_subset(np.zeros(e), min(4, e), max_iters=max_iters)
+            if e >= _tier(max(expected_candidates, 1)):
+                break
+            e *= 2
+        if p >= _tier(max(expected_poses, 2)):
+            break
+        p *= 2
 
 
 class MAC:
