@@ -401,26 +401,30 @@ def warmup_search_tiers(capacity: int, shape: Tuple[int, int] = (20, 60),
     n = jnp.int32(1)
     pend_rk = jnp.zeros((_PENDING_PAD, shape[0]), jnp.float32)
     pend_sc = jnp.zeros((_PENDING_PAD,) + tuple(shape), jnp.float32)
+    # every program runs TWICE with distinct query values: the relay-attached
+    # chip sometimes recompiles on the call after a single warmup
     for b in batch_tiers:
-        q = jnp.zeros((b,) + tuple(shape), jnp.float32)
-        _two_stage_best(rk, rksq, sc, n, q,
-                        num_candidates)[0].block_until_ready()
-        # append-fused variant (donates its bank operands — pass copies)
-        _append_two_stage_best(
-            rk + 0, rksq + 0, sc + 0, 0, pend_rk, pend_sc, 1, q,
-            num_candidates)[-1].block_until_ready()
+        for fill in (0.0, 0.25):
+            q = jnp.full((b,) + tuple(shape), fill, jnp.float32)
+            _two_stage_best(rk, rksq, sc, n, q,
+                            num_candidates)[0].block_until_ready()
+            # append-fused variant (donates its bank operands — pass copies)
+            _append_two_stage_best(
+                rk + 0, rksq + 0, sc + 0, 0, pend_rk, pend_sc, 1, q,
+                num_candidates)[-1].block_until_ready()
     for r in multi_bank_counts:
         if r < 1:
             continue
-        q1 = jnp.zeros(tuple(shape), jnp.float32)
-        _multi_bank_best((rk,) * r, (rksq,) * r, (sc,) * r, (n,) * r,
-                         q1, num_candidates)[0].block_until_ready()
-        _append_multi_bank_best(
-            tuple(rk + 0 for _ in range(r)),
-            tuple(rksq + 0 for _ in range(r)),
-            tuple(sc + 0 for _ in range(r)),
-            (0,) * r, (pend_rk,) * r, (pend_sc,) * r, (1,) * r,
-            q1, num_candidates)[-1].block_until_ready()
+        for fill in (0.0, 0.25):
+            q1 = jnp.full(tuple(shape), fill, jnp.float32)
+            _multi_bank_best((rk,) * r, (rksq,) * r, (sc,) * r, (n,) * r,
+                             q1, num_candidates)[0].block_until_ready()
+            _append_multi_bank_best(
+                tuple(rk + 0 for _ in range(r)),
+                tuple(rksq + 0 for _ in range(r)),
+                tuple(sc + 0 for _ in range(r)),
+                (0,) * r, (pend_rk,) * r, (pend_sc,) * r, (1,) * r,
+                q1, num_candidates)[-1].block_until_ready()
 
 
 def multi_search_best(banks: List["ScanContextBank"], query: np.ndarray

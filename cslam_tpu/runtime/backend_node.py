@@ -210,18 +210,26 @@ class DecentralizedPGO:
                             self.default_sigmas)
                 # compile BOTH solver programs for this tier, without going
                 # through _optimize (which would pollute the carried TLS
-                # weights with the dummy graph's edges)
+                # weights with the dummy graph's edges). Each program is
+                # exercised TWICE with distinct operand values: the
+                # relay-attached chip sometimes recompiles on the call after
+                # a single warmup (see .claude/skills/verify gotchas), and
+                # paying that here keeps real optimizations at steady cost.
                 import jax
+                import dataclasses as _dc
                 arrays = g.to_arrays()
                 lm_iters = self.params.get("backend.lm_max_iterations", 50)
-                jax.block_until_ready(gnc_optimize(
-                    arrays,
-                    max_outer=self.params.get(
-                        "backend.gnc_max_outer_iterations", 100),
-                    lm_iters=lm_iters).poses)
-                jax.block_until_ready(gnc_reoptimize(
-                    arrays, np.ones(arrays.num_edges),
-                    lm_iters=lm_iters).poses)
+                for bump in (0.0, 1e-7):
+                    a = _dc.replace(
+                        arrays, poses=arrays.poses.at[:, 0, 3].add(bump))
+                    jax.block_until_ready(gnc_optimize(
+                        a,
+                        max_outer=self.params.get(
+                            "backend.gnc_max_outer_iterations", 100),
+                        lm_iters=lm_iters).poses)
+                    jax.block_until_ready(gnc_reoptimize(
+                        a, np.ones(arrays.num_edges),
+                        lm_iters=lm_iters).poses)
 
     # ------------------------------------------------------------------
     # Intake (cpp:233-320)
@@ -559,6 +567,24 @@ class DecentralizedPGO:
             poses[idx] = values[(slot[key[0]], key[1])]
         return poses
 
+    def _maybe_dump_graph(self, arrays) -> None:
+        """Debug hook: CSLAM_TPU_DUMP_PGO=<dir> saves every aggregate graph
+        this node solves as an .npz (PoseGraphArrays fields), so slow
+        optimizations observed in a live pipeline can be replayed and
+        profiled in isolation (benchmarks/pgo_replay_probe.py)."""
+        import os
+        dump_dir = os.environ.get("CSLAM_TPU_DUMP_PGO", "")
+        if not dump_dir:
+            return
+        import dataclasses as _dc
+        os.makedirs(dump_dir, exist_ok=True)
+        seq = getattr(self, "_dump_seq", 0)
+        self._dump_seq = seq + 1
+        np.savez(os.path.join(
+            dump_dir, f"pgo_r{self.robot_id}_{seq:03d}.npz"),
+            **{f.name: np.asarray(getattr(arrays, f.name))
+               for f in _dc.fields(arrays)})
+
     def _optimize(self, graph: FactorGraph):
         with profiling.span("pgo.optimize"):
             return self._optimize_impl(graph)
@@ -576,6 +602,7 @@ class DecentralizedPGO:
                         graph, poses_d, self.robot_id)
                 return graph, poses_d
         arrays = graph.to_arrays()
+        self._maybe_dump_graph(arrays)
         lm_iters = self.params.get("backend.lm_max_iterations", 50)
         cg_iters = self.params.get("backend.cg_max_iterations", 150)
         edge_keys = [self._edge_weight_key(e) for e in graph.edges_as_records()]

@@ -83,16 +83,20 @@ class LidarFrontEnd:
         ``DecentralizedPGO.warmup``."""
         corr = float(self.params.get("frontend.voxel_size", 0.5)) * 1.5
         import jax.numpy as jnp
-        cloud = jnp.zeros((max(pair_tiers), pad_size, 3), jnp.float32)
-        mask = jnp.ones((max(pair_tiers), pad_size), jnp.float32)
-        for p in pair_tiers:
-            registration.robust_registration_batch(
-                cloud[:p], mask[:p], cloud[:p], mask[:p],
-                corr_dist=corr)[1].block_until_ready()
-            if include_global:
-                registration.global_registration_batch(
+        # twice with distinct operand values: the relay-attached chip
+        # sometimes recompiles on the call after a single warmup
+        for fill in (0.0, 0.1):
+            cloud = jnp.full((max(pair_tiers), pad_size, 3), fill,
+                             jnp.float32)
+            mask = jnp.ones((max(pair_tiers), pad_size), jnp.float32)
+            for p in pair_tiers:
+                registration.robust_registration_batch(
                     cloud[:p], mask[:p], cloud[:p], mask[:p],
                     corr_dist=corr)[1].block_until_ready()
+                if include_global:
+                    registration.global_registration_batch(
+                        cloud[:p], mask[:p], cloud[:p], mask[:p],
+                        corr_dist=corr)[1].block_until_ready()
 
     # ------------------------------------------------------------------
 

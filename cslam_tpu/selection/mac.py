@@ -213,7 +213,10 @@ def warmup_selection_tiers(expected_poses: int, expected_candidates: int,
             cands = [Edge(i % (p - 1), (i + p // 2) % p, 1.0)
                      for i in range(e)]
             m = MAC(fixed, cands, p, **mac_kwargs)
+            # twice with distinct inits: the relay-attached chip sometimes
+            # recompiles on the call after a single warmup
             m.fw_subset(np.zeros(e), min(4, e), max_iters=max_iters)
+            m.fw_subset(np.full(e, 0.5), min(4, e), max_iters=max_iters)
             if e >= _tier(max(expected_candidates, 1)):
                 break
             e *= 2
