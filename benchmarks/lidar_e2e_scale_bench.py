@@ -154,14 +154,16 @@ def main():
         while cap < steps:  # local bank holds `steps` own scans
             cap *= 2
         for c in {1024, cap}:
+            # multi-bank search groups only non-empty banks, so the bank
+            # count varies 1..R-1 over a run — warm every count
             warmup_search_tiers(
                 c, batch_tiers=(1, 2, 4, 8, 16, 32),
-                multi_bank_counts=(R - 1,))
-        robots[0][1].warmup(pair_tiers=(1, 2))
+                multi_bank_counts=tuple(range(1, R)))
+        robots[0][1].warmup()
         # MAC selection tiers (one FW program per (pose, candidate) tier;
         # k is a traced operand so budgets don't multiply programs)
         from cslam_tpu.selection.mac import warmup_selection_tiers
-        warmup_selection_tiers(R * steps, 128)
+        warmup_selection_tiers(R * steps, 256)
         # the elected optimizer aggregates ALL robots' subgraphs
         robots[0][3].warmup(expected_poses=R * steps,
                             expected_edges=2 * R * steps)
@@ -171,25 +173,31 @@ def main():
     from cslam_tpu.utils import profiling
     profiling.reset_spans()
     t0 = time.perf_counter()
-    for i in range(steps):
-        if i % 25 == 0:
-            print(f"# step {i}/{steps} at {time.perf_counter() - t0:.1f} s",
-                  flush=True)
-        for r in range(R):
-            s, p = gt[r][i]
-            robots[r][1].lidar_callback(observe(s, p),
-                                        Odometry(pose=drifted[r][i]))
-        clock.advance(1.0)
-        for ctx, *_ in robots:
-            ctx.poll_timers()
-        bus.deliver()
-    # drain gossip + run the final optimization rounds
-    for _ in range(60):
-        clock.advance(1.0)
-        for ctx, *_ in robots:
-            ctx.poll_timers()
-        bus.deliver()
+    # steady state must not compile: every program was warmed above. The
+    # watch names any that slip through (= a tier-coverage bug to fix).
+    with profiling.CompileWatch() as cw:
+        for i in range(steps):
+            if i % 25 == 0:
+                print(f"# step {i}/{steps} at "
+                      f"{time.perf_counter() - t0:.1f} s", flush=True)
+            for r in range(R):
+                s, p = gt[r][i]
+                robots[r][1].lidar_callback(observe(s, p),
+                                            Odometry(pose=drifted[r][i]))
+            clock.advance(1.0)
+            for ctx, *_ in robots:
+                ctx.poll_timers()
+            bus.deliver()
+        # drain gossip + run the final optimization rounds
+        for _ in range(60):
+            clock.advance(1.0)
+            for ctx, *_ in robots:
+                ctx.poll_timers()
+            bus.deliver()
     wall = time.perf_counter() - t0
+    if cw.count:
+        print(f"# WARNING: {cw.count} steady-state compiles: "
+              f"{sorted(set(cw.names))}", flush=True)
 
     total_kf = sum(robots[r][1].nb_local_keyframes for r in range(R))
     be0 = robots[0][3]
@@ -229,6 +237,7 @@ def main():
         "optimizations": be0.optimization_count,
         "ate_odometry_m": round(ate_odo, 3),
         "ate_optimized_m": round(ate_opt, 3),
+        "steady_state_compiles": cw.count,
     }))
 
 

@@ -69,6 +69,10 @@ class FrontendConfig:
     # hardware — flip after benchmarks/scancontext_scale_bench.py
     # --fused-rk validates the tier on-chip
     scancontext_fused_stage1: bool = False
+    # per-keyframe scan-context binning on the host (numpy twin of the
+    # device op, bit-identical): a 20x60 max-binning over a few thousand
+    # points is ~0.5 ms — cheaper than the device dispatch it replaces
+    scancontext_host_binning: bool = True
     # MAC Woodbury-tier LOBPCG budgets: first-stage iterations before the
     # residual-gated continuation (48 disables the early exit), and the
     # opt-in Frank-Wolfe warm start that carries the Ritz block across FW

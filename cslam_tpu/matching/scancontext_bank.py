@@ -115,6 +115,32 @@ def _two_stage_best_fused(rk_aug: jax.Array, sc_bank: jax.Array,
 # per-keyframe bank-maintenance traffic to zero extra round-trips).
 _PENDING_PAD = 32
 
+# Bulk device-sync block size (see ScanContextBank._sync_device): deltas
+# are written in fixed-shape chunks so each capacity tier compiles exactly
+# two tiny update programs, never a varying-span one.
+_SYNC_CHUNK = 1024
+
+_augment_full = jax.jit(_augment_ring_keys)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _sync_chunk_unfused(sc_bank, rk_bank, rk_sq, new_sc, new_rk, start):
+    """Write one fixed-shape mirror block at ``start`` (unfused layout)."""
+    sc_bank = jax.lax.dynamic_update_slice(sc_bank, new_sc, (start, 0, 0))
+    rk_bank = jax.lax.dynamic_update_slice(rk_bank, new_rk, (start, 0))
+    rk_sq = jax.lax.dynamic_update_slice(
+        rk_sq, jnp.sum(new_rk * new_rk, axis=-1), (start,))
+    return sc_bank, rk_bank, rk_sq
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _sync_chunk_fused(sc_bank, rk_aug, new_sc, new_rk, start):
+    """Write one fixed-shape mirror block at ``start`` (fused layout)."""
+    sc_bank = jax.lax.dynamic_update_slice(sc_bank, new_sc, (start, 0, 0))
+    rk_aug = jax.lax.dynamic_update_slice(
+        rk_aug, _augment_ring_keys(new_rk), (start, 0))
+    return sc_bank, rk_aug
+
 
 @functools.partial(jax.jit, static_argnames=("num_candidates",),
                    donate_argnums=(0, 1, 2))
@@ -265,41 +291,57 @@ class ScanContextBank:
         self._device_n = 0
 
     def _sync_device(self) -> None:
-        if self._sc_bank is None or self._sc_bank.shape[0] != self._capacity:
-            # unfused ring-key banks are created lazily below (in fused
-            # mode they would be dead device memory at full capacity)
-            self._rk_bank = None
-            self._rk_sq_norms = None
-            self._sc_bank = jnp.zeros((self._capacity,) + self.shape,
-                                      jnp.float32)
-            self._rk_aug = None  # re-created lazily at the new capacity
-            self._device_n = 0
-        if self._device_n < self.nb_items:
-            lo, hi = self._device_n, self.nb_items
-            rk = jnp.asarray(self._rk_host[lo:hi])
-            self._sc_bank = jax.lax.dynamic_update_slice(
-                self._sc_bank, jnp.asarray(self._sc_host[lo:hi]), (lo, 0, 0))
-            if self._fused_stage1_ok():
-                # the unfused rk banks would be dead weight here: skip
-                # their per-add dispatches (everything resets on _grow,
-                # so a capacity that later leaves the fused gate rebuilds
-                # the unfused banks from the host mirror)
-                if self._rk_aug is None:
-                    self._rk_aug = jnp.zeros((self._capacity, _RK_AUG_DIM),
-                                             jnp.float32)
-                self._rk_aug = jax.lax.dynamic_update_slice(
-                    self._rk_aug, _augment_ring_keys(rk), (lo, 0))
+        """Bulk catch-up of the device bank from the host mirror.
+
+        Compile-stable by construction: the cold path (fresh/regrown bank)
+        is pure ``device_put`` of the full mirror — no XLA program at all
+        (sq-norms are computed with numpy; the fused augment is one jitted
+        program per capacity tier). The delta path writes fixed-shape
+        ``_SYNC_CHUNK``-row blocks sourced from the mirror (the mirror is
+        the truth, so a clamped/overlapping block write is always correct).
+        The old varying-span ``dynamic_update_slice`` sprayed one-off tiny
+        programs through the remote compile service mid-run.
+        """
+        if self._device_n >= self.nb_items and self._sc_bank is not None \
+                and self._sc_bank.shape[0] == self._capacity:
+            return
+        fused = self._fused_stage1_ok()
+        cold = (self._sc_bank is None
+                or self._sc_bank.shape[0] != self._capacity
+                or self._device_n == 0
+                or (fused and self._rk_aug is None)
+                or (not fused and self._rk_bank is None))
+        if cold:
+            self._sc_bank = jnp.asarray(self._sc_host)
+            if fused:
+                self._rk_bank = None
+                self._rk_sq_norms = None
+                self._rk_aug = _augment_full(jnp.asarray(self._rk_host))
             else:
-                if self._rk_bank is None:
-                    self._rk_bank = jnp.zeros(
-                        (self._capacity, self.shape[0]), jnp.float32)
-                    self._rk_sq_norms = jnp.zeros((self._capacity,),
-                                                  jnp.float32)
-                self._rk_bank = jax.lax.dynamic_update_slice(
-                    self._rk_bank, rk, (lo, 0))
-                self._rk_sq_norms = jax.lax.dynamic_update_slice(
-                    self._rk_sq_norms, jnp.sum(rk * rk, axis=-1), (lo,))
+                self._rk_aug = None
+                self._rk_bank = jnp.asarray(self._rk_host)
+                self._rk_sq_norms = jnp.asarray(
+                    np.sum(self._rk_host * self._rk_host, axis=-1,
+                           dtype=np.float32))
             self._device_n = self.nb_items
+            return
+        chunk = min(_SYNC_CHUNK, self._capacity)
+        lo = self._device_n
+        while lo < self.nb_items:
+            start = min(lo, self._capacity - chunk)
+            new_sc = jnp.asarray(self._sc_host[start:start + chunk])
+            new_rk = jnp.asarray(self._rk_host[start:start + chunk])
+            if fused:
+                self._sc_bank, self._rk_aug = _sync_chunk_fused(
+                    self._sc_bank, self._rk_aug, new_sc, new_rk,
+                    jnp.int32(start))
+            else:
+                (self._sc_bank, self._rk_bank,
+                 self._rk_sq_norms) = _sync_chunk_unfused(
+                    self._sc_bank, self._rk_bank, self._rk_sq_norms,
+                    new_sc, new_rk, jnp.int32(start))
+            lo = start + chunk
+        self._device_n = self.nb_items
 
     # ------------------------------------------------------------------
 
@@ -412,6 +454,14 @@ def warmup_search_tiers(capacity: int, shape: Tuple[int, int] = (20, 60),
             _append_two_stage_best(
                 rk + 0, rksq + 0, sc + 0, 0, pend_rk, pend_sc, 1, q,
                 num_candidates)[-1].block_until_ready()
+    # bulk-sync delta chunk program for this capacity tier (the cold bulk
+    # path is pure device_put and needs no warming)
+    chunk = min(_SYNC_CHUNK, capacity)
+    for fill in (0.0, 0.25):
+        new_sc = jnp.full((chunk,) + tuple(shape), fill, jnp.float32)
+        new_rk = jnp.full((chunk, shape[0]), fill, jnp.float32)
+        _sync_chunk_unfused(sc + 0, rk + 0, rksq + 0, new_sc, new_rk,
+                            jnp.int32(0))[0].block_until_ready()
     for r in multi_bank_counts:
         if r < 1:
             continue

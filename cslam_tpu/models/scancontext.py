@@ -33,10 +33,18 @@ class ScanContext:
         self.params = params
         self.shape = [sc_ops.NUM_RING, sc_ops.NUM_SECTOR]
         self.max_length = sc_ops.MAX_LENGTH
+        # A 20x60 max-binning over a few thousand points costs ~0.5 ms on
+        # the host — cheaper than the device dispatch it replaces (a full
+        # relay round-trip per keyframe on the tunneled chip). The device
+        # path remains for huge clouds and as the parity oracle.
+        self.host_binning = bool(params.get(
+            "frontend.scancontext_host_binning", True))
 
     def warmup(self, max_points: int) -> None:
         """Precompile the binning op for every point-count tier up to
-        ``max_points``."""
+        ``max_points`` (no-op on the host-binning path)."""
+        if self.host_binning:
+            return
         tier = _MIN_TIER
         while True:
             self.compute_embedding(np.zeros((tier, 3), np.float32))
@@ -47,6 +55,8 @@ class ScanContext:
     def compute_embedding(self, keyframe: np.ndarray) -> np.ndarray:
         """``[N, 3]`` points -> flattened ``[1200]`` descriptor."""
         pts = np.asarray(keyframe, np.float32).reshape(-1, 3)
+        if self.host_binning:
+            return sc_ops.points_to_scancontext_np(pts).reshape(-1)
         tier = _pad_tier(len(pts))
         if tier != len(pts):
             padded = np.full((tier, 3), np.nan, np.float32)

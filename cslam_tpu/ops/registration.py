@@ -468,7 +468,8 @@ def global_registration_batch(src, src_mask, dst, dst_mask, corr_dist: float,
 
 def compute_transform_batch(pairs, voxel_size: float, min_inliers: int,
                             pad_size: int = 1024,
-                            min_inlier_ratio: float = 0.6):
+                            min_inlier_ratio: float = 0.6,
+                            max_pair_tier: int = 8):
     """Batched :func:`compute_transform`: verify several candidate pairs in
     (up to) two device dispatches — one multi-start ICP batch, then one
     prior-free global-registration batch over only the pairs the first
@@ -477,10 +478,21 @@ def compute_transform_batch(pairs, voxel_size: float, min_inliers: int,
 
     ``pairs`` is a list of ``(src_points, dst_points)``; the pair count is
     padded to a power-of-two tier (repeating the last pair) so each tier
-    compiles once.
+    compiles once. Batches beyond ``max_pair_tier`` are processed in
+    chunks of that size so unbounded detection rounds can't hit an
+    unwarmed tier (each fresh pair tier costs a >1 min remote compile;
+    warmups cover tiers up to the cap).
     """
     if not pairs:
         return []
+    if len(pairs) > max_pair_tier:
+        out = []
+        for c in range(0, len(pairs), max_pair_tier):
+            out.extend(compute_transform_batch(
+                pairs[c:c + max_pair_tier], voxel_size, min_inliers,
+                pad_size=pad_size, min_inlier_ratio=min_inlier_ratio,
+                max_pair_tier=max_pair_tier))
+        return out
     p = len(pairs)
     tier = 1
     while tier < p:

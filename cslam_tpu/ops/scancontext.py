@@ -67,6 +67,40 @@ def points_to_scancontext(points: jax.Array, num_ring: int = NUM_RING,
     return grid.at[ring, sector].max(height, mode="drop")
 
 
+def points_to_scancontext_np(points, num_ring: int = NUM_RING,
+                             num_sector: int = NUM_SECTOR,
+                             max_length: float = MAX_LENGTH):
+    """Host (numpy) twin of :func:`points_to_scancontext`.
+
+    Same math in the same float32 precision. A 20x60 max-binning over a
+    few thousand points is ~0.5 ms on a robot CPU — cheaper than one
+    device dispatch (a full relay round-trip on the tunneled chip, and a
+    queue slot on a local one), so the per-keyframe embedding defaults to
+    this path (``frontend.scancontext_host_binning``). Bit-parity with
+    the device op is pinned in ``tests/test_scancontext.py``.
+    """
+    import numpy as np
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    finite = np.all(np.isfinite(pts), axis=-1)
+    x = np.where(finite, pts[:, 0], np.float32(1.0))
+    y = np.where(finite, pts[:, 1], np.float32(1.0))
+    z = np.where(finite, pts[:, 2], np.float32(0.0))
+
+    r = np.sqrt(x * x + y * y)
+    theta = np.degrees(np.arctan2(y, x)) % np.float32(360.0)
+
+    gap_ring = np.float32(max_length / num_ring)
+    gap_sector = np.float32(360.0 / num_sector)
+    ring = np.clip((r / gap_ring).astype(np.int32), 0, num_ring - 1)
+    sector = np.clip((theta / gap_sector).astype(np.int32), 0,
+                     num_sector - 1)
+    height = (z + np.float32(HEIGHT_OFFSET)).astype(np.float32)
+
+    grid = np.zeros((num_ring, num_sector), np.float32)
+    np.maximum.at(grid, (ring[finite], sector[finite]), height[finite])
+    return grid
+
+
 def ring_key(sc: jax.Array) -> jax.Array:
     """Rotation-invariant ring key: per-ring mean over sectors
     (reference ``scancontext_utils.py:75-76``)."""

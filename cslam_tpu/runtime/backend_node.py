@@ -210,26 +210,24 @@ class DecentralizedPGO:
                             self.default_sigmas)
                 # compile BOTH solver programs for this tier, without going
                 # through _optimize (which would pollute the carried TLS
-                # weights with the dummy graph's edges). Each program is
-                # exercised TWICE with distinct operand values: the
-                # relay-attached chip sometimes recompiles on the call after
-                # a single warmup (see .claude/skills/verify gotchas), and
-                # paying that here keeps real optimizations at steady cost.
+                # weights with the dummy graph's edges). The calls MUST go
+                # through the same _gnc_call/_reopt_call chokepoints as real
+                # optimizations: jax.jit's cache key includes WHICH keyword
+                # arguments were explicitly passed, so a warmup call spelled
+                # with fewer kwargs than the production call retraces and
+                # recompiles the whole program on first real use (measured
+                # 40+ s per tier on the relay-attached chip; this was the
+                # "recompiles after a single warmup" mystery). Each program
+                # is still exercised twice with distinct operand values.
                 import jax
                 import dataclasses as _dc
                 arrays = g.to_arrays()
-                lm_iters = self.params.get("backend.lm_max_iterations", 50)
                 for bump in (0.0, 1e-7):
                     a = _dc.replace(
                         arrays, poses=arrays.poses.at[:, 0, 3].add(bump))
-                    jax.block_until_ready(gnc_optimize(
-                        a,
-                        max_outer=self.params.get(
-                            "backend.gnc_max_outer_iterations", 100),
-                        lm_iters=lm_iters).poses)
-                    jax.block_until_ready(gnc_reoptimize(
-                        a, np.ones(arrays.num_edges),
-                        lm_iters=lm_iters).poses)
+                    jax.block_until_ready(self._gnc_call(a).poses)
+                    jax.block_until_ready(self._reopt_call(
+                        a, np.ones(arrays.num_edges)).poses)
 
     # ------------------------------------------------------------------
     # Intake (cpp:233-320)
@@ -567,6 +565,28 @@ class DecentralizedPGO:
             poses[idx] = values[(slot[key[0]], key[1])]
         return poses
 
+    def _gnc_call(self, arrays):
+        """Single chokepoint for ``gnc_optimize`` — warmup and production
+        MUST share one call structure (identical kwarg set), because
+        jax.jit's cache key includes which kwargs were explicitly passed."""
+        return gnc_optimize(
+            arrays,
+            max_outer=self.params.get(
+                "backend.gnc_max_outer_iterations", 100),
+            lm_iters=self.params.get("backend.lm_max_iterations", 50),
+            cg_iters=self.params.get("backend.cg_max_iterations", 150),
+            barc_sq=self.params.get("backend.gnc_barc_sq", 16.81),
+            mu_step=self.params.get("backend.gnc_mu_step",
+                                    config.BackendConfig.gnc_mu_step))
+
+    def _reopt_call(self, arrays, weights):
+        """Chokepoint for ``gnc_reoptimize`` (see :meth:`_gnc_call`)."""
+        return gnc_reoptimize(
+            arrays, weights,
+            lm_iters=self.params.get("backend.lm_max_iterations", 50),
+            cg_iters=self.params.get("backend.cg_max_iterations", 150),
+            barc_sq=self.params.get("backend.gnc_barc_sq", 16.81))
+
     def _maybe_dump_graph(self, arrays) -> None:
         """Debug hook: CSLAM_TPU_DUMP_PGO=<dir> saves every aggregate graph
         this node solves as an .npz (PoseGraphArrays fields), so slow
@@ -603,8 +623,6 @@ class DecentralizedPGO:
                 return graph, poses_d
         arrays = graph.to_arrays()
         self._maybe_dump_graph(arrays)
-        lm_iters = self.params.get("backend.lm_max_iterations", 50)
-        cg_iters = self.params.get("backend.cg_max_iterations", 150)
         edge_keys = [self._edge_weight_key(e) for e in graph.edges_as_records()]
         full_every = self.params.get(
             "backend.full_gnc_every_n_optimizations", 10)
@@ -612,23 +630,14 @@ class DecentralizedPGO:
                    and self._last_edge_weights
                    and (full_every <= 0
                         or self.optimization_count % full_every != 0))
-        barc_sq = self.params.get("backend.gnc_barc_sq", 16.81)
         if warm_ok:
             # incremental round: previous TLS weights, new edges enter at 1
             w = np.ones(arrays.num_edges, np.float64)
             for slot, k in enumerate(edge_keys):
                 w[slot] = self._last_edge_weights.get(k, 1.0)
-            result = gnc_reoptimize(arrays, w, lm_iters=lm_iters,
-                                    cg_iters=cg_iters, barc_sq=barc_sq)
+            result = self._reopt_call(arrays, w)
         else:
-            result = gnc_optimize(
-                arrays,
-                max_outer=self.params.get(
-                    "backend.gnc_max_outer_iterations", 100),
-                lm_iters=lm_iters, cg_iters=cg_iters, barc_sq=barc_sq,
-                mu_step=self.params.get(
-                    "backend.gnc_mu_step",
-                    config.BackendConfig.gnc_mu_step))
+            result = self._gnc_call(arrays)
         weights = np.asarray(result.weights)
         self._last_edge_weights = {k: float(weights[slot])
                                    for slot, k in enumerate(edge_keys)}

@@ -74,7 +74,7 @@ class LidarFrontEnd:
     def gps_callback(self, msg) -> None:
         self.latest_gps = msg
 
-    def warmup(self, pair_tiers=(1, 2), pad_size: int = 1024,
+    def warmup(self, pair_tiers=(1, 2, 4, 8), pad_size: int = 1024,
                include_global: bool = True) -> None:
         """Precompile the geometric-verification programs for the given
         pair-batch tiers (the multi-start ICP sweep and, optionally, the

@@ -57,6 +57,13 @@ def _pad_edges(edges: Sequence[Edge], size: int):
     return i, j, w
 
 
+# Woodbury-tier weight-independent precompute as ONE compiled program per
+# shape tier: it runs on every MAC construction (i.e. every detection
+# round), and its eager scatter/tridiagonal assembly would otherwise
+# dispatch a dozen separate tiny programs each time.
+_chain_precompute_jit = jax.jit(fd.chain_lowrank_precompute)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _dense_fw_step(L_fixed, active, ci, cj, cw, w):
     """One FW evaluation on the dense tier: (lambda_2, supergradient)."""
@@ -259,9 +266,20 @@ class MAC:
                                         jnp.asarray(cw))
 
         if self._dense:
-            fi, fj, fw = _pad_edges(fixed_edges, max(len(fixed_edges), 1))
-            self._L_fixed = fd.laplacian_from_edges(
-                jnp.asarray(fi), jnp.asarray(fj), jnp.asarray(fw), self._P)
+            # Host (numpy) assembly: the fixed Laplacian is a
+            # weight-independent precompute, and the fixed-edge list GROWS
+            # every detection round — an eager device assembly compiled 8
+            # tiny programs at a fresh shape per round (caught by
+            # CompileWatch in the lidar e2e). numpy + one device_put is
+            # shape-insensitive and compiles nothing.
+            L = np.zeros((self._P, self._P), np.float32)
+            for e in fixed_edges:
+                w = np.float32(e.weight)
+                L[e.i, e.i] += w
+                L[e.j, e.j] += w
+                L[e.i, e.j] -= w
+                L[e.j, e.i] -= w
+            self._L_fixed = jnp.asarray(L)
         else:
             self._setup_chain_lowrank(fixed_edges, ci, cj, cw)
 
@@ -277,7 +295,13 @@ class MAC:
                 chain_w[min(e.i, e.j)] += e.weight
             else:
                 lr_fixed.append(e)
-        mf = _tier(max(len(lr_fixed), 1), minimum=8)
+        # Floor the non-chain fixed-edge pad high: verified loop closures
+        # accumulate into lr_fixed during a run, and every tier crossing
+        # recompiles the whole FW program (~40 s on the relay-attached
+        # chip). 128 keeps one program per (pose, candidate) tier for any
+        # realistic run; the Woodbury capacitance grows by mf out of
+        # mf + candidate_tier, so the pad is near-free.
+        mf = _tier(max(len(lr_fixed), 1), minimum=128)
         fi, fj, fw = _pad_edges(lr_fixed, mf)
 
         # sigma must dominate lambda_max over any candidate weighting:
@@ -300,7 +324,7 @@ class MAC:
         lr_j = np.concatenate([fj, cj])
         self._lr_i, self._lr_j = jnp.asarray(lr_i), jnp.asarray(lr_j)
         self._lr_w_fixed = jnp.asarray(fw)
-        self._pre = fd.chain_lowrank_precompute(
+        self._pre = _chain_precompute_jit(
             self._chain_w, self._lr_i, self._lr_j, self._active, sigma)
 
     # ------------------------------------------------------------------

@@ -74,3 +74,52 @@ def annotate(name: str):
     """Label a host region inside a device trace."""
     import jax
     return jax.profiler.TraceAnnotation(name)
+
+
+class CompileWatch:
+    """Count (and name) XLA compiles inside a region.
+
+    Steady-state product paths must not compile — every mid-run compile is
+    a warmup/tier-coverage bug costing 10-60 s on the relay-attached chip
+    (the lidar e2e spent 60% of its round-3 wall-clock this way). Wrap the
+    steady region and assert ``watch.count == 0``; ``watch.names`` says
+    which program slipped through.
+
+    Implemented as a logging handler on jax's compile logs, so it sees
+    compiles regardless of which API triggered them.
+    """
+
+    def __init__(self):
+        self.count = 0
+        self.names: list = []
+
+    def __enter__(self):
+        import logging
+        import jax
+        self._flag = jax.config.jax_log_compiles
+        jax.config.update("jax_log_compiles", True)
+
+        watch = self
+
+        class _H(logging.Handler):
+            def emit(self, record):
+                msg = record.getMessage()
+                if "Compiling" in msg or "Finished XLA compilation" in msg:
+                    if "Compiling" in msg:
+                        watch.count += 1
+                        watch.names.append(msg.split()[1].strip("'\""))
+
+        self._handler = _H(level=0)
+        self._loggers = [logging.getLogger(n) for n in
+                         ("jax._src.interpreters.pxla", "jax._src.dispatch",
+                          "jax._src.compiler")]
+        for lg in self._loggers:
+            lg.addHandler(self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        for lg in self._loggers:
+            lg.removeHandler(self._handler)
+        jax.config.update("jax_log_compiles", self._flag)
+        return False

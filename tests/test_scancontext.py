@@ -58,6 +58,30 @@ class TestDescriptor:
         theirs = np_scancontext(pts)
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
+    def test_host_binning_matches_device_op(self):
+        """The host (numpy) twin used by the per-keyframe embedding path
+        must reproduce the device op exactly — padding NaNs included."""
+        rng = np.random.default_rng(7)
+        for n in (1, 37, 500, 2000):
+            pts = random_cloud(rng, n).astype(np.float32)
+            padded = np.full((2048, 3), np.nan, np.float32)
+            padded[:n] = pts
+            dev = np.asarray(
+                sc_ops.points_to_scancontext(jnp.asarray(padded)))
+            host = sc_ops.points_to_scancontext_np(padded)
+            np.testing.assert_array_equal(dev, host)
+
+    def test_model_host_binning_default_and_parity(self):
+        from cslam_tpu.models.scancontext import ScanContext
+        rng = np.random.default_rng(8)
+        pts = random_cloud(rng, 700).astype(np.float32)
+        host_model = ScanContext({})
+        dev_model = ScanContext({"frontend.scancontext_host_binning": False})
+        assert host_model.host_binning
+        np.testing.assert_allclose(host_model.compute_embedding(pts),
+                                   dev_model.compute_embedding(pts),
+                                   atol=1e-6)
+
     def test_nan_points_ignored(self):
         rng = np.random.default_rng(1)
         pts = random_cloud(rng, 100)
