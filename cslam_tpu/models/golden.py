@@ -65,13 +65,14 @@ def golden_resnet18_trunk(rng, sd: Dict, prefix: str) -> None:
             cin = feats
 
 
-def golden_resnet50_trunk(rng, sd: Dict, prefix: str) -> None:
-    """torchvision resnet50 trunk as nn.Sequential (Bottleneck blocks:
-    conv1/conv2/conv3 + downsample on every stage's first block, including
-    layer1 where the expansion 64 -> 256 forces one)."""
+def golden_bottleneck_trunk(rng, sd: Dict, prefix: str,
+                            variant: str = "resnet50") -> None:
+    """torchvision resnet50/101/152 trunk as nn.Sequential (Bottleneck
+    blocks: conv1/conv2/conv3 + downsample on every stage's first block,
+    including layer1 where the expansion 64 -> 256 forces one)."""
     sd[f"{prefix}0.weight"] = _conv_w(rng, 64, 3, 7, 7)
     _bn(rng, sd, f"{prefix}1", 64)
-    blocks, _ = _RESNET_LAYERS["resnet50"]
+    blocks, _ = _RESNET_LAYERS[variant]
     cin = 64
     for stage, (n_blocks, width) in enumerate(
             zip(blocks, (64, 128, 256, 512))):
@@ -107,9 +108,17 @@ def golden_vgg16_trunk(rng, sd: Dict, prefix: str) -> None:
         seq_idx += 2
 
 
+import functools as _functools
+
+golden_resnet50_trunk = golden_bottleneck_trunk  # back-compat alias
+
 _COSPLACE_TRUNKS = {
     "resnet18": (golden_resnet18_trunk, 512),
-    "resnet50": (golden_resnet50_trunk, 2048),
+    "resnet50": (golden_bottleneck_trunk, 2048),
+    "resnet101": (_functools.partial(golden_bottleneck_trunk,
+                                     variant="resnet101"), 2048),
+    "resnet152": (_functools.partial(golden_bottleneck_trunk,
+                                     variant="resnet152"), 2048),
     "vgg16": (golden_vgg16_trunk, 512),
 }
 

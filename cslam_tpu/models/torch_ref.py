@@ -76,23 +76,34 @@ class TBottleneck(tnn.Module):
         return F.relu(y + idt)
 
 
-def torch_resnet50_trunk() -> tnn.Sequential:
-    """torchvision resnet50 feature trunk (children()[:-2]) layout."""
+_BOTTLENECK_BLOCKS = {"resnet50": (3, 4, 6, 3),
+                      "resnet101": (3, 4, 23, 3),
+                      "resnet152": (3, 8, 36, 3)}
+
+
+def torch_bottleneck_trunk(variant: str = "resnet50") -> tnn.Sequential:
+    """torchvision resnet50/101/152 feature trunk (children()[:-2])."""
     def stage(cin, width, n, stride):
         blocks = [TBottleneck(cin, width, stride)]
         blocks += [TBottleneck(width * 4, width) for _ in range(n - 1)]
         return tnn.Sequential(*blocks)
 
+    n1, n2, n3, n4 = _BOTTLENECK_BLOCKS[variant]
     return tnn.Sequential(
         tnn.Conv2d(3, 64, 7, 2, 3, bias=False),
         tnn.BatchNorm2d(64),
         tnn.ReLU(inplace=True),
         tnn.MaxPool2d(3, 2, 1),
-        stage(64, 64, 3, 1),
-        stage(256, 128, 4, 2),
-        stage(512, 256, 6, 2),
-        stage(1024, 512, 3, 2),
+        stage(64, 64, n1, 1),
+        stage(256, 128, n2, 2),
+        stage(512, 256, n3, 2),
+        stage(1024, 512, n4, 2),
     )
+
+
+def torch_resnet50_trunk() -> tnn.Sequential:
+    """torchvision resnet50 feature trunk (children()[:-2]) layout."""
+    return torch_bottleneck_trunk("resnet50")
 
 
 def torch_resnet18_trunk() -> tnn.Sequential:
@@ -141,6 +152,10 @@ class TCosPlace(tnn.Module):
 
     _TRUNKS = {"resnet18": (torch_resnet18_trunk, 512),
                "resnet50": (torch_resnet50_trunk, 2048),
+               "resnet101": (lambda: torch_bottleneck_trunk("resnet101"),
+                             2048),
+               "resnet152": (lambda: torch_bottleneck_trunk("resnet152"),
+                             2048),
                "vgg16": (torch_vgg16_trunk, 512)}
 
     def __init__(self, dim=64, backbone="resnet18"):

@@ -36,7 +36,8 @@ def main():
 
     # CosPlace: full descriptor path, every backbone the config accepts
     d_cosplace = {}
-    for backbone in ("resnet18", "resnet50", "vgg16"):
+    for backbone in ("resnet18", "resnet50", "resnet101", "resnet152",
+                     "vgg16"):
         sd = {k: torch.as_tensor(v) for k, v in
               golden.golden_cosplace_state_dict(backbone=backbone).items()}
         tmodel = torch_ref.TCosPlace(dim=64, backbone=backbone).eval()
@@ -60,11 +61,14 @@ def main():
         OUT,
         cosplace=d_cosplace["resnet18"].astype(np.float16),
         cosplace_resnet50=d_cosplace["resnet50"].astype(np.float16),
+        cosplace_resnet101=d_cosplace["resnet101"].astype(np.float16),
+        cosplace_resnet152=d_cosplace["resnet152"].astype(np.float16),
         cosplace_vgg16=d_cosplace["vgg16"].astype(np.float16),
         netvlad_vlad=vlad.astype(np.float16),
         netvlad_pca=d_netvlad.astype(np.float16))
     print(f"wrote {os.path.abspath(OUT)}: "
-          f"cosplace {d_cosplace['resnet18'].shape} (+resnet50, vgg16), "
+          f"cosplace {d_cosplace['resnet18'].shape} "
+          f"(+resnet50/101/152, vgg16), "
           f"vlad {vlad.shape}, pca {d_netvlad.shape}")
 
 
