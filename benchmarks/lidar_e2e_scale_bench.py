@@ -163,7 +163,7 @@ def main():
         # MAC selection tiers (one FW program per (pose, candidate) tier;
         # k is a traced operand so budgets don't multiply programs)
         from cslam_tpu.selection.mac import warmup_selection_tiers
-        warmup_selection_tiers(R * steps, 256)
+        warmup_selection_tiers(R * steps, 1024)
         # the elected optimizer aggregates ALL robots' subgraphs
         robots[0][3].warmup(expected_poses=R * steps,
                             expected_edges=2 * R * steps)

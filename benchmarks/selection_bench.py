@@ -28,7 +28,10 @@ _ap.add_argument("--repeats", type=int, default=5)
 _ap.add_argument("--full-lobpcg", action="store_true",
                  help="disable the two-stage LOBPCG early exit (A/B)")
 _ap.add_argument("--warm-ritz", action="store_true",
-                 help="carry the LOBPCG Ritz block across FW iterations (A/B)")
+                 help="(now the default; kept for A/B script compat)")
+_ap.add_argument("--no-warm-ritz", action="store_true",
+                 help="disable the FW Ritz-block warm start (A/B baseline; "
+                      "default ON since the round-4 on-chip A/B)")
 _args = _ap.parse_args()
 
 if _args.cpu:
@@ -49,8 +52,8 @@ def build_acm(nb_robots, nb_poses, nb_candidates, nb_fixed, rng):
     extra = {}
     if _args.full_lobpcg:
         extra["frontend.mac_lobpcg_short_iters"] = 48
-    if _args.warm_ritz:
-        extra["frontend.mac_fw_warm_ritz"] = True
+    if _args.no_warm_ritz:
+        extra["frontend.mac_fw_warm_ritz"] = False
     extra = extra or None
     acm = AlgebraicConnectivityMaximization(robot_id=0,
                                             max_nb_robots=nb_robots,
@@ -108,7 +111,8 @@ def main():
     print(json.dumps({
         "metric": "mac_selection_wallclock_10robot_5000pose_1000cand",
         "lobpcg": ("full48" if _args.full_lobpcg
-                   else "warm_ritz" if _args.warm_ritz else "early_exit"),
+                   else "early_exit" if _args.no_warm_ritz
+                   else "warm_ritz"),
         "value": round(last[3] * 1e3, 1), "unit": "ms",
         "tiers": [{"robots": r, "poses": n, "candidates": c,
                    "median_ms": round(t * 1e3, 1), "sel_hash": h}

@@ -76,10 +76,12 @@ class FrontendConfig:
     # MAC Woodbury-tier LOBPCG budgets: first-stage iterations before the
     # residual-gated continuation (48 disables the early exit), and the
     # opt-in Frank-Wolfe warm start that carries the Ritz block across FW
-    # iterations (shrinking the first stage to mac_lobpcg_warm_iters). Warm
-    # start off until A/B'd on real hardware — selection_bench --warm-ritz
+    # iterations (shrinking the first stage to mac_lobpcg_warm_iters).
+    # Default ON since the round-4 on-chip A/B: selections bit-identical
+    # at every tier (sel_hash match) and the headline 10r/5000p/1000c
+    # tier drops 5501 -> 4148 ms — under the 5 s detection period.
     mac_lobpcg_short_iters: int = 14
-    mac_fw_warm_ritz: bool = False
+    mac_fw_warm_ritz: bool = True
     mac_lobpcg_warm_iters: int = 6
     warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
     # local-descriptor payloads ship deflate-compressed, like the

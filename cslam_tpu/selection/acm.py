@@ -281,13 +281,28 @@ class AlgebraicConnectivityMaximization:
     def run_mac_solver(self, fixed_edges: List[Edge],
                        candidate_edges: List[Edge], w_init: np.ndarray,
                        nb_to_choose: int) -> np.ndarray:
+        from cslam_tpu.selection.mac import mac_kwargs_from_params
+        mac_kwargs = mac_kwargs_from_params(self.params)
         mac = MAC(fixed_edges, candidate_edges, self.total_nb_poses,
-                  lobpcg_short_iters=int(self.params.get(
-                      "frontend.mac_lobpcg_short_iters", 14)),
-                  fw_warm_ritz=bool(self.params.get(
-                      "frontend.mac_fw_warm_ritz", False)),
-                  lobpcg_warm_iters=int(self.params.get(
-                      "frontend.mac_lobpcg_warm_iters", 6)))
+                  **mac_kwargs)
+        # Background-compile the NEXT shape tier when a growth counter
+        # passes 75% of its pad, so a mid-mission tier crossing never
+        # stalls the detection plane on a foreground remote compile
+        # (measured 105 s for one tier in the round-3 lidar e2e).
+        from cslam_tpu.selection.mac import prefetch_selection_tier_async
+        nexts = []
+        if len(candidate_edges) * 4 >= mac._E * 3:
+            nexts.append((self.total_nb_poses, mac._E + 1,
+                          mac.num_lr_fixed))
+        if self.total_nb_poses * 4 >= mac._P * 3:
+            nexts.append((mac._P + 1, len(candidate_edges),
+                          mac.num_lr_fixed))
+        if not mac._dense and mac.num_lr_fixed * 4 >= 3 * mac._mf:
+            nexts.append((self.total_nb_poses, len(candidate_edges),
+                          mac._mf + 1))
+        for nxt in nexts:
+            prefetch_selection_tier_async(
+                *nxt, max_iters=self.max_iters, **mac_kwargs)
         # Retry ladder with increasingly random initializations, the
         # reference's recovery semantics (acm.py:448-465: singular-matrix
         # failures happen when the selected measurements disconnect the

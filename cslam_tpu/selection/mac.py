@@ -40,6 +40,19 @@ from cslam_tpu.types import Edge
 
 _DENSE_MAX_NODES = 512  # above this, use the chain+low-rank solver
 
+# Tier floors. Every distinct (P, E, mf) shape triple compiles its own FW
+# program (30-105 s on the relay-attached chip — a mid-run tier crossing
+# stalls the whole detection plane, measured as 65% of the round-3 lidar
+# e2e steady wall). The marginal device cost of generous padding is tiny
+# next to that: the E axis only feeds a top_k + one-hot (E^2 f32 = 4 MB at
+# 1024), the mf axis only grows the Woodbury capacitance Cholesky
+# ((mf+E)^3/3 flops — microseconds on the MXU), and pose padding is
+# masked via `active`. So pad E and mf high enough that a realistic run
+# never crosses a tier, and keep the P axis (the real cost axis: dense
+# eigh is P^3 per FW iteration, the tridiagonal solves are O(P)).
+_E_FLOOR = 1024   # candidate-edge tier floor
+_MF_FLOOR = 512   # non-chain fixed-edge (verified loop) tier floor
+
 
 def _tier(n: int, minimum: int = 64) -> int:
     t = minimum
@@ -200,6 +213,72 @@ def _woodbury_fw_loop(pre, active, chain_i, chain_j, chain_w,
     return _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=aux0)
 
 
+def mac_kwargs_from_params(params: dict) -> dict:
+    """MAC constructor kwargs as production (ACM) resolves them from the
+    config tree. Warmups and tier prefetches MUST build their MACs with
+    exactly these kwargs — they are static jit args, so a mismatch warms
+    the wrong program (the round-3 'recompiles after warmup' class)."""
+    return dict(
+        lobpcg_short_iters=int(params.get(
+            "frontend.mac_lobpcg_short_iters", 14)),
+        fw_warm_ritz=bool(params.get("frontend.mac_fw_warm_ritz", True)),
+        lobpcg_warm_iters=int(params.get(
+            "frontend.mac_lobpcg_warm_iters", 6)))
+
+
+_PREFETCHED: set = set()
+_PREFETCH_LOCK = None  # created lazily (threading import kept off hot path)
+
+
+def prefetch_selection_tier_async(num_poses: int, num_candidates: int,
+                                  num_fixed_loops: int = 0,
+                                  max_iters: int = 20,
+                                  **mac_kwargs) -> None:
+    """Compile the FW program for the given sizes in a daemon thread.
+
+    Tier crossings mid-mission stall the detection plane for the full
+    remote-compile latency (measured 105 s for one ``_woodbury_fw_loop``
+    on the relay-attached chip). Callers watch their growth counters
+    (candidates, verified loops, poses) and invoke this when a counter
+    nears its current tier; the compile then happens concurrently with
+    normal operation (worker-thread compiles are starved ~3x by main-loop
+    dispatches, but 3x-slower-in-background beats a foreground stall) and
+    lands in both the in-process and persistent compilation caches.
+    Deduplicated per tier key; errors are swallowed (a failed prefetch
+    just means the crossing pays the compile like before).
+    """
+    import threading
+    global _PREFETCH_LOCK
+    if _PREFETCH_LOCK is None:
+        _PREFETCH_LOCK = threading.Lock()
+    p = _tier(max(num_poses, 2))
+    e = _tier(max(num_candidates, 1), minimum=_E_FLOOR)
+    mf = _tier(max(num_fixed_loops, 1), minimum=_MF_FLOOR)
+    key = (p, e, mf, max_iters, tuple(sorted(mac_kwargs.items())))
+    with _PREFETCH_LOCK:
+        if key in _PREFETCHED:
+            return
+        _PREFETCHED.add(key)
+
+    def _compile():
+        try:
+            fixed = [Edge(i, i + 1, 1.0) for i in range(p - 1)]
+            # enough non-chain fixed edges to land exactly on the mf tier
+            nf = 1 if mf <= _MF_FLOOR else mf // 2 + 1
+            fixed += [Edge(i % (p - 2), (i + p // 2) % p, 1.0)
+                      for i in range(nf)]
+            cands = [Edge(i % (p - 1), (i + p // 3 + 1) % p, 1.0)
+                     for i in range(e)]
+            m = MAC(fixed, cands, p, **mac_kwargs)
+            m.fw_subset(np.zeros(e), 4, max_iters=max_iters)
+            m.fw_subset(np.full(e, 0.5), 4, max_iters=max_iters)
+        except Exception:  # noqa: BLE001 - prefetch is best-effort
+            pass
+
+    threading.Thread(target=_compile, daemon=True,
+                     name=f"mac-prefetch-{p}-{e}-{mf}").start()
+
+
 def warmup_selection_tiers(expected_poses: int, expected_candidates: int,
                            max_iters: int = 20, **mac_kwargs) -> None:
     """Precompile the fused Frank-Wolfe program for every (pose tier,
@@ -214,7 +293,7 @@ def warmup_selection_tiers(expected_poses: int, expected_candidates: int,
     """
     p = 64
     while True:
-        e = 64
+        e = _E_FLOOR
         while True:
             fixed = [Edge(i, i + 1, 1.0) for i in range(p - 1)]
             cands = [Edge(i % (p - 1), (i + p // 2) % p, 1.0)
@@ -224,7 +303,7 @@ def warmup_selection_tiers(expected_poses: int, expected_candidates: int,
             # recompiles on the call after a single warmup
             m.fw_subset(np.zeros(e), min(4, e), max_iters=max_iters)
             m.fw_subset(np.full(e, 0.5), min(4, e), max_iters=max_iters)
-            if e >= _tier(max(expected_candidates, 1)):
+            if e >= _tier(max(expected_candidates, 1), minimum=_E_FLOOR):
                 break
             e *= 2
         if p >= _tier(max(expected_poses, 2)):
@@ -247,13 +326,15 @@ class MAC:
                  fw_warm_ritz: bool = False, lobpcg_warm_iters: int = 6):
         self.num_poses = num_poses
         self._P = _tier(max(num_poses, 2))
-        self._E = _tier(max(len(candidate_edges), 1))
+        self._E = _tier(max(len(candidate_edges), 1), minimum=_E_FLOOR)
         self._m = len(candidate_edges)
         self._lobpcg_iters = lobpcg_iters
         self._lobpcg_short_iters = lobpcg_short_iters
         self._fw_warm_ritz = fw_warm_ritz
         self._lobpcg_warm_iters = lobpcg_warm_iters
         self._dense = self._P <= _DENSE_MAX_NODES
+
+        self.num_lr_fixed = 0  # set by _setup_chain_lowrank on its tier
 
         active = np.zeros(self._P, np.float32)
         active[:num_poses] = 1.0
@@ -295,13 +376,14 @@ class MAC:
                 chain_w[min(e.i, e.j)] += e.weight
             else:
                 lr_fixed.append(e)
-        # Floor the non-chain fixed-edge pad high: verified loop closures
-        # accumulate into lr_fixed during a run, and every tier crossing
-        # recompiles the whole FW program (~40 s on the relay-attached
-        # chip). 128 keeps one program per (pose, candidate) tier for any
-        # realistic run; the Woodbury capacitance grows by mf out of
-        # mf + candidate_tier, so the pad is near-free.
-        mf = _tier(max(len(lr_fixed), 1), minimum=128)
+        self.num_lr_fixed = len(lr_fixed)
+        # Floor the non-chain fixed-edge pad high (see _MF_FLOOR): verified
+        # loop closures accumulate into lr_fixed during a run, and every
+        # tier crossing recompiles the whole FW program. Round 3's floor of
+        # 128 was crossed at loop 129 of the lidar e2e (132 loops total) —
+        # a 105 s _woodbury_fw_loop recompile mid-run.
+        mf = _tier(max(len(lr_fixed), 1), minimum=_MF_FLOOR)
+        self._mf = mf
         fi, fj, fw = _pad_edges(lr_fixed, mf)
 
         # sigma must dominate lambda_max over any candidate weighting:

@@ -98,9 +98,16 @@ def test_mac_woodbury_construction_no_retrace():
     m = MAC(fixed, cands, P)
     m.fw_subset(np.zeros(len(cands)), 4, max_iters=8)
     with CompileWatch() as w:
-        m2 = MAC(fixed + [Edge(3, 77, 1.2), Edge(9, 401, 0.8)],
-                 cands[:17], P)
-        m2.fw_subset(np.zeros(17), 4, max_iters=8)
+        # Round-3 regression shape: 140 verified loops crossed the old
+        # mf floor of 128 mid-run (a 105 s foreground recompile on chip)
+        # and a 300-candidate round crossed the old E tier of 256. Both
+        # must now land inside the floored tiers.
+        many_loops = [Edge((5 * i) % (P - 3), (5 * i + 41) % P, 1.1)
+                      for i in range(140)]
+        many_cands = [Edge((3 * i) % (P - 2), (3 * i + 67) % P, 1.0)
+                      for i in range(300)]
+        m2 = MAC(fixed + many_loops, many_cands, P)
+        m2.fw_subset(np.zeros(300), 4, max_iters=8)
     assert w.count == 0, f"woodbury tier compiled: {sorted(set(w.names))}"
 
 
