@@ -21,6 +21,7 @@ import numpy as np
 
 from cslam_tpu.ops import scancontext as sc_ops
 from cslam_tpu.ops import topk as topk_ops
+from cslam_tpu.utils import profiling
 from cslam_tpu.ops.nns_pallas import (KERNEL_K, TILE_N,
                                       cosine_topk_fused2_pre)
 
@@ -423,7 +424,8 @@ class ScanContextBank:
             idx, dists = _two_stage_best(
                 self._rk_bank, self._rk_sq_norms, self._sc_bank,
                 jnp.int32(self.nb_items), queries_sc, self.num_candidates)
-        idx, dists = np.asarray(idx)[:b], np.asarray(dists)[:b]
+        with profiling.span("nns.batch_read"):
+            idx, dists = np.asarray(idx)[:b], np.asarray(dists)[:b]
         return [(self.items[int(i)], float(1.0 - d)) if d < 1.0
                 else (self.items[0], 0.0)
                 for i, d in zip(idx, dists)]
@@ -538,7 +540,8 @@ def multi_search_best(banks: List["ScanContextBank"], query: np.ndarray
         for (i, b), (rk, rksq, sc) in zip(grouped, new_banks):
             b._rk_bank, b._rk_sq_norms, b._sc_bank = rk, rksq, sc
             b._device_n = b.nb_items
-        idx, dists = np.asarray(idx), np.asarray(dists)
+        with profiling.span("nns.multi_read"):
+            idx, dists = np.asarray(idx), np.asarray(dists)
         for (i, b), j, d in zip(grouped, idx, dists):
             out[i] = ((b.items[int(j)], float(1.0 - d)) if d < 1.0
                       else (b.items[0], 0.0))

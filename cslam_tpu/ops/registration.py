@@ -503,12 +503,15 @@ def compute_transform_batch(pairs, voxel_size: float, min_inliers: int,
     dst = np.stack([pad_cloud(d, pad_size)[0] for _, d in padded])
     dst_m = np.stack([pad_cloud(d, pad_size)[1] for _, d in padded])
     corr_dist = float(voxel_size) * 1.5
-    T, inl = robust_registration_batch(
-        jnp.asarray(src), jnp.asarray(src_m), jnp.asarray(dst),
-        jnp.asarray(dst_m), corr_dist=corr_dist)
+    from cslam_tpu.utils import profiling
+    with profiling.span("verify.icp_dispatch"):
+        T, inl = robust_registration_batch(
+            jnp.asarray(src), jnp.asarray(src_m), jnp.asarray(dst),
+            jnp.asarray(dst_m), corr_dist=corr_dist)
     # np.asarray on device arrays returns read-only views; the fallback
     # loop below writes winners in place
-    T, inl = np.array(T), np.array(inl)
+    with profiling.span("verify.icp_read"):
+        T, inl = np.array(T), np.array(inl)
     n_src = np.maximum(src_m.sum(axis=1), 1.0)
 
     def gate(count, i):
@@ -524,11 +527,13 @@ def compute_transform_batch(pairs, voxel_size: float, min_inliers: int,
         while ftier < len(failed):
             ftier *= 2
         fidx = failed + [failed[-1]] * (ftier - len(failed))
-        T_g, inl_g = global_registration_batch(
-            jnp.asarray(src[fidx]), jnp.asarray(src_m[fidx]),
-            jnp.asarray(dst[fidx]), jnp.asarray(dst_m[fidx]),
-            corr_dist=corr_dist)
-        T_g, inl_g = np.asarray(T_g), np.asarray(inl_g)
+        with profiling.span("verify.global_dispatch"):
+            T_g, inl_g = global_registration_batch(
+                jnp.asarray(src[fidx]), jnp.asarray(src_m[fidx]),
+                jnp.asarray(dst[fidx]), jnp.asarray(dst_m[fidx]),
+                corr_dist=corr_dist)
+        with profiling.span("verify.global_read"):
+            T_g, inl_g = np.asarray(T_g), np.asarray(inl_g)
         for j, i in enumerate(failed):
             if int(inl_g[j]) > int(inl[i]):
                 T[i], inl[i] = T_g[j], inl_g[j]

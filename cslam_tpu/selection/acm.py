@@ -282,9 +282,11 @@ class AlgebraicConnectivityMaximization:
                        candidate_edges: List[Edge], w_init: np.ndarray,
                        nb_to_choose: int) -> np.ndarray:
         from cslam_tpu.selection.mac import mac_kwargs_from_params
+        from cslam_tpu.utils import profiling
         mac_kwargs = mac_kwargs_from_params(self.params)
-        mac = MAC(fixed_edges, candidate_edges, self.total_nb_poses,
-                  **mac_kwargs)
+        with profiling.span("mac.construct"):
+            mac = MAC(fixed_edges, candidate_edges, self.total_nb_poses,
+                      **mac_kwargs)
         # Background-compile the NEXT shape tier when a growth counter
         # passes 75% of its pad, so a mid-mission tier crossing never
         # stalls the detection plane on a foreground remote compile

@@ -464,29 +464,33 @@ class MAC:
         """
         if self._m == 0:
             return np.zeros(0), np.zeros(0), 0.0
+        from cslam_tpu.utils import profiling
         k = min(k, self._m)
         w0 = np.zeros(self._E, np.float32)
         w0[:self._m] = np.asarray(w_init, np.float32)
         cmask = jnp.asarray(
             (np.arange(self._E) < self._m).astype(np.float32))
         tol = jnp.float32(duality_gap_tol)
-        if self._dense:
-            w, dual, _ = _dense_fw_loop(
-                self._L_fixed, self._active, self._ci, self._cj, self._cw,
-                jnp.asarray(w0), cmask, tol, k=k, max_iters=max_iters)
-        else:
-            w, dual, _ = _woodbury_fw_loop(
-                self._pre, self._active, self._chain_i, self._chain_j,
-                self._chain_w, self._lr_i, self._lr_j, self._lr_w_fixed,
-                self._ci, self._cj, self._cw, jnp.asarray(w0), cmask, tol,
-                k=k, max_iters=max_iters,
-                lobpcg_iters=self._lobpcg_iters,
-                lobpcg_short_iters=self._lobpcg_short_iters,
-                warm_ritz=self._fw_warm_ritz,
-                lobpcg_warm_iters=self._lobpcg_warm_iters)
-        w_host = np.asarray(w)[:self._m].astype(np.float64)
-        return (self.round_solution_tiebreaker(w_host, k), w_host,
-                float(dual))
+        with profiling.span("mac.fw_dispatch"):
+            if self._dense:
+                w, dual, _ = _dense_fw_loop(
+                    self._L_fixed, self._active, self._ci, self._cj,
+                    self._cw, jnp.asarray(w0), cmask, tol, k=k,
+                    max_iters=max_iters)
+            else:
+                w, dual, _ = _woodbury_fw_loop(
+                    self._pre, self._active, self._chain_i, self._chain_j,
+                    self._chain_w, self._lr_i, self._lr_j, self._lr_w_fixed,
+                    self._ci, self._cj, self._cw, jnp.asarray(w0), cmask,
+                    tol, k=k, max_iters=max_iters,
+                    lobpcg_iters=self._lobpcg_iters,
+                    lobpcg_short_iters=self._lobpcg_short_iters,
+                    warm_ritz=self._fw_warm_ritz,
+                    lobpcg_warm_iters=self._lobpcg_warm_iters)
+        with profiling.span("mac.fw_read"):
+            w_host = np.asarray(w)[:self._m].astype(np.float64)
+            dual = float(dual)
+        return (self.round_solution_tiebreaker(w_host, k), w_host, dual)
 
     def fw_subset_host(self, w_init: np.ndarray, k: int, max_iters: int = 5,
                        duality_gap_tol: float = 1e-8
