@@ -73,6 +73,11 @@ class FrontendConfig:
     # device op, bit-identical): a 20x60 max-binning over a few thousand
     # points is ~0.5 ms — cheaper than the device dispatch it replaces
     scancontext_host_binning: bool = True
+    # pipelined detection rounds: detect_inter dispatches the MAC solve
+    # and returns; the next poll cycle harvests it. Keeps the selection
+    # plane off the keyframe critical path (the reference gets the same
+    # isolation from its separate LCD process). Off = block in-round.
+    async_detection: bool = True
     # MAC Woodbury-tier LOBPCG budgets: first-stage iterations before the
     # residual-gated continuation (48 disables the early exit), and the
     # opt-in Frank-Wolfe warm start that carries the Ritz block across FW

@@ -172,6 +172,16 @@ class LoopClosureSparseMatching:
             return kf, kfs
         return None, None
 
+    def select_candidates_begin(self, number_of_candidates: int,
+                                is_other_robot_considered):
+        """Dispatch a selection round (see ACM.select_candidates_begin)."""
+        return self.candidate_selector.select_candidates_begin(
+            number_of_candidates, is_other_robot_considered)
+
+    def select_candidates_finish(self, handle):
+        """Materialize a dispatched selection round."""
+        return self.candidate_selector.select_candidates_finish(handle)
+
     def select_candidates(self, number_of_candidates: int,
                           is_neighbor_in_range: Dict[int, bool],
                           greedy_initialization: bool = True

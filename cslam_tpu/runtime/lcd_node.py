@@ -104,6 +104,7 @@ class DetectionFrontEnd:
         # own costs a full device round-trip — ~30 ms on the relay-attached
         # chip, the dominant per-step cost in the lidar e2e pipeline)
         self._gossip_intake: List[Any] = []
+        self._pending_selection = None  # deferred detect_inter round
         ctx.create_timer(
             self.params.get("frontend.gossip_intake_flush_period_sec", 0.1),
             self._flush_gossip_intake)
@@ -233,6 +234,7 @@ class DetectionFrontEnd:
             self.neighbor_manager.get_unknown_range(msg.descriptors))
 
     def _flush_gossip_intake(self) -> None:
+        self._harvest_selection()  # cheap no-op unless a round is pending
         if not self._gossip_intake:
             return
         pending, self._gossip_intake = self._gossip_intake, []
@@ -257,16 +259,37 @@ class DetectionFrontEnd:
 
     def detect_inter(self) -> None:
         self._flush_gossip_intake()  # candidates must be current
+        self._harvest_selection()  # previous round applied before new offsets
         in_range, in_range_list = \
             self.neighbor_manager.check_neighbors_in_range()
         if (len(in_range_list) <= 1
                 or not self.neighbor_manager.local_robot_is_broker()):
             return
         t0 = self.ctx.clock.now()
-        with profiling.span("lcd.select_candidates"):
-            selection = self.lcm.select_candidates(
+        with profiling.span("lcd.select_dispatch"):
+            handle = self.lcm.select_candidates_begin(
                 self.params["frontend.inter_robot_loop_closure_budget"],
                 in_range)
+        if handle is None:
+            return
+        self._pending_selection = (handle, in_range_list, t0)
+        if not self.params.get("frontend.async_detection", True):
+            # synchronous mode: block on the solve inside this round
+            self._harvest_selection()
+
+    def _harvest_selection(self) -> None:
+        """Materialize the deferred selection round (if any) and publish
+        its descriptor requests. With ``frontend.async_detection`` (the
+        default) the MAC solve dispatched by :meth:`detect_inter` crunches
+        on-device while keyframe intake continues; the next poll cycle
+        harvests it here — the single-host analogue of the reference's
+        selection running in its own LCD process."""
+        if self._pending_selection is None:
+            return
+        (handle, in_range_list, t0), self._pending_selection = \
+            self._pending_selection, None
+        with profiling.span("lcd.select_harvest"):
+            selection = self.lcm.select_candidates_finish(handle)
         vertices_info = self._edge_list_to_vertices(selection)
         broker = Broker(selection, in_range_list)
         for vertex_set in broker.brokerage(

@@ -281,6 +281,16 @@ class AlgebraicConnectivityMaximization:
     def run_mac_solver(self, fixed_edges: List[Edge],
                        candidate_edges: List[Edge], w_init: np.ndarray,
                        nb_to_choose: int) -> np.ndarray:
+        mac, pending = self.run_mac_solver_dispatch(
+            fixed_edges, candidate_edges, w_init, nb_to_choose)
+        return self.run_mac_solver_finish(mac, pending, candidate_edges,
+                                          w_init, nb_to_choose)
+
+    def run_mac_solver_dispatch(self, fixed_edges: List[Edge],
+                                candidate_edges: List[Edge],
+                                w_init: np.ndarray, nb_to_choose: int):
+        """Construct the MAC and dispatch its fused FW program; returns
+        ``(mac, device_futures)`` without blocking on the solve."""
         from cslam_tpu.selection.mac import mac_kwargs_from_params
         from cslam_tpu.utils import profiling
         mac_kwargs = mac_kwargs_from_params(self.params)
@@ -305,20 +315,33 @@ class AlgebraicConnectivityMaximization:
         for nxt in nexts:
             prefetch_selection_tier_async(
                 *nxt, max_iters=self.max_iters, **mac_kwargs)
-        # Retry ladder with increasingly random initializations, the
-        # reference's recovery semantics (acm.py:448-465: singular-matrix
-        # failures happen when the selected measurements disconnect the
-        # graph; re-initializing with `trial` random picks escapes it).
-        # Our dense deflated eigensolver cannot hit the reference's LU
-        # failure mode, but a genuinely numeric failure walks the same
-        # ladder before degrading to the initial guess — counted and
-        # logged so a degraded selection plane is visible. Programming
-        # errors (anything else) propagate.
-        w_try, last_exc = w_init, None
+        if mac._m == 0:
+            return mac, None
+        return mac, mac.fw_subset_dispatch(w_init, nb_to_choose,
+                                           max_iters=self.max_iters)
+
+    def run_mac_solver_finish(self, mac, pending,
+                              candidate_edges: List[Edge],
+                              w_init: np.ndarray,
+                              nb_to_choose: int) -> np.ndarray:
+        """Materialize a dispatched MAC solve (blocks on the device read).
+
+        Retry ladder with increasingly random initializations, the
+        reference's recovery semantics (acm.py:448-465: singular-matrix
+        failures happen when the selected measurements disconnect the
+        graph; re-initializing with `trial` random picks escapes it).
+        Our dense deflated eigensolver cannot hit the reference's LU
+        failure mode, but a genuinely numeric failure walks the same
+        ladder before degrading to the initial guess — counted and
+        logged so a degraded selection plane is visible. Programming
+        errors (anything else) propagate.
+        """
+        if pending is None:
+            return np.zeros(0)
+        last_exc = None
         for trial in range(max(nb_to_choose, 1)):
             try:
-                result, _, _ = mac.fw_subset(w_try, nb_to_choose,
-                                             max_iters=self.max_iters)
+                result, _, _ = mac.fw_subset_finish(pending)
                 if trial:
                     logging.getLogger(__name__).warning(
                         "MAC solver recovered at retry %d", trial)
@@ -327,6 +350,8 @@ class AlgebraicConnectivityMaximization:
                 last_exc = exc
                 w_try = self.pseudo_greedy_initialization(
                     nb_to_choose, trial + 1, candidate_edges)
+                pending = mac.fw_subset_dispatch(w_try, nb_to_choose,
+                                                 max_iters=self.max_iters)
         self.mac_solver_failures += 1
         logging.getLogger(__name__).warning(
             "MAC solver numeric failure #%d (%s) after %d retries; "
@@ -334,12 +359,26 @@ class AlgebraicConnectivityMaximization:
             self.mac_solver_failures, last_exc, max(nb_to_choose, 1) - 1)
         return w_init.copy()
 
-    def select_candidates(self, nb_candidates_to_choose: int,
-                          is_other_robot_considered: Dict[int, bool],
-                          greedy_initialization: bool = True
-                          ) -> List[EdgeInterRobot]:
-        """Select up to the budget of candidate edges, remove them from the
-        candidate pool, and return them (reference acm.py:468-543)."""
+    def select_candidates_begin(self, nb_candidates_to_choose: int,
+                                is_other_robot_considered: Dict[int, bool],
+                                greedy_initialization: bool = True):
+        """Start a selection round: bookkeeping + the MAC solve DISPATCH.
+
+        Returns an opaque pending handle for
+        :meth:`select_candidates_finish`, or None when there is nothing to
+        select. The device solve proceeds concurrently with whatever the
+        host does next — the pattern that keeps the detection plane off
+        the keyframe critical path (the reference gets the same isolation
+        from its separate LCD process,
+        ``loop_closure_detection_node.py:99``).
+
+        The handle snapshots the round's rekeyed bookkeeping. Between
+        begin and finish the live candidate pool may gain matches (they
+        join the NEXT round) or lose them to verification outcomes
+        (finish drops selections that are no longer candidates); offsets
+        must not be recomputed in between, i.e. finish() before the next
+        begin().
+        """
         is_robot_included = self.check_graph_disconnections(
             is_other_robot_considered)
         self.compute_offsets(is_robot_included)
@@ -350,7 +389,7 @@ class AlgebraicConnectivityMaximization:
 
         nb_to_choose = min(nb_candidates_to_choose, len(rekeyed_candidates))
         if not rekeyed_candidates:
-            return []
+            return None
 
         self.total_nb_poses = sum(self.nb_poses[r]
                                   for r in range(self.max_nb_robots))
@@ -362,30 +401,67 @@ class AlgebraicConnectivityMaximization:
             w_init = self.random_initialization(nb_to_choose,
                                                 rekeyed_candidates)
 
+        mac = pending = None
         if (self.params["frontend.enable_sparsification"]
                 and self.check_initial_fixed_measurements_exists(
                     is_robot_included)):
-            result = self.run_mac_solver(rekeyed_fixed, rekeyed_candidates,
-                                         w_init, nb_to_choose)
+            mac, pending = self.run_mac_solver_dispatch(
+                rekeyed_fixed, rekeyed_candidates, w_init, nb_to_choose)
+            result = None
         else:
             result = self.connection_biased_greedy_selection(
                 nb_to_choose,
                 self.get_included_edges(self.candidate_edges.values(),
                                         is_robot_included),
                 is_robot_included)
+        return {"mac": mac, "pending": pending, "result": result,
+                "w_init": w_init, "nb_to_choose": nb_to_choose,
+                "rekeyed_candidates": rekeyed_candidates,
+                "is_robot_included": is_robot_included}
+
+    def select_candidates_finish(self, handle) -> List[EdgeInterRobot]:
+        """Materialize a selection round started by
+        :meth:`select_candidates_begin`: read the solve, round, map back
+        to inter-robot edges, and remove them from the candidate pool."""
+        if handle is None:
+            return []
+        rekeyed_candidates = handle["rekeyed_candidates"]
+        is_robot_included = handle["is_robot_included"]
+        result = handle["result"]
+        if result is None:
+            result = self.run_mac_solver_finish(
+                handle["mac"], handle["pending"], rekeyed_candidates,
+                handle["w_init"], handle["nb_to_choose"])
+        if len(result) == 0:
+            return []
 
         if self.params.get("evaluation.enable_sparsification_comparison",
                            False):
             self._log_sparsification_comparison(rekeyed_candidates,
-                                                is_robot_included, w_init,
-                                                result)
+                                                is_robot_included,
+                                                handle["w_init"], result)
 
         selected = [rekeyed_candidates[i]
                     for i in np.nonzero(result.astype(int))[0]]
         inter_robot_edges = self.recover_inter_robot_edges(
             selected, is_robot_included)
+        # verification outcomes may have consumed a candidate between
+        # begin and finish — selecting it again would resurrect a demoted
+        # edge (reference keeps these phases synchronous; we must filter)
+        inter_robot_edges = [e for e in inter_robot_edges
+                             if self.edge_key(e) in self.candidate_edges]
         self.remove_candidate_edges(inter_robot_edges)
         return inter_robot_edges
+
+    def select_candidates(self, nb_candidates_to_choose: int,
+                          is_other_robot_considered: Dict[int, bool],
+                          greedy_initialization: bool = True
+                          ) -> List[EdgeInterRobot]:
+        """Select up to the budget of candidate edges, remove them from the
+        candidate pool, and return them (reference acm.py:468-543)."""
+        return self.select_candidates_finish(self.select_candidates_begin(
+            nb_candidates_to_choose, is_other_robot_considered,
+            greedy_initialization=greedy_initialization))
 
     def _log_sparsification_comparison(self, rekeyed_candidates, included,
                                        greedy_result, mac_result) -> None:

@@ -449,21 +449,17 @@ class MAC:
         rounded[order[-k:]] = 1.0
         return rounded
 
-    def fw_subset(self, w_init: np.ndarray, k: int, max_iters: int = 5,
-                  duality_gap_tol: float = 1e-8
-                  ) -> Tuple[np.ndarray, np.ndarray, float]:
-        """Frank-Wolfe subset selection (reference ``mac.py:191-233``).
-
-        Returns (rounded selection, relaxed w, dual upper bound). The whole
-        FW loop — Fiedler eigensolve, supergradient, top-k direction,
-        duality-gap stop — runs as ONE jitted ``lax.while_loop`` dispatch
-        with a single readback, instead of the reference's per-iteration
-        host round trips (2 blocking reads x max_iters; on a relay-attached
-        TPU that alone is ~30 ms x 2 x 20). Compiles once per
-        (node tier, edge tier, k, max_iters).
-        """
-        if self._m == 0:
-            return np.zeros(0), np.zeros(0), 0.0
+    def fw_subset_dispatch(self, w_init: np.ndarray, k: int,
+                           max_iters: int = 5,
+                           duality_gap_tol: float = 1e-8):
+        """Dispatch the fused FW program; returns device futures ``(w,
+        dual, k)`` without blocking. The chip crunches the eigensolves
+        while the host moves on; :meth:`fw_subset_finish` materializes
+        the selection (ONE readback). Pipelining pattern for detection
+        rounds: the selection plane must not stall keyframe intake (the
+        reference isolates it in its own node/process,
+        ``loop_closure_detection_node.py``; our single-host equivalent is
+        dispatch-now/harvest-next-cycle)."""
         from cslam_tpu.utils import profiling
         k = min(k, self._m)
         w0 = np.zeros(self._E, np.float32)
@@ -487,10 +483,37 @@ class MAC:
                     lobpcg_short_iters=self._lobpcg_short_iters,
                     warm_ritz=self._fw_warm_ritz,
                     lobpcg_warm_iters=self._lobpcg_warm_iters)
+        return w, dual, k
+
+    def fw_subset_finish(self, pending
+                         ) -> Tuple[np.ndarray, np.ndarray, float]:
+        """Materialize a :meth:`fw_subset_dispatch` result (blocks on the
+        device read) and round it."""
+        from cslam_tpu.utils import profiling
+        w, dual, k = pending
         with profiling.span("mac.fw_read"):
             w_host = np.asarray(w)[:self._m].astype(np.float64)
             dual = float(dual)
         return (self.round_solution_tiebreaker(w_host, k), w_host, dual)
+
+    def fw_subset(self, w_init: np.ndarray, k: int, max_iters: int = 5,
+                  duality_gap_tol: float = 1e-8
+                  ) -> Tuple[np.ndarray, np.ndarray, float]:
+        """Frank-Wolfe subset selection (reference ``mac.py:191-233``).
+
+        Returns (rounded selection, relaxed w, dual upper bound). The whole
+        FW loop — Fiedler eigensolve, supergradient, top-k direction,
+        duality-gap stop — runs as ONE jitted ``lax.while_loop`` dispatch
+        with a single readback, instead of the reference's per-iteration
+        host round trips (2 blocking reads x max_iters; on a relay-attached
+        TPU that alone is ~30 ms x 2 x 20). Compiles once per
+        (node tier, edge tier, max_iters); k is a traced operand.
+        """
+        if self._m == 0:
+            return np.zeros(0), np.zeros(0), 0.0
+        return self.fw_subset_finish(self.fw_subset_dispatch(
+            w_init, k, max_iters=max_iters,
+            duality_gap_tol=duality_gap_tol))
 
     def fw_subset_host(self, w_init: np.ndarray, k: int, max_iters: int = 5,
                        duality_gap_tol: float = 1e-8

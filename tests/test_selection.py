@@ -315,7 +315,7 @@ class TestMacSolver:
         def boom(self, *a, **k):
             raise RuntimeError("injected eigensolver bug")
 
-        monkeypatch.setattr(acm_mod.MAC, "fw_subset", boom)
+        monkeypatch.setattr(acm_mod.MAC, "fw_subset_finish", boom)
         acm = AlgebraicConnectivityMaximization(robot_id=0, max_nb_robots=2)
         acm.total_nb_poses = 4
         with pytest.raises(RuntimeError, match="injected"):
@@ -332,7 +332,7 @@ class TestMacSolver:
         def singular(self, *a, **k):
             raise np.linalg.LinAlgError("singular")
 
-        monkeypatch.setattr(acm_mod.MAC, "fw_subset", singular)
+        monkeypatch.setattr(acm_mod.MAC, "fw_subset_finish", singular)
         acm = AlgebraicConnectivityMaximization(robot_id=0, max_nb_robots=2)
         acm.total_nb_poses = 4
         w_init = np.array([1.0])
@@ -352,13 +352,15 @@ class TestMacSolver:
 
         calls = {"n": 0}
 
-        def flaky(self, w_init, k, max_iters=20):
+        def flaky(self, pending):
             calls["n"] += 1
             if calls["n"] < 3:
                 raise np.linalg.LinAlgError("singular")
-            return w_init, None, None
+            # a pending handle is (w_dev, dual_dev, k): recover w_init
+            w = np.asarray(pending[0])[:self._m]
+            return w, None, None
 
-        monkeypatch.setattr(acm_mod.MAC, "fw_subset", flaky)
+        monkeypatch.setattr(acm_mod.MAC, "fw_subset_finish", flaky)
         acm = AlgebraicConnectivityMaximization(robot_id=0, max_nb_robots=2)
         acm.total_nb_poses = 8
         candidates = [Edge(0, 2, 1.0), Edge(1, 3, 0.9), Edge(2, 4, 0.8),
