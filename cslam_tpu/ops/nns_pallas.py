@@ -139,6 +139,17 @@ MAX_K = _LANE      # cosine_topk_fused2 supports k up to one lane block
 # for Mosaic's own buffers; callers at large B must shrink the tile.
 _VMEM_BUDGET = 13 * 2 ** 20
 
+# Batch envelope. B=1024 fails the Mosaic compile (tpu_compile_helper
+# exit 1) at EVERY tile the VMEM model admits — measured round 4 at
+# tile 1024, where the modeled working set (~9.3 MiB) fits comfortably,
+# so the limit is a compiler/register-pressure envelope on the [B, 128]
+# compare-select chains, not raw VMEM. B=512 at tile 4096 compiles and
+# streams at 23-45% of HBM peak. Larger query batches are served as
+# sequential <=512-row kernel invocations inside one jitted program
+# (cosine_topk_fused2_pre chunks automatically; throughput stays within
+# a few % of one dispatch — the scan is HBM-bound either way).
+MAX_FUSED2_BATCH = 512
+
 
 def pick_tile_n(batch: int, dim: int, rows: int,
                 bank_itemsize: int = 4) -> int:
@@ -146,7 +157,10 @@ def pick_tile_n(batch: int, dim: int, rows: int,
     the VMEM budget: sims[B, t] + double-buffered bank tile + queries +
     negmask + the per-column candidate scratch. ``rows`` must stay a
     multiple of the returned tile (halving preserves that for the
-    power-of-two bank capacities every caller uses)."""
+    power-of-two bank capacities every caller uses). ``batch`` above
+    ``MAX_FUSED2_BATCH`` is clamped — the kernel never sees a larger B
+    (the entry point chunks)."""
+    batch = min(batch, MAX_FUSED2_BATCH)
     t = TILE_N
     while t > _LANE:
         need = (batch * t * 4                       # sims block
@@ -340,6 +354,31 @@ def cosine_topk_fused2_pre(bank_n: jax.Array, n: jax.Array,
                            interpret: bool = False,
                            specialize: bool = False):
     """Exact cosine top-k over a bank of L2-NORMALIZED rows.
+
+    Query batches above ``MAX_FUSED2_BATCH`` (512 — the Mosaic compile
+    envelope, see the constant's comment) are served as sequential
+    <=512-row kernel invocations inside this one jitted program; results
+    are concatenated, bit-identical to per-chunk calls.
+    """
+    B = queries.shape[0]
+    if B > MAX_FUSED2_BATCH:
+        vals, idxs = [], []
+        for lo in range(0, B, MAX_FUSED2_BATCH):
+            v, i = _fused2_pre_one(bank_n, n,
+                                   queries[lo:lo + MAX_FUSED2_BATCH], k,
+                                   tile_n, interpret, specialize)
+            vals.append(v)
+            idxs.append(i)
+        return jnp.concatenate(vals), jnp.concatenate(idxs)
+    return _fused2_pre_one(bank_n, n, queries, k, tile_n, interpret,
+                           specialize)
+
+
+def _fused2_pre_one(bank_n: jax.Array, n: jax.Array,
+                    queries: jax.Array, k: int, tile_n: int,
+                    interpret: bool, specialize: bool):
+    """One <=MAX_FUSED2_BATCH kernel invocation (traced under the public
+    entry's jit).
 
     Replaces the reference's O(N) python scan at
     ``cslam/nns_matching.py:42-61``. Exactness: any element the scan

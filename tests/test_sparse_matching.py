@@ -318,16 +318,41 @@ class TestStreamingFusedKernel:
             self._check(bank, n, q, 8)
 
     def test_vmem_tile_picker(self):
-        """The VMEM envelope model keeps the headline tile at small B and
-        shrinks it where the round-3 on-chip compile failed (B=1024 at
-        tile 4096: the sims block alone is 16 MiB > VMEM)."""
-        from cslam_tpu.ops.nns_pallas import TILE_N, _LANE, pick_tile_n
+        """The VMEM envelope model keeps the headline tile at the batch
+        envelope (bigger batches are chunked to MAX_FUSED2_BATCH, so the
+        tile choice is made at the chunk size — round-4 finding: B=1024
+        fails the Mosaic compile at EVERY tile, so shrinking tiles was
+        the wrong axis; chunking the batch is the supported envelope)."""
+        from cslam_tpu.ops.nns_pallas import (MAX_FUSED2_BATCH, TILE_N,
+                                              pick_tile_n)
         assert pick_tile_n(512, 64, 131072) == TILE_N
-        t1024 = pick_tile_n(1024, 64, 131072)
-        assert _LANE <= t1024 < TILE_N
-        assert 131072 % t1024 == 0
-        # the model is monotone: bigger batches never get a bigger tile
-        assert (pick_tile_n(2048, 64, 131072) <= t1024)
+        # batches beyond the envelope are clamped: same tile as 512
+        assert pick_tile_n(1024, 64, 131072) == TILE_N
+        assert pick_tile_n(2048, 64, 131072) == TILE_N
+        assert MAX_FUSED2_BATCH == 512
+
+    def test_batch_envelope_chunking_exact(self):
+        """B > MAX_FUSED2_BATCH runs as sequential chunked kernel calls
+        inside one program; results must equal the XLA reference."""
+        import jax.numpy as jnp
+        from cslam_tpu.ops import topk as topk_ops
+        from cslam_tpu.ops import nns_pallas
+
+        rng = np.random.default_rng(13)
+        N, D, k = 4096, 16, 5
+        bank = rng.standard_normal((N, D)).astype(np.float32)
+        inv = (1.0 / np.linalg.norm(bank, axis=1)).astype(np.float32)
+        n = N - 123
+        B = nns_pallas.MAX_FUSED2_BATCH + 64  # forces 2 chunks
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        rv, ri = topk_ops.cosine_topk(jnp.asarray(bank), jnp.asarray(inv),
+                                      jnp.int32(n), jnp.asarray(q), k)
+        fv, fi = nns_pallas.cosine_topk_fused2(
+            jnp.asarray(bank), jnp.asarray(inv), jnp.int32(n),
+            jnp.asarray(q), k, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(fi))
+        np.testing.assert_allclose(np.asarray(rv), np.asarray(fv),
+                                   rtol=2e-5, atol=2e-5)
 
     def test_nondefault_tile_exact(self):
         """Exactness is tile-size independent (the B>=1024 envelope runs
