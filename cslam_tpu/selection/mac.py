@@ -290,7 +290,16 @@ def warmup_selection_tiers(expected_poses: int, expected_candidates: int,
     per program on the relay-attached chip — it dominated the lidar e2e
     steady state at 39% of wall). Combine with jax's persistent
     compilation cache, like ``DecentralizedPGO.warmup``.
+
+    ``mac_kwargs`` defaults to the CONFIG-DEFAULT production kwargs (via
+    :func:`mac_kwargs_from_params`), NOT the MAC constructor defaults:
+    they are static jit args, so warming a different combination compiles
+    the wrong program (bitten round 4 when the warm-ritz default flipped
+    on and warmups kept compiling the warm_ritz=False variant). Callers
+    with non-default params must pass ``**mac_kwargs_from_params(params)``.
     """
+    if not mac_kwargs:
+        mac_kwargs = mac_kwargs_from_params({})
     p = 64
     while True:
         e = _E_FLOOR

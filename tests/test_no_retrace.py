@@ -61,10 +61,16 @@ def test_backend_gnc_no_retrace_after_warmup():
 
 def test_mac_selection_no_retrace_after_warmup():
     """warmup_selection_tiers must cover the program ACM's production
-    fw_subset dispatches, including small-candidate rounds."""
-    from cslam_tpu.selection.mac import MAC, Edge, warmup_selection_tiers
+    fw_subset dispatches, including small-candidate rounds. The MACs are
+    built with the PRODUCTION kwargs (mac_kwargs_from_params) — warming a
+    different static-arg combination compiles the wrong program (bitten
+    round 4 when the warm-ritz default flipped on and the bench warmup
+    kept compiling the warm_ritz=False variant mid-run)."""
+    from cslam_tpu.selection.mac import (MAC, Edge, mac_kwargs_from_params,
+                                         warmup_selection_tiers)
 
     warmup_selection_tiers(48, 40)
+    kw = mac_kwargs_from_params({})
 
     fixed = [Edge(i, i + 1, 1.0) for i in range(47)]
     # verified loop closures become non-chain FIXED edges mid-run; their
@@ -76,11 +82,11 @@ def test_mac_selection_no_retrace_after_warmup():
     cands = [Edge(3 * i % 47, (3 * i + 17) % 48, float(1 + i % 3))
              for i in range(9)]
     with CompileWatch() as w:
-        m = MAC(fixed, cands, 48)
+        m = MAC(fixed, cands, 48, **kw)
         sel, _, _ = m.fw_subset(np.zeros(len(cands)), 4, max_iters=20)
         # a later round: MORE fixed edges (odometry + new verified loops)
         m2 = MAC(fixed + [Edge(2 * i, 2 * i + 9, 1.0) for i in range(5)],
-                 cands[:7], 48)
+                 cands[:7], 48, **kw)
         m2.fw_subset(np.zeros(7), 3, max_iters=20)
     assert sel.sum() == 4
     assert w.count == 0, f"selection compiled: {sorted(set(w.names))}"
