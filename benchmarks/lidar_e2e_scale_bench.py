@@ -161,9 +161,13 @@ def main():
                 multi_bank_counts=tuple(range(1, R)))
         robots[0][1].warmup()
         # MAC selection tiers (one FW program per (pose, candidate) tier;
-        # k is a traced operand so budgets don't multiply programs)
+        # k is a traced operand so budgets don't multiply programs).
+        # Candidates = accumulated unverified matches, which can exceed the
+        # keyframe count (every keyframe can match several robots) — the
+        # round-4 run crossed 1024 candidates mid-run and paid 80 s
+        # foreground compiles; warm one tier beyond the expected count.
         from cslam_tpu.selection.mac import warmup_selection_tiers
-        warmup_selection_tiers(R * steps, 1024)
+        warmup_selection_tiers(R * steps, 2048)
         # the elected optimizer aggregates ALL robots' subgraphs
         robots[0][3].warmup(expected_poses=R * steps,
                             expected_edges=2 * R * steps)
@@ -196,8 +200,11 @@ def main():
             bus.deliver()
     wall = time.perf_counter() - t0
     if cw.count:
-        print(f"# WARNING: {cw.count} steady-state compiles: "
+        print(f"# WARNING: {cw.count} steady-state MAIN-THREAD compiles: "
               f"{sorted(set(cw.names))}", flush=True)
+    if cw.background_count:
+        print(f"# note: {cw.background_count} background prefetch compiles: "
+              f"{sorted(set(cw.background_names))}", flush=True)
 
     total_kf = sum(robots[r][1].nb_local_keyframes for r in range(R))
     be0 = robots[0][3]
@@ -238,6 +245,7 @@ def main():
         "ate_odometry_m": round(ate_odo, 3),
         "ate_optimized_m": round(ate_opt, 3),
         "steady_state_compiles": cw.count,
+        "background_prefetch_compiles": cw.background_count,
     }))
 
 

@@ -147,17 +147,24 @@ class DescriptorBank:
         bank-scan kernel (``ops.nns_pallas``); smaller tiers and CPU use the
         XLA matmul + top_k path.
         """
+        sims, idx = self.search_batch_begin(queries, k)
+        return np.asarray(sims)[:, :k], np.asarray(idx)[:, :k]
+
+    def search_batch_begin(self, queries: np.ndarray, k: int):
+        """Dispatch :meth:`search_batch` without blocking on the result:
+        returns ``(sims, idx)`` DEVICE arrays with AT LEAST ``k`` columns
+        (the XLA tier computes a ``k``-bucket worth — slice on the host
+        after reading). Harvest with ``np.asarray`` (or
+        ``utils.device_read.fetch`` to overlap several pending reads)."""
         self._sync_device()
         queries = jnp.asarray(queries, dtype=jnp.float32)
         if self._use_fused_kernel(k):
             from cslam_tpu.ops import nns_pallas
-            sims, idx = nns_pallas.cosine_topk_fused2_pre(
+            return nns_pallas.cosine_topk_fused2_pre(
                 self._bank, jnp.int32(self.n), queries, k)
-            return np.asarray(sims), np.asarray(idx)
         kb = min(_k_bucket(k), self._capacity)
-        sims, idx = topk_ops.cosine_topk(
+        return topk_ops.cosine_topk(
             self._bank, self._inv_norms, jnp.int32(self.n), queries, kb)
-        return np.asarray(sims)[:, :k], np.asarray(idx)[:, :k]
 
     def _use_fused_kernel(self, k: int) -> bool:
         from cslam_tpu.ops import nns_pallas

@@ -370,6 +370,18 @@ class ScanContextBank:
         Distances >= 1.0 keep the reference fallback: first item with
         similarity 0 (``scancontext_matching.py:80-83``).
         """
+        return self.search_best_batch_finish(
+            self.search_best_batch_begin(queries))
+
+    def search_best_batch_begin(self, queries: np.ndarray):
+        """Dispatch the batch search without blocking on the result.
+
+        Returns a handle for :meth:`search_best_batch_finish`; the bank
+        mutation (pending-block append / bulk sync) happens NOW, so later
+        dispatches see a current bank regardless of when the handle is
+        harvested. The handle's ``arrays`` attribute exposes the device
+        results for cross-handle ``device_read.prefetch`` batching.
+        """
         pend = self.nb_items - self._device_n
         fused_mode = self._fused_stage1_ok()
         bank_ready = (
@@ -424,11 +436,33 @@ class ScanContextBank:
             idx, dists = _two_stage_best(
                 self._rk_bank, self._rk_sq_norms, self._sc_bank,
                 jnp.int32(self.nb_items), queries_sc, self.num_candidates)
+        return _BatchSearchHandle(self, idx, dists, b)
+
+    def search_best_batch_finish(self, handle: "_BatchSearchHandle"
+                                 ) -> List[Tuple[Any, float]]:
+        """Materialize a dispatched batch search (see
+        :meth:`search_best_batch_begin`). Row indices stay valid across
+        interleaved ``add_item`` calls — bank rows are append-only."""
+        b = handle.b
         with profiling.span("nns.batch_read"):
-            idx, dists = np.asarray(idx)[:b], np.asarray(dists)[:b]
+            idx = np.asarray(handle.idx)[:b]
+            dists = np.asarray(handle.dists)[:b]
         return [(self.items[int(i)], float(1.0 - d)) if d < 1.0
                 else (self.items[0], 0.0)
                 for i, d in zip(idx, dists)]
+
+
+class _BatchSearchHandle:
+    """Pending device result of ``ScanContextBank.search_best_batch_begin``."""
+
+    __slots__ = ("bank", "idx", "dists", "b")
+
+    def __init__(self, bank, idx, dists, b):
+        self.bank, self.idx, self.dists, self.b = bank, idx, dists, b
+
+    @property
+    def arrays(self):
+        return (self.idx, self.dists)
 
 
 def warmup_search_tiers(capacity: int, shape: Tuple[int, int] = (20, 60),
@@ -488,6 +522,16 @@ def multi_search_best(banks: List["ScanContextBank"], query: np.ndarray
     are excluded from the device program. Banks in fused-stage-1 mode keep
     their own dispatch (their ring-key layout differs).
     """
+    return multi_search_best_finish(multi_search_best_begin(banks, query))
+
+
+def multi_search_best_begin(banks: List["ScanContextBank"],
+                            query: np.ndarray) -> "_MultiSearchHandle":
+    """Dispatch :func:`multi_search_best` without blocking on the result.
+
+    Bank state (pending appends / bulk syncs) is updated NOW; the returned
+    handle resolves via :func:`multi_search_best_finish`.
+    """
     out: List[Tuple[Any, Optional[float]]] = [(None, None)] * len(banks)
     grouped: List[Tuple[int, ScanContextBank]] = []
     for i, b in enumerate(banks):
@@ -540,9 +584,32 @@ def multi_search_best(banks: List["ScanContextBank"], query: np.ndarray
         for (i, b), (rk, rksq, sc) in zip(grouped, new_banks):
             b._rk_bank, b._rk_sq_norms, b._sc_bank = rk, rksq, sc
             b._device_n = b.nb_items
+        return _MultiSearchHandle(out, grouped, idx, dists)
+    return _MultiSearchHandle(out, [], None, None)
+
+
+def multi_search_best_finish(handle: "_MultiSearchHandle"
+                             ) -> List[Tuple[Any, Optional[float]]]:
+    """Materialize a dispatched :func:`multi_search_best_begin`."""
+    out = handle.out
+    if handle.grouped:
         with profiling.span("nns.multi_read"):
-            idx, dists = np.asarray(idx), np.asarray(dists)
-        for (i, b), j, d in zip(grouped, idx, dists):
+            idx, dists = np.asarray(handle.idx), np.asarray(handle.dists)
+        for (i, b), j, d in zip(handle.grouped, idx, dists):
             out[i] = ((b.items[int(j)], float(1.0 - d)) if d < 1.0
                       else (b.items[0], 0.0))
     return out
+
+
+class _MultiSearchHandle:
+    """Pending device result of :func:`multi_search_best_begin`."""
+
+    __slots__ = ("out", "grouped", "idx", "dists")
+
+    def __init__(self, out, grouped, idx, dists):
+        self.out, self.grouped = out, grouped
+        self.idx, self.dists = idx, dists
+
+    @property
+    def arrays(self):
+        return () if self.idx is None else (self.idx, self.dists)

@@ -16,6 +16,34 @@ from cslam_tpu.selection.acm import AlgebraicConnectivityMaximization
 from cslam_tpu.types import EdgeInterRobot
 
 
+class SearchHandle:
+    """Pending device results of a dispatched cross-bank search.
+
+    ``hits`` carries results already resolved at dispatch time (blocking
+    sub-paths); ``parts`` the deferred device results. ``arrays`` exposes
+    every pending device array so a harvest point can
+    ``device_read.prefetch`` across several handles before finishing them
+    one by one (N blocking relay round-trips collapse into ~one).
+    """
+
+    __slots__ = ("lcm", "keyframe_id", "hits", "parts", "msgs")
+
+    def __init__(self, lcm, keyframe_id, hits, parts):
+        self.lcm, self.keyframe_id = lcm, keyframe_id
+        self.hits, self.parts = hits, parts
+        self.msgs = []
+
+    @property
+    def arrays(self):
+        out = []
+        for kind, _, payload in self.parts:
+            if kind in ("sc", "sc_batch"):
+                out.extend(payload.arrays)
+            else:
+                out.extend(payload)
+        return out
+
+
 def _make_bank(params: dict):
     if params.get("frontend.sensor_type") == "lidar":
         from cslam_tpu.matching.scancontext_bank import ScanContextBank
@@ -54,6 +82,17 @@ class LoopClosureSparseMatching:
         banks are stacked and searched with one ``cosine_top1_multi``
         dispatch instead of one round-trip per bank.
         """
+        return self.add_local_global_descriptor_finish(
+            self.add_local_global_descriptor_begin(embedding, keyframe_id))
+
+    def add_local_global_descriptor_begin(self, embedding: np.ndarray,
+                                          keyframe_id: int) -> "SearchHandle":
+        """Store the descriptor and DISPATCH the cross-bank searches without
+        blocking on their results. Bank mutations happen now; the returned
+        handle resolves to the match list via
+        :meth:`add_local_global_descriptor_finish` (one harvest point per
+        poll cycle lets the relay round-trips of several robots/planes
+        overlap instead of serializing)."""
         self.local_nnsm.add_item(embedding, keyframe_id)
         hits: List[Tuple[int, Any, float]] = []
         groups: Dict[int, list] = {}
@@ -68,14 +107,14 @@ class LoopClosureSparseMatching:
                     hits.append((rid, kf, similarity))
             else:
                 sc_banks.append((rid, bank))
+        parts = []
         if sc_banks:
             # scan-context banks: all other robots searched in ONE dispatch
-            from cslam_tpu.matching.scancontext_bank import multi_search_best
-            for (rid, _), (kf, similarity) in zip(
-                    sc_banks,
-                    multi_search_best([b for _, b in sc_banks], embedding)):
-                if kf is not None:
-                    hits.append((rid, kf, similarity))
+            from cslam_tpu.matching.scancontext_bank import \
+                multi_search_best_begin
+            parts.append(("sc", [rid for rid, _ in sc_banks],
+                          multi_search_best_begin(
+                              [b for _, b in sc_banks], embedding)))
         if groups:
             import jax.numpy as jnp
             from cslam_tpu.ops import topk as topk_ops
@@ -87,14 +126,33 @@ class LoopClosureSparseMatching:
                 invn = jnp.stack([b._inv_norms for _, b in members])
                 ns = jnp.asarray([b.n for _, b in members], jnp.int32)
                 sims, idx = topk_ops.cosine_top1_multi(banks, invn, ns, q)
-                sims, idx = np.asarray(sims), np.asarray(idx)
-                for (rid, b), s, i in zip(members, sims, idx):
+                parts.append(("group", members, (sims, idx)))
+        return SearchHandle(self, keyframe_id, hits, parts)
+
+    def add_local_global_descriptor_finish(self, handle: "SearchHandle"
+                                           ) -> List[EdgeInterRobot]:
+        """Materialize a dispatched per-keyframe search: read results,
+        threshold, and register candidate edges (the deferred tail of the
+        reference's synchronous lcsm.py:36-54 flow)."""
+        from cslam_tpu.matching.scancontext_bank import \
+            multi_search_best_finish
+        hits = list(handle.hits)
+        for kind, meta, payload in handle.parts:
+            if kind == "sc":
+                for rid, (kf, similarity) in zip(
+                        meta, multi_search_best_finish(payload)):
+                    if kf is not None:
+                        hits.append((rid, kf, similarity))
+            else:
+                sims, idx = (np.asarray(payload[0]), np.asarray(payload[1]))
+                for (rid, b), s, i in zip(meta, sims, idx):
                     hits.append((rid, b.items[int(i)], float(s)))
         matches = []
         for rid, kf, similarity in sorted(hits):
             if similarity >= self.params["frontend.similarity_threshold"]:
-                match = EdgeInterRobot(self.params["robot_id"], keyframe_id,
-                                       rid, kf, similarity)
+                match = EdgeInterRobot(
+                    self.params["robot_id"], handle.keyframe_id,
+                    rid, kf, similarity)
                 self.candidate_selector.add_match(match)
                 matches.append(match)
         return matches
@@ -124,26 +182,52 @@ class LoopClosureSparseMatching:
         descriptors per message; searching them one ``search_best`` at a
         time costs one device round-trip each.
         """
+        return self.add_other_robot_global_descriptors_finish(
+            self.add_other_robot_global_descriptors_begin(msgs))
+
+    def add_other_robot_global_descriptors_begin(self, msgs
+                                                 ) -> "SearchHandle":
+        """Intake the chunk into sender banks and DISPATCH the local-bank
+        search without blocking (deferred tail of
+        :meth:`add_other_robot_global_descriptors`)."""
         msgs = list(msgs)
+        handle = SearchHandle(self, None, [], [])
+        handle.msgs = msgs
         if not msgs:
-            return []
+            return handle
         for m in msgs:
             self.other_robots_nnsm[m.robot_id].add_item(
                 np.asarray(m.descriptor), m.keyframe_id)
         if self.local_nnsm.n == 0:
-            return []
+            return handle
         queries = np.stack([np.asarray(m.descriptor, np.float32).ravel()
                             for m in msgs])
         if isinstance(self.local_nnsm, DescriptorBank):
-            sims, idx = self.local_nnsm.search_batch(queries, k=1)
+            sims, idx = self.local_nnsm.search_batch_begin(queries, k=1)
+            handle.parts.append(("bank_batch", None, (sims, idx)))
+        else:
+            # scan-context banks: fused two-stage batch (one dispatch)
+            handle.parts.append(
+                ("sc_batch", None,
+                 self.local_nnsm.search_best_batch_begin(queries)))
+        return handle
+
+    def add_other_robot_global_descriptors_finish(self, handle: "SearchHandle"
+                                                  ) -> List[EdgeInterRobot]:
+        """Materialize a dispatched gossip-chunk search: read, threshold,
+        register candidate edges."""
+        if not handle.parts:
+            return []
+        kind, _, payload = handle.parts[0]
+        if kind == "bank_batch":
+            sims, idx = np.asarray(payload[0]), np.asarray(payload[1])
             best = [(self.local_nnsm.items[int(i)], float(s))
                     for s, i in zip(sims[:, 0], idx[:, 0])]
         else:
-            # scan-context banks: fused two-stage batch (one dispatch)
-            best = self.local_nnsm.search_best_batch(queries)
+            best = self.local_nnsm.search_best_batch_finish(payload)
         matches = []
         threshold = self.params["frontend.similarity_threshold"]
-        for m, (kf, s) in zip(msgs, best):
+        for m, (kf, s) in zip(handle.msgs, best):
             if kf is None or s < threshold:
                 continue
             match = EdgeInterRobot(self.params["robot_id"], kf,

@@ -466,6 +466,125 @@ def global_registration_batch(src, src_mask, dst, dst_mask, corr_dist: float,
     )(src, src_mask, dst, dst_mask)
 
 
+class VerifyBatchHandle:
+    """Staged verification of one (<= max_pair_tier) pair chunk.
+
+    Stage 0: multi-start ICP dispatched, results pending on device.
+    Stage 1: global-registration fallback dispatched for the ICP failures.
+    Stage 2: done — ``results`` holds the (Z, success) list.
+    Advance with :func:`compute_transform_batch_step`; ``arrays`` exposes
+    the stage's pending device results for ``device_read.prefetch``.
+    """
+
+    __slots__ = ("p", "src", "src_m", "dst", "dst_m", "corr_dist",
+                 "min_inliers", "min_inlier_ratio", "T_dev", "inl_dev",
+                 "T", "inl", "success", "failed", "stage", "results")
+
+    @property
+    def arrays(self):
+        if self.stage <= 1:
+            return (self.T_dev, self.inl_dev)
+        return ()
+
+    @property
+    def done(self) -> bool:
+        return self.stage >= 2
+
+
+def compute_transform_batch_begin(pairs, voxel_size: float, min_inliers: int,
+                                  pad_size: int = 1024,
+                                  min_inlier_ratio: float = 0.6,
+                                  max_pair_tier: int = 8
+                                  ) -> list:
+    """Dispatch the first (ICP) stage of batched verification without
+    blocking. Returns one :class:`VerifyBatchHandle` per chunk of up to
+    ``max_pair_tier`` pairs (each fresh pair tier costs a >1 min remote
+    compile; warmups cover tiers up to the cap). Pair counts are padded to
+    a power-of-two tier (repeating the last pair) so each tier compiles
+    once."""
+    from cslam_tpu.utils import profiling
+    handles = []
+    for c in range(0, len(pairs), max_pair_tier):
+        chunk = pairs[c:c + max_pair_tier]
+        p = len(chunk)
+        tier = 1
+        while tier < p:
+            tier *= 2
+        padded = list(chunk) + [chunk[-1]] * (tier - p)
+        h = VerifyBatchHandle()
+        h.p = p
+        h.src = np.stack([pad_cloud(s, pad_size)[0] for s, _ in padded])
+        h.src_m = np.stack([pad_cloud(s, pad_size)[1] for s, _ in padded])
+        h.dst = np.stack([pad_cloud(d, pad_size)[0] for _, d in padded])
+        h.dst_m = np.stack([pad_cloud(d, pad_size)[1] for _, d in padded])
+        h.corr_dist = float(voxel_size) * 1.5
+        h.min_inliers = min_inliers
+        h.min_inlier_ratio = min_inlier_ratio
+        h.stage = 0
+        h.results = None
+        with profiling.span("verify.icp_dispatch"):
+            h.T_dev, h.inl_dev = robust_registration_batch(
+                jnp.asarray(h.src), jnp.asarray(h.src_m),
+                jnp.asarray(h.dst), jnp.asarray(h.dst_m),
+                corr_dist=h.corr_dist)
+        handles.append(h)
+    return handles
+
+
+def compute_transform_batch_step(h: VerifyBatchHandle) -> bool:
+    """Advance a staged verification chunk by one harvest step; returns
+    True once ``h.results`` is final. Stage 0 reads the ICP results and
+    dispatches the global-registration fallback over just the failures
+    (its FPFH + dense yaw-correlation stage is ~4x the ICP sweep's cost);
+    stage 1 reads the fallback and merges winners."""
+    from cslam_tpu.utils import profiling
+    if h.stage == 0:
+        # np.asarray on device arrays returns read-only views; the merge
+        # step writes winners in place
+        with profiling.span("verify.icp_read"):
+            h.T, h.inl = np.array(h.T_dev), np.array(h.inl_dev)
+        n_src = np.maximum(h.src_m.sum(axis=1), 1.0)
+
+        def gate(count, i):
+            return (int(count) > h.min_inliers
+                    and float(count) / n_src[i] > h.min_inlier_ratio)
+
+        h.success = [gate(h.inl[i], i) for i in range(h.p)]
+        h.failed = [i for i in range(h.p) if not h.success[i]]
+        if not h.failed:
+            h.results = [
+                (np.linalg.inv(np.asarray(h.T[i], np.float64)), h.success[i])
+                for i in range(h.p)]
+            h.stage = 2
+            return True
+        ftier = 1
+        while ftier < len(h.failed):
+            ftier *= 2
+        fidx = h.failed + [h.failed[-1]] * (ftier - len(h.failed))
+        with profiling.span("verify.global_dispatch"):
+            h.T_dev, h.inl_dev = global_registration_batch(
+                jnp.asarray(h.src[fidx]), jnp.asarray(h.src_m[fidx]),
+                jnp.asarray(h.dst[fidx]), jnp.asarray(h.dst_m[fidx]),
+                corr_dist=h.corr_dist)
+        h.stage = 1
+        return False
+    if h.stage == 1:
+        with profiling.span("verify.global_read"):
+            T_g, inl_g = np.asarray(h.T_dev), np.asarray(h.inl_dev)
+        n_src = np.maximum(h.src_m.sum(axis=1), 1.0)
+        for j, i in enumerate(h.failed):
+            if int(inl_g[j]) > int(h.inl[i]):
+                h.T[i], h.inl[i] = T_g[j], inl_g[j]
+                h.success[i] = (
+                    int(inl_g[j]) > h.min_inliers
+                    and float(inl_g[j]) / n_src[i] > h.min_inlier_ratio)
+        h.results = [
+            (np.linalg.inv(np.asarray(h.T[i], np.float64)), h.success[i])
+            for i in range(h.p)]
+        h.stage = 2
+    return True
+
+
 def compute_transform_batch(pairs, voxel_size: float, min_inliers: int,
                             pad_size: int = 1024,
                             min_inlier_ratio: float = 0.6,
@@ -474,72 +593,20 @@ def compute_transform_batch(pairs, voxel_size: float, min_inliers: int,
     (up to) two device dispatches — one multi-start ICP batch, then one
     prior-free global-registration batch over only the pairs the first
     stage failed. Decision flow and returned (Z, success) per pair are
-    identical to calling :func:`compute_transform` in a loop.
-
-    ``pairs`` is a list of ``(src_points, dst_points)``; the pair count is
-    padded to a power-of-two tier (repeating the last pair) so each tier
-    compiles once. Batches beyond ``max_pair_tier`` are processed in
-    chunks of that size so unbounded detection rounds can't hit an
-    unwarmed tier (each fresh pair tier costs a >1 min remote compile;
-    warmups cover tiers up to the cap).
+    identical to calling :func:`compute_transform` in a loop. Synchronous
+    driver over the staged begin/step API (see
+    :func:`compute_transform_batch_begin`).
     """
     if not pairs:
         return []
-    if len(pairs) > max_pair_tier:
-        out = []
-        for c in range(0, len(pairs), max_pair_tier):
-            out.extend(compute_transform_batch(
-                pairs[c:c + max_pair_tier], voxel_size, min_inliers,
-                pad_size=pad_size, min_inlier_ratio=min_inlier_ratio,
-                max_pair_tier=max_pair_tier))
-        return out
-    p = len(pairs)
-    tier = 1
-    while tier < p:
-        tier *= 2
-    padded = list(pairs) + [pairs[-1]] * (tier - p)
-    src = np.stack([pad_cloud(s, pad_size)[0] for s, _ in padded])
-    src_m = np.stack([pad_cloud(s, pad_size)[1] for s, _ in padded])
-    dst = np.stack([pad_cloud(d, pad_size)[0] for _, d in padded])
-    dst_m = np.stack([pad_cloud(d, pad_size)[1] for _, d in padded])
-    corr_dist = float(voxel_size) * 1.5
-    from cslam_tpu.utils import profiling
-    with profiling.span("verify.icp_dispatch"):
-        T, inl = robust_registration_batch(
-            jnp.asarray(src), jnp.asarray(src_m), jnp.asarray(dst),
-            jnp.asarray(dst_m), corr_dist=corr_dist)
-    # np.asarray on device arrays returns read-only views; the fallback
-    # loop below writes winners in place
-    with profiling.span("verify.icp_read"):
-        T, inl = np.array(T), np.array(inl)
-    n_src = np.maximum(src_m.sum(axis=1), 1.0)
-
-    def gate(count, i):
-        return (int(count) > min_inliers
-                and float(count) / n_src[i] > min_inlier_ratio)
-
-    success = [gate(inl[i], i) for i in range(p)]
-    failed = [i for i in range(p) if not success[i]]
-    if failed:
-        # one global-registration dispatch over just the failures (its
-        # FPFH + dense yaw-correlation stage is ~4x the ICP sweep's cost)
-        ftier = 1
-        while ftier < len(failed):
-            ftier *= 2
-        fidx = failed + [failed[-1]] * (ftier - len(failed))
-        with profiling.span("verify.global_dispatch"):
-            T_g, inl_g = global_registration_batch(
-                jnp.asarray(src[fidx]), jnp.asarray(src_m[fidx]),
-                jnp.asarray(dst[fidx]), jnp.asarray(dst_m[fidx]),
-                corr_dist=corr_dist)
-        with profiling.span("verify.global_read"):
-            T_g, inl_g = np.asarray(T_g), np.asarray(inl_g)
-        for j, i in enumerate(failed):
-            if int(inl_g[j]) > int(inl[i]):
-                T[i], inl[i] = T_g[j], inl_g[j]
-                success[i] = gate(inl_g[j], i)
-    return [(np.linalg.inv(np.asarray(T[i], np.float64)), success[i])
-            for i in range(p)]
+    out = []
+    for h in compute_transform_batch_begin(
+            pairs, voxel_size, min_inliers, pad_size=pad_size,
+            min_inlier_ratio=min_inlier_ratio, max_pair_tier=max_pair_tier):
+        while not compute_transform_batch_step(h):
+            pass
+        out.extend(h.results)
+    return out
 
 
 def compute_transform(src_points: np.ndarray, dst_points: np.ndarray,

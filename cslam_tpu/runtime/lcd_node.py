@@ -104,6 +104,7 @@ class DetectionFrontEnd:
         # own costs a full device round-trip — ~30 ms on the relay-attached
         # chip, the dominant per-step cost in the lidar e2e pipeline)
         self._gossip_intake: List[Any] = []
+        self._pending_searches: List[Any] = []  # dispatched bank searches
         self._pending_selection = None  # deferred detect_inter round
         ctx.create_timer(
             self.params.get("frontend.gossip_intake_flush_period_sec", 0.1),
@@ -136,13 +137,21 @@ class DetectionFrontEnd:
 
     def add_global_descriptor_to_map(self, embedding: np.ndarray,
                                      kf_id: int) -> None:
+        """Register a local keyframe descriptor and dispatch its cross-bank
+        search. With ``frontend.async_detection`` (default) the search
+        result is harvested at the next gossip-intake flush — the device
+        round-trips of all robots/planes in a poll cycle overlap instead of
+        serializing (this pair of blocking reads was ~130 ms/keyframe of
+        the lidar e2e steady state). Match bookkeeping is order-insensitive
+        (the ACM candidate buffer dedups edges), so results are identical
+        to the synchronous flow, one cycle later."""
         self.detect_intra(embedding, kf_id)
-        matches = self.lcm.add_local_global_descriptor(embedding, kf_id)
+        handle = self.lcm.add_local_global_descriptor_begin(embedding, kf_id)
         self.global_descriptors_buffer[kf_id] = GlobalDescriptor(
             keyframe_id=kf_id, robot_id=self.robot_id, descriptor=embedding)
-        for match in matches:
-            self.inter_robot_matches_buffer[self.nb_inter_robot_matches] = match
-            self.nb_inter_robot_matches += 1
+        self._pending_searches.append(handle)
+        if not self.params.get("frontend.async_detection", True):
+            self._harvest_searches()
 
     def detect_intra(self, embedding: np.ndarray, kf_id: int) -> None:
         if not self.params.get("frontend.enable_intra_robot_loop_closures",
@@ -174,7 +183,8 @@ class DetectionFrontEnd:
         self._log("detection_cumulative_communication")
 
     def inter_robot_matches_timer_callback(self) -> None:
-        self._flush_gossip_intake()  # matches from this cycle's intake
+        self._flush_gossip_intake()  # matches from this cycle's intake...
+        self._harvest_searches()  # ...published this cycle, not next
         if not self.inter_robot_matches_buffer:
             return
         latest = max(self.inter_robot_matches_buffer.keys())
@@ -234,18 +244,40 @@ class DetectionFrontEnd:
             self.neighbor_manager.get_unknown_range(msg.descriptors))
 
     def _flush_gossip_intake(self) -> None:
-        self._harvest_selection()  # cheap no-op unless a round is pending
+        self._harvest_selection(force=False)  # only if the solve is done
+        self._harvest_searches()
         if not self._gossip_intake:
             return
         pending, self._gossip_intake = self._gossip_intake, []
         # whole cycle's intake (all senders) searched against the local
-        # bank in ONE device dispatch
+        # bank in ONE device dispatch; harvested next flush (async mode)
         with profiling.span("lcd.gossip_search"):
-            matches = self.lcm.add_other_robot_global_descriptors(pending)
-        for match in matches:
-            self.inter_robot_matches_buffer[
-                self.nb_inter_robot_matches] = match
-            self.nb_inter_robot_matches += 1
+            handle = self.lcm.add_other_robot_global_descriptors_begin(
+                pending)
+        self._pending_searches.append(handle)
+        if not self.params.get("frontend.async_detection", True):
+            self._harvest_searches()
+
+    def _harvest_searches(self) -> None:
+        """Materialize every pending cross-bank search (local-keyframe and
+        gossip-chunk) in one overlapped read burst and fold the resulting
+        matches into the gossip buffer."""
+        if not self._pending_searches:
+            return
+        pending, self._pending_searches = self._pending_searches, []
+        from cslam_tpu.utils import device_read
+        device_read.prefetch(a for h in pending for a in h.arrays)
+        with profiling.span("lcd.search_harvest"):
+            for h in pending:
+                if h.keyframe_id is not None:
+                    matches = self.lcm.add_local_global_descriptor_finish(h)
+                else:
+                    matches = \
+                        self.lcm.add_other_robot_global_descriptors_finish(h)
+                for match in matches:
+                    self.inter_robot_matches_buffer[
+                        self.nb_inter_robot_matches] = match
+                    self.nb_inter_robot_matches += 1
 
     def inter_robot_matches_callback(self, msg: InterRobotMatches) -> None:
         if msg.robot_id == self.robot_id:
@@ -258,7 +290,8 @@ class DetectionFrontEnd:
     # ------------------------------------------------------------------
 
     def detect_inter(self) -> None:
-        self._flush_gossip_intake()  # candidates must be current
+        self._flush_gossip_intake()  # candidates must be current...
+        self._harvest_searches()  # ...including this cycle's dispatches
         self._harvest_selection()  # previous round applied before new offsets
         in_range, in_range_list = \
             self.neighbor_manager.check_neighbors_in_range()
@@ -277,15 +310,26 @@ class DetectionFrontEnd:
             # synchronous mode: block on the solve inside this round
             self._harvest_selection()
 
-    def _harvest_selection(self) -> None:
+    def _harvest_selection(self, force: bool = True) -> None:
         """Materialize the deferred selection round (if any) and publish
         its descriptor requests. With ``frontend.async_detection`` (the
         default) the MAC solve dispatched by :meth:`detect_inter` crunches
         on-device while keyframe intake continues; the next poll cycle
         harvests it here — the single-host analogue of the reference's
-        selection running in its own LCD process."""
+        selection running in its own LCD process. ``force=False`` only
+        harvests a solve whose device result is already materialized
+        (poll-don't-block: a large-tier FW solve may span several poll
+        cycles, and blocking here would re-serialize the detection plane
+        behind it); :meth:`detect_inter` forces, because the previous
+        round must be applied before new offsets are computed."""
         if self._pending_selection is None:
             return
+        if not force:
+            pending = self._pending_selection[0].get("pending")
+            if pending is not None:
+                is_ready = getattr(pending[0], "is_ready", None)
+                if is_ready is not None and not is_ready():
+                    return
         (handle, in_range_list, t0), self._pending_selection = \
             self._pending_selection, None
         with profiling.span("lcd.select_harvest"):

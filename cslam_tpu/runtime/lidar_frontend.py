@@ -57,6 +57,7 @@ class LidarFrontEnd:
             / 1000.0, self.process_new_sensor_data)
 
         self.received_data: List[Tuple[np.ndarray, Odometry]] = []
+        self._pending_verifications: List[tuple] = []
         self.local_descriptors_map: Dict[int, np.ndarray] = {}
         self.nb_local_keyframes = 0
         self.previous_odom: Optional[Odometry] = None
@@ -127,6 +128,7 @@ class LidarFrontEnd:
         return False
 
     def process_new_sensor_data(self) -> None:
+        self._advance_verifications()
         if not self.received_data:
             return
         points, odom = self.received_data.pop(0)
@@ -198,18 +200,53 @@ class LidarFrontEnd:
             jobs.append((kf_id, local))
         if not jobs:
             return
+        # dispatch the staged verification now; results are harvested one
+        # stage per sensor-processing cycle so several robots'/bursts'
+        # registration programs crunch on-device concurrently instead of
+        # serializing behind blocking reads (frontend.async_verification)
         with profiling.span("lidar.verify_batch"):
-            results = registration.compute_transform_batch(
+            handles = registration.compute_transform_batch_begin(
                 [(local, msg.points) for _, local in jobs],
                 self.params.get("frontend.voxel_size", 0.5),
                 self.params.get("frontend.registration_min_inliers", 60))
-        for (kf_id, _), (transform, success) in zip(jobs, results):
-            self.inter_robot_loop_closure_publisher.publish(
-                InterRobotLoopClosure(
-                    robot0_id=self.robot_id, robot0_keyframe_id=kf_id,
-                    robot1_id=msg.robot_id, robot1_keyframe_id=msg.keyframe_id,
-                    success=success,
-                    transform=transform if success else None))
+        self._pending_verifications.append(
+            ([kf for kf, _ in jobs], msg.robot_id, msg.keyframe_id, handles))
+        if not self.params.get("frontend.async_verification", True):
+            self._advance_verifications(block=True)
+
+    def _advance_verifications(self, block: bool = False) -> None:
+        """Advance every pending verification burst by one harvest stage
+        (``block=True`` drives them to completion) and publish finished
+        loop-closure outcomes. Device reads across bursts are overlapped
+        via ``device_read.prefetch``."""
+        if not self._pending_verifications:
+            return
+        from cslam_tpu.utils import device_read
+        while True:
+            device_read.prefetch(
+                a for _, _, _, handles in self._pending_verifications
+                for h in handles for a in h.arrays)
+            still_pending = []
+            for kf_ids, rid, rkf, handles in self._pending_verifications:
+                all_done = True
+                for h in handles:
+                    if not h.done and not \
+                            registration.compute_transform_batch_step(h):
+                        all_done = False
+                if not all_done:
+                    still_pending.append((kf_ids, rid, rkf, handles))
+                    continue
+                results = [r for h in handles for r in h.results]
+                for kf_id, (transform, success) in zip(kf_ids, results):
+                    self.inter_robot_loop_closure_publisher.publish(
+                        InterRobotLoopClosure(
+                            robot0_id=self.robot_id, robot0_keyframe_id=kf_id,
+                            robot1_id=rid, robot1_keyframe_id=rkf,
+                            success=success,
+                            transform=transform if success else None))
+            self._pending_verifications = still_pending
+            if not block or not still_pending:
+                return
 
     def receive_local_keyframe_match(self, msg) -> None:
         pc0 = self.local_descriptors_map.get(msg.keyframe0_id)

@@ -298,18 +298,20 @@ class AlgebraicConnectivityMaximization:
             mac = MAC(fixed_edges, candidate_edges, self.total_nb_poses,
                       **mac_kwargs)
         # Background-compile the NEXT shape tier when a growth counter
-        # passes 75% of its pad, so a mid-mission tier crossing never
+        # passes 60% of its pad, so a mid-mission tier crossing never
         # stalls the detection plane on a foreground remote compile
-        # (measured 105 s for one tier in the round-3 lidar e2e).
+        # (measured 105 s for one tier in the round-3 lidar e2e; 75% left
+        # too little lead time — round 4 measured an 83 s foreground stall
+        # when candidates crossed their tier before the prefetch landed).
         from cslam_tpu.selection.mac import prefetch_selection_tier_async
         nexts = []
-        if len(candidate_edges) * 4 >= mac._E * 3:
+        if len(candidate_edges) * 5 >= mac._E * 3:
             nexts.append((self.total_nb_poses, mac._E + 1,
                           mac.num_lr_fixed))
-        if self.total_nb_poses * 4 >= mac._P * 3:
+        if self.total_nb_poses * 5 >= mac._P * 3:
             nexts.append((mac._P + 1, len(candidate_edges),
                           mac.num_lr_fixed))
-        if not mac._dense and mac.num_lr_fixed * 4 >= 3 * mac._mf:
+        if not mac._dense and mac.num_lr_fixed * 5 >= 3 * mac._mf:
             nexts.append((self.total_nb_poses, len(candidate_edges),
                           mac._mf + 1))
         for nxt in nexts:

@@ -267,7 +267,9 @@ def prefetch_selection_tier_async(num_poses: int, num_candidates: int,
             nf = 1 if mf <= _MF_FLOOR else mf // 2 + 1
             fixed += [Edge(i % (p - 2), (i + p // 2) % p, 1.0)
                       for i in range(nf)]
-            cands = [Edge(i % (p - 1), (i + p // 3 + 1) % p, 1.0)
+            # zero candidate weights: identical program, but the FW loop
+            # early-exits after one iteration (see warmup_selection_tiers)
+            cands = [Edge(i % (p - 1), (i + p // 3 + 1) % p, 0.0)
                      for i in range(e)]
             m = MAC(fixed, cands, p, **mac_kwargs)
             m.fw_subset(np.zeros(e), 4, max_iters=max_iters)
@@ -305,7 +307,14 @@ def warmup_selection_tiers(expected_poses: int, expected_candidates: int,
         e = _E_FLOOR
         while True:
             fixed = [Edge(i, i + 1, 1.0) for i in range(p - 1)]
-            cands = [Edge(i % (p - 1), (i + p // 2) % p, 1.0)
+            # ZERO-weight candidates: the compiled program is identical
+            # (weights are operands, not statics) but the supergradient is
+            # all-zero, so the duality gap closes after ONE Frank-Wolfe
+            # iteration — each warmup execution costs one eigensolve
+            # instead of max_iters of them (the big-tier warmups were
+            # seconds of real solve time apiece, most of the lidar e2e's
+            # ~9-minute warmup phase).
+            cands = [Edge(i % (p - 1), (i + p // 2) % p, 0.0)
                      for i in range(e)]
             m = MAC(fixed, cands, p, **mac_kwargs)
             # twice with distinct inits: the relay-attached chip sometimes

@@ -92,22 +92,34 @@ class CompileWatch:
     def __init__(self):
         self.count = 0
         self.names: list = []
+        # compiles from non-main threads (the background tier prefetcher)
+        # are intentional — report them separately so a prefetch doing its
+        # job is not mistaken for a warmup-coverage bug
+        self.background_count = 0
+        self.background_names: list = []
 
     def __enter__(self):
         import logging
+        import threading
         import jax
         self._flag = jax.config.jax_log_compiles
         jax.config.update("jax_log_compiles", True)
 
         watch = self
+        main = threading.main_thread()
 
         class _H(logging.Handler):
             def emit(self, record):
                 msg = record.getMessage()
                 if "Compiling" in msg or "Finished XLA compilation" in msg:
                     if "Compiling" in msg:
-                        watch.count += 1
-                        watch.names.append(msg.split()[1].strip("'\""))
+                        name = msg.split()[1].strip("'\"")
+                        if threading.current_thread() is main:
+                            watch.count += 1
+                            watch.names.append(name)
+                        else:
+                            watch.background_count += 1
+                            watch.background_names.append(name)
 
         self._handler = _H(level=0)
         self._loggers = [logging.getLogger(n) for n in
