@@ -32,6 +32,10 @@ _ap.add_argument("--warm-ritz", action="store_true",
 _ap.add_argument("--no-warm-ritz", action="store_true",
                  help="disable the FW Ritz-block warm start (A/B baseline; "
                       "default ON since the round-4 on-chip A/B)")
+_ap.add_argument("--fw-warm-start", action="store_true",
+                 help="carry the relaxed FW solution across detection "
+                      "rounds (frontend.mac_fw_warm_start A/B; shows up in "
+                      "the steady-round timings, not the cold solve)")
 _args = _ap.parse_args()
 
 if _args.cpu:
@@ -54,6 +58,8 @@ def build_acm(nb_robots, nb_poses, nb_candidates, nb_fixed, rng):
         extra["frontend.mac_lobpcg_short_iters"] = 48
     if _args.no_warm_ritz:
         extra["frontend.mac_fw_warm_ritz"] = False
+    if _args.fw_warm_start:
+        extra["frontend.mac_fw_warm_start"] = True
     extra = extra or None
     acm = AlgebraicConnectivityMaximization(robot_id=0,
                                             max_nb_robots=nb_robots,
@@ -94,6 +100,24 @@ def main():
             times.append(time.perf_counter() - t0)
         t = float(np.median(times))
         n_nodes = R * Np
+        # steady rounds: SAME acm, successive budget-5 selections with ~20
+        # fresh candidates arriving between rounds — the detection-plane
+        # steady state where frontend.mac_fw_warm_start can help (each
+        # round's solve starts from the previous round's relaxed w)
+        steady = []
+        for _ in range(_args.repeats):
+            for _k in range(20):
+                r0 = int(rng.integers(0, R - 1))
+                acm2.add_candidate_edge(EdgeInterRobot(
+                    r0, int(rng.integers(0, Np)), r0 + 1,
+                    int(rng.integers(0, Np)),
+                    float(rng.uniform(0.1, 1.0))))
+            t0 = time.perf_counter()
+            acm2.select_candidates(5, in_range)
+            steady.append(time.perf_counter() - t0)
+        t_steady = float(np.median(steady))
+        print(f"#   steady rounds (same acm, +20 cands/round): "
+              f"median {t_steady * 1e3:.1f} ms")
         # deterministic fingerprint of the LAST repeat's selection: the
         # bench seeds rng(0) and consumes it identically regardless of
         # solver flags, so two processes (e.g. early-exit vs --warm-ritz)
@@ -103,7 +127,7 @@ def main():
             f"{e.robot0_id},{e.robot0_keyframe_id},"
             f"{e.robot1_id},{e.robot1_keyframe_id}" for e in sel))
         sel_hash = hashlib.sha1(key.encode()).hexdigest()[:12]
-        rows.append((R, n_nodes, C, t, len(sel), sel_hash))
+        rows.append((R, n_nodes, C, t, len(sel), sel_hash, t_steady))
         print(f"# {R} robots, {n_nodes} poses, {C} candidates: "
               f"select_candidates(budget=5) median {t * 1e3:.1f} ms "
               f"({len(sel)} selected, sel_hash {sel_hash})")
@@ -113,10 +137,12 @@ def main():
         "lobpcg": ("full48" if _args.full_lobpcg
                    else "early_exit" if _args.no_warm_ritz
                    else "warm_ritz"),
+        "fw_warm_start": bool(_args.fw_warm_start),
         "value": round(last[3] * 1e3, 1), "unit": "ms",
         "tiers": [{"robots": r, "poses": n, "candidates": c,
-                   "median_ms": round(t * 1e3, 1), "sel_hash": h}
-                  for r, n, c, t, _, h in rows],
+                   "median_ms": round(t * 1e3, 1), "sel_hash": h,
+                   "steady_round_median_ms": round(ts * 1e3, 1)}
+                  for r, n, c, t, _, h, ts in rows],
     }))
 
 

@@ -88,6 +88,12 @@ class FrontendConfig:
     mac_lobpcg_short_iters: int = 14
     mac_fw_warm_ritz: bool = True
     mac_lobpcg_warm_iters: int = 6
+    # Carry the previous detection round's relaxed FW solution across
+    # rounds (persisting candidates re-enter near their converged weight,
+    # closing the duality gap in a few iterations — the cross-round
+    # analogue of the PGO solver's carried TLS weights). Opt-in until A/B'd
+    # on the real chip (benchmarks/selection_bench.py --fw-warm-start).
+    mac_fw_warm_start: bool = False
     warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
     # local-descriptor payloads ship deflate-compressed, like the
     # reference's rtabmap-compressed features (rgbd_handler.cpp:404-431)

@@ -56,6 +56,13 @@ class AlgebraicConnectivityMaximization:
         self.log_greedy_edges: List[EdgeInterRobot] = []
         self.log_mac_edges: List[EdgeInterRobot] = []
         self.mac_solver_failures = 0
+        # relaxed FW solution by candidate key from the previous detection
+        # round (``frontend.mac_fw_warm_start``): persisting candidates
+        # re-enter the next solve near their converged weight, so the
+        # duality gap closes in a handful of FW iterations instead of the
+        # full budget — the cross-round analogue of the solver's
+        # carried-TLS-weights trick
+        self.last_relaxed_w: Dict[Tuple[int, int, int, int], float] = {}
 
     # ------------------------------------------------------------------
     # Edge bookkeeping
@@ -325,7 +332,8 @@ class AlgebraicConnectivityMaximization:
     def run_mac_solver_finish(self, mac, pending,
                               candidate_edges: List[Edge],
                               w_init: np.ndarray,
-                              nb_to_choose: int) -> np.ndarray:
+                              nb_to_choose: int,
+                              cand_keys=None) -> np.ndarray:
         """Materialize a dispatched MAC solve (blocks on the device read).
 
         Retry ladder with increasingly random initializations, the
@@ -343,7 +351,11 @@ class AlgebraicConnectivityMaximization:
         last_exc = None
         for trial in range(max(nb_to_choose, 1)):
             try:
-                result, _, _ = mac.fw_subset_finish(pending)
+                result, w_relaxed, _ = mac.fw_subset_finish(pending)
+                if cand_keys is not None and self.params.get(
+                        "frontend.mac_fw_warm_start", False):
+                    self.last_relaxed_w = dict(
+                        zip(cand_keys, np.asarray(w_relaxed, np.float64)))
                 if trial:
                     logging.getLogger(__name__).warning(
                         "MAC solver recovered at retry %d", trial)
@@ -403,6 +415,24 @@ class AlgebraicConnectivityMaximization:
             w_init = self.random_initialization(nb_to_choose,
                                                 rekeyed_candidates)
 
+        cand_keys = [self.edge_key(e) for e in self.get_included_edges(
+            self.candidate_edges.values(), is_robot_included)]
+        if (self.params.get("frontend.mac_fw_warm_start", False)
+                and self.last_relaxed_w):
+            # overlay the previous round's converged relaxed weights on
+            # persisting candidates (new candidates keep their init value),
+            # then rescale into the |w| <= k constraint set if the overlay
+            # overshoots it (FW iterates are convex combinations with
+            # budget-k vertices, so a feasible start stays feasible)
+            w_init = np.asarray(w_init, np.float64).copy()
+            for i, key in enumerate(cand_keys):
+                carried = self.last_relaxed_w.get(key)
+                if carried is not None:
+                    w_init[i] = carried
+            total = float(w_init.sum())
+            if nb_to_choose > 0 and total > nb_to_choose:
+                w_init *= nb_to_choose / total
+
         mac = pending = None
         if (self.params["frontend.enable_sparsification"]
                 and self.check_initial_fixed_measurements_exists(
@@ -419,6 +449,7 @@ class AlgebraicConnectivityMaximization:
         return {"mac": mac, "pending": pending, "result": result,
                 "w_init": w_init, "nb_to_choose": nb_to_choose,
                 "rekeyed_candidates": rekeyed_candidates,
+                "cand_keys": cand_keys,
                 "is_robot_included": is_robot_included}
 
     def select_candidates_finish(self, handle) -> List[EdgeInterRobot]:
@@ -433,7 +464,8 @@ class AlgebraicConnectivityMaximization:
         if result is None:
             result = self.run_mac_solver_finish(
                 handle["mac"], handle["pending"], rekeyed_candidates,
-                handle["w_init"], handle["nb_to_choose"])
+                handle["w_init"], handle["nb_to_choose"],
+                cand_keys=handle.get("cand_keys"))
         if len(result) == 0:
             return []
 
