@@ -202,6 +202,9 @@ def main():
     if cw.count:
         print(f"# WARNING: {cw.count} steady-state MAIN-THREAD compiles: "
               f"{sorted(set(cw.names))}", flush=True)
+        for expl in cw.miss_explanations[:12]:
+            print("#   miss: " + expl.replace("\n", "\n#         "),
+                  flush=True)
     if cw.background_count:
         print(f"# note: {cw.background_count} background prefetch compiles: "
               f"{sorted(set(cw.background_names))}", flush=True)
@@ -224,7 +227,14 @@ def main():
     print(f"# {R} robots x {steps} steps = {total_kf} keyframes, "
           f"{S} scenes, {_args.points} pts/scan, "
           f"platform={'cpu' if _args.cpu else 'tpu'}")
-    print(f"# steady wall {wall:.1f} s = {total_kf / wall:.1f} kf/s "
+    # the mission advances 1 s of sim time per step (+ the drain): the
+    # honest real-time claim is wall <= sim, i.e. the full stack — sensor
+    # gating, detection, gossip, MAC selection, verification, PGO — keeps
+    # up with the reference's deployment cadence at this swarm scale
+    # (lidar_handler_node.py processes at sensor rate on a robot CPU)
+    sim_s = float(steps + 60)
+    print(f"# steady wall {wall:.1f} s = {total_kf / wall:.1f} kf/s, "
+          f"real-time factor {sim_s / wall:.2f}x "
           f"(+ warmup {warm_s:.1f} s) | verified "
           f"inter-robot loops {inter} | optimizations "
           f"{be0.optimization_count}")
@@ -246,6 +256,8 @@ def main():
         "ate_optimized_m": round(ate_opt, 3),
         "steady_state_compiles": cw.count,
         "background_prefetch_compiles": cw.background_count,
+        "sim_seconds": sim_s,
+        "real_time_factor": round(sim_s / wall, 3),
     }))
 
 

@@ -117,7 +117,8 @@ def main():
             steady.append(time.perf_counter() - t0)
         t_steady = float(np.median(steady))
         print(f"#   steady rounds (same acm, +20 cands/round): "
-              f"median {t_steady * 1e3:.1f} ms")
+              f"median {t_steady * 1e3:.1f} ms "
+              f"(last solve used {acm2.last_fw_iters} FW iterations)")
         # deterministic fingerprint of the LAST repeat's selection: the
         # bench seeds rng(0) and consumes it identically regardless of
         # solver flags, so two processes (e.g. early-exit vs --warm-ritz)

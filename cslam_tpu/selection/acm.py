@@ -56,6 +56,7 @@ class AlgebraicConnectivityMaximization:
         self.log_greedy_edges: List[EdgeInterRobot] = []
         self.log_mac_edges: List[EdgeInterRobot] = []
         self.mac_solver_failures = 0
+        self.last_fw_iters = -1  # FW iterations of the last MAC solve
         # relaxed FW solution by candidate key from the previous detection
         # round (``frontend.mac_fw_warm_start``): persisting candidates
         # re-enter the next solve near their converged weight, so the
@@ -352,6 +353,7 @@ class AlgebraicConnectivityMaximization:
         for trial in range(max(nb_to_choose, 1)):
             try:
                 result, w_relaxed, _ = mac.fw_subset_finish(pending)
+                self.last_fw_iters = mac.last_fw_iters
                 if cand_keys is not None and self.params.get(
                         "frontend.mac_fw_warm_start", False):
                     self.last_relaxed_w = dict(

@@ -487,12 +487,12 @@ class MAC:
         tol = jnp.float32(duality_gap_tol)
         with profiling.span("mac.fw_dispatch"):
             if self._dense:
-                w, dual, _ = _dense_fw_loop(
+                w, dual, it = _dense_fw_loop(
                     self._L_fixed, self._active, self._ci, self._cj,
                     self._cw, jnp.asarray(w0), cmask, tol, k=k,
                     max_iters=max_iters)
             else:
-                w, dual, _ = _woodbury_fw_loop(
+                w, dual, it = _woodbury_fw_loop(
                     self._pre, self._active, self._chain_i, self._chain_j,
                     self._chain_w, self._lr_i, self._lr_j, self._lr_w_fixed,
                     self._ci, self._cj, self._cw, jnp.asarray(w0), cmask,
@@ -501,17 +501,23 @@ class MAC:
                     lobpcg_short_iters=self._lobpcg_short_iters,
                     warm_ritz=self._fw_warm_ritz,
                     lobpcg_warm_iters=self._lobpcg_warm_iters)
-        return w, dual, k
+        return w, dual, k, it
+
+    #: FW iterations consumed by the last harvested solve (diagnostic:
+    #: the per-solve device cost is iterations x eigensolve, so this is
+    #: the number a warm-start A/B needs to explain its wall-clock)
+    last_fw_iters: int = -1
 
     def fw_subset_finish(self, pending
                          ) -> Tuple[np.ndarray, np.ndarray, float]:
         """Materialize a :meth:`fw_subset_dispatch` result (blocks on the
         device read) and round it."""
         from cslam_tpu.utils import profiling
-        w, dual, k = pending
+        w, dual, k, it = pending
         with profiling.span("mac.fw_read"):
             w_host = np.asarray(w)[:self._m].astype(np.float64)
             dual = float(dual)
+            self.last_fw_iters = int(it)
         return (self.round_solution_tiebreaker(w_host, k), w_host, dual)
 
     def fw_subset(self, w_init: np.ndarray, k: int, max_iters: int = 5,

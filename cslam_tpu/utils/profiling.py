@@ -97,6 +97,12 @@ class CompileWatch:
         # job is not mistaken for a warmup-coverage bug
         self.background_count = 0
         self.background_names: list = []
+        # jax's cache-miss explanations (main thread only): WHY each
+        # program missed the tracing cache — names the differing
+        # shape/static against the closest warmed key, so a tier-coverage
+        # bug diagnoses itself from the bench log instead of needing an
+        # offline repro
+        self.miss_explanations: list = []
 
     def __enter__(self):
         import logging
@@ -104,6 +110,8 @@ class CompileWatch:
         import jax
         self._flag = jax.config.jax_log_compiles
         jax.config.update("jax_log_compiles", True)
+        self._explain_flag = jax.config.jax_explain_cache_misses
+        jax.config.update("jax_explain_cache_misses", True)
 
         watch = self
         main = threading.main_thread()
@@ -111,6 +119,11 @@ class CompileWatch:
         class _H(logging.Handler):
             def emit(self, record):
                 msg = record.getMessage()
+                if "TRACING CACHE MISS" in msg:
+                    if (threading.current_thread() is main
+                            and len(watch.miss_explanations) < 50):
+                        watch.miss_explanations.append(msg)
+                    return
                 if "Compiling" in msg or "Finished XLA compilation" in msg:
                     if "Compiling" in msg:
                         name = msg.split()[1].strip("'\"")
@@ -124,7 +137,8 @@ class CompileWatch:
         self._handler = _H(level=0)
         self._loggers = [logging.getLogger(n) for n in
                          ("jax._src.interpreters.pxla", "jax._src.dispatch",
-                          "jax._src.compiler")]
+                          "jax._src.compiler",
+                          "jax._src.interpreters.partial_eval")]
         for lg in self._loggers:
             lg.addHandler(self._handler)
         return self
@@ -134,4 +148,5 @@ class CompileWatch:
         for lg in self._loggers:
             lg.removeHandler(self._handler)
         jax.config.update("jax_log_compiles", self._flag)
+        jax.config.update("jax_explain_cache_misses", self._explain_flag)
         return False
