@@ -312,16 +312,25 @@ class AlgebraicConnectivityMaximization:
         # too little lead time — round 4 measured an 83 s foreground stall
         # when candidates crossed their tier before the prefetch landed).
         from cslam_tpu.selection.mac import prefetch_selection_tier_async
-        nexts = []
-        if len(candidate_edges) * 5 >= mac._E * 3:
-            nexts.append((self.total_nb_poses, mac._E + 1,
-                          mac.num_lr_fixed))
-        if self.total_nb_poses * 5 >= mac._P * 3:
-            nexts.append((mac._P + 1, len(candidate_edges),
-                          mac.num_lr_fixed))
-        if not mac._dense and mac.num_lr_fixed * 5 >= 3 * mac._mf:
-            nexts.append((self.total_nb_poses, len(candidate_edges),
-                          mac._mf + 1))
+        # Each growth axis that passed 60% contributes its next tier; the
+        # CROSS-PRODUCT of hot axes is prefetched too — in the round-4
+        # lidar e2e, poses and candidates crossed their tiers within 40 s
+        # of each other, so the one-axis prefetches (nextP, curE) and
+        # (curP, nextE) both landed yet the tier actually needed was
+        # (nextP, nextE): a 16-45 s foreground stall per combination.
+        cand_next = (mac._E + 1 if len(candidate_edges) * 5 >= mac._E * 3
+                     else len(candidate_edges))
+        pose_next = (mac._P + 1 if self.total_nb_poses * 5 >= mac._P * 3
+                     else self.total_nb_poses)
+        mf_next = (mac._mf + 1
+                   if not mac._dense and mac.num_lr_fixed * 5 >= 3 * mac._mf
+                   else mac.num_lr_fixed)
+        nexts = {(p, e, mf)
+                 for p in {self.total_nb_poses, pose_next}
+                 for e in {len(candidate_edges), cand_next}
+                 for mf in {mac.num_lr_fixed, mf_next}}
+        nexts.discard((self.total_nb_poses, len(candidate_edges),
+                       mac.num_lr_fixed))  # the tier already in use
         for nxt in nexts:
             prefetch_selection_tier_async(
                 *nxt, max_iters=self.max_iters, **mac_kwargs)
