@@ -221,6 +221,38 @@ def _knn(points: jax.Array, mask: jax.Array, k: int):
     return idx, -neg_d2
 
 
+def _smallest_eigvec3(A: jax.Array) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue of a batch of symmetric
+    3x3 matrices ``A [..., 3, 3]``, in closed form.
+
+    Eigenvalues come from the trigonometric solution of the characteristic
+    cubic (Smith '61); the eigenvector from Cayley-Hamilton:
+    ``(A - l1 I)(A - l2 I) = (l3-l1)(l3-l2) v3 v3^T``, so any nonzero
+    column of that product is the smallest-eigenvalue direction. All pure
+    VPU arithmetic — XLA lowers batched ``jnp.linalg.eigh`` to a QR
+    while-loop that measured ~25 ms of the 188 ms global-registration
+    program at the production tier (benchmarks/global_reg_probe.py).
+    Degenerate neighborhoods (isotropic, or collinear with two equal
+    small eigenvalues) zero the product and fall back to +z — there the
+    normal is ill-defined and FPFH's angles carry no signal anyway."""
+    I3 = jnp.eye(3, dtype=A.dtype)
+    q = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None] / 3.0
+    Aq = A - q * I3
+    p = jnp.sqrt(jnp.maximum(
+        jnp.sum(Aq * Aq, axis=(-2, -1))[..., None, None] / 6.0, 1e-30))
+    r = jnp.clip(jnp.linalg.det(Aq / p)[..., None, None] / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)                          # largest
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)     # smallest
+    lam2 = 3.0 * q - lam1 - lam3
+    M = (A - lam1 * I3) @ (A - lam2 * I3)
+    col = jnp.argmax(jnp.sum(M * M, axis=-2), axis=-1)         # [...]
+    v = jnp.take_along_axis(M, col[..., None, None], axis=-1)[..., 0]
+    nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    ez = jnp.zeros_like(v).at[..., 2].set(1.0)
+    return jnp.where(nrm > 1e-12, v / jnp.maximum(nrm, 1e-30), ez)
+
+
 def _normals(points: jax.Array, mask: jax.Array, nn_idx: jax.Array
              ) -> jax.Array:
     """Per-point normals from neighborhood PCA, oriented toward the sensor
@@ -231,8 +263,7 @@ def _normals(points: jax.Array, mask: jax.Array, nn_idx: jax.Array
     centered = nbrs - mean
     cov = jnp.einsum("nki,nkj->nij", centered, centered)
     cov = cov + 1e-9 * jnp.eye(3)
-    _, vecs = jnp.linalg.eigh(cov)              # ascending eigenvalues
-    n = vecs[:, :, 0]                           # smallest-eigval direction
+    n = _smallest_eigvec3(cov)                  # closed form, no eigh
     flip = jnp.sign(-jnp.sum(n * points, axis=1, keepdims=True))
     n = n * jnp.where(flip == 0, 1.0, flip)
     return n * mask[:, None]
@@ -305,7 +336,16 @@ def _yaw_correlation_candidates(src, src_mask, dst, dst_mask, n_yaw: int):
     """Dense global SE(2)-ish search: for each yaw hypothesis, find the
     best XY translation by cross-correlating binarized occupancy grids
     (walls/structure correlate sharply where point descriptors alias).
-    Returns per-yaw (R [3,3], t [3], score)."""
+    Returns per-yaw (R [3,3], t [3], score).
+
+    The full linear cross-correlation runs in the frequency domain:
+    ``irfft2(rfft2(Hd_pad) * conj(rfft2(Hs_pad)))`` over a 2G zero-padded
+    grid, with the destination spectrum shared across all yaw hypotheses.
+    The direct ``correlate2d`` form (a 64x64-kernel conv per yaw) measured
+    111 ms of the 188 ms global-registration program at the production
+    tier (benchmarks/global_reg_probe.py); the score surface is the same
+    integer-valued count up to FFT rounding (~1e-3), so only exact ties
+    can break differently — and the robust-ICP refine arbitrates those."""
     ws = jnp.maximum(jnp.sum(src_mask), 1.0)
     wd = jnp.maximum(jnp.sum(dst_mask), 1.0)
     cs = jnp.sum(src * src_mask[:, None], axis=0) / ws
@@ -318,24 +358,31 @@ def _yaw_correlation_candidates(src, src_mask, dst, dst_mask, n_yaw: int):
                        extent(dst, dst_mask, cd)) * 1.05 + 1e-3
     cell = 2.0 * half / _GRID
     Hd = _occupancy2d(dst - cd, dst_mask, cell, half)
+    pad = 2 * _GRID
+    Fd = jnp.fft.rfft2(Hd, s=(pad, pad))        # shared across yaws
     yaws = jnp.arange(n_yaw) * (2.0 * jnp.pi / n_yaw)
 
     def per_yaw(yaw):
         R = _yaw_matrix(yaw)
         moved = (src - cs) @ R.T
         Hs = _occupancy2d(moved, src_mask, cell, half)
-        # full cross-correlation: score[u, v] = sum_xy Hs[x, y] *
-        # Hd[x + u - (G-1), y + v - (G-1)]
-        corr = jax.scipy.signal.correlate2d(Hd, Hs, mode="full")
-        best = jnp.argmax(corr)
-        u, v = best // (2 * _GRID - 1), best % (2 * _GRID - 1)
-        dxy = (jnp.stack([u, v]).astype(jnp.float32)
-               - (_GRID - 1)) * cell
+        # c[s_u, s_v] = sum_xy Hs[x, y] * Hd[x + s_u, y + s_v], the shift
+        # index s taken mod 2G; shifts in [-(G-1), G-1] cover correlate2d's
+        # "full" output, the aliased row/col s = G is masked out
+        c = jnp.fft.irfft2(Fd * jnp.conj(jnp.fft.rfft2(Hs, s=(pad, pad))),
+                           s=(pad, pad))
+        c = c.at[_GRID, :].set(-jnp.inf).at[:, _GRID].set(-jnp.inf)
+        best = jnp.argmax(c)
+        su = (best // pad).astype(jnp.int32)
+        sv = (best % pad).astype(jnp.int32)
+        su = jnp.where(su > _GRID, su - pad, su)
+        sv = jnp.where(sv > _GRID, sv - pad, sv)
+        dxy = jnp.stack([su, sv]).astype(jnp.float32) * cell
         # compose: p_dst = R (p_src - cs) + cd + [dxy, 0]
         # (z offset is left to the ICP refine)
         t = cd - R @ cs + jnp.concatenate(
             [dxy, jnp.zeros(1, dxy.dtype)])
-        return R, t, corr.reshape(-1)[best]
+        return R, t, c.reshape(-1)[best]
 
     return jax.vmap(per_yaw)(yaws)
 
@@ -466,29 +513,64 @@ def global_registration_batch(src, src_mask, dst, dst_mask, corr_dist: float,
     )(src, src_mask, dst, dst_mask)
 
 
-class VerifyBatchHandle:
-    """Staged verification of one (<= max_pair_tier) pair chunk.
+@jax.jit
+@highest_precision
+def _verify_pair_batch(src, sm, dst, dm, corr_dist, min_inliers,
+                       min_inlier_ratio):
+    """Fused geometric verification: multi-start ICP, prior-free global
+    registration, inlier gating and arbitration — ONE dispatch per pair
+    chunk, ONE readback.
 
-    Stage 0: multi-start ICP dispatched, results pending on device.
-    Stage 1: global-registration fallback dispatched for the ICP failures.
-    Stage 2: done — ``results`` holds the (Z, success) list.
-    Advance with :func:`compute_transform_batch_step`; ``arrays`` exposes
-    the stage's pending device results for ``device_read.prefetch``.
+    The previous two-stage flow (ICP batch -> host read -> global
+    fallback over failures -> host read) serialized two device round
+    trips per chunk, and 78% of the round-4 lidar-e2e chunks hit the
+    fallback anyway (389/500; verify reads were 149 s of the 335 s steady
+    wall). Running both candidate solvers speculatively costs the ~22%
+    of global-registration work the fallback used to skip, but removes a
+    full dispatch/read cycle, keeps the chunk on one fixed shape tier
+    (the failure-count repad compiled its own 1..P tiers), and lets the
+    decision run on device. Decision semantics are identical: the ICP
+    result wins if it passes the gate; otherwise the higher-inlier
+    candidate is taken and re-gated."""
+    T0, inl0 = jax.vmap(
+        lambda s, m, d, n: robust_registration(s, m, d, n, corr_dist)
+    )(src, sm, dst, dm)
+    Tg, inlg = jax.vmap(
+        lambda s, m, d, n: global_registration(s, m, d, n, corr_dist)
+    )(src, sm, dst, dm)
+    n_src = jnp.maximum(jnp.sum(sm, axis=1), 1.0)
+
+    def gate(inl):
+        return (inl > min_inliers) & (inl / n_src > min_inlier_ratio)
+
+    ok0 = gate(inl0)
+    use_g = jnp.logical_and(jnp.logical_not(ok0), inlg > inl0)
+    T = jnp.where(use_g[:, None, None], Tg, T0)
+    inl = jnp.where(use_g, inlg, inl0)
+    success = jnp.where(use_g, gate(inlg), ok0)
+    return T, inl, success
+
+
+class VerifyBatchHandle:
+    """One fused-dispatch verification of a (<= max_pair_tier) pair chunk.
+
+    ``compute_transform_batch_begin`` dispatches the whole decision
+    (:func:`_verify_pair_batch`); one :func:`compute_transform_batch_step`
+    harvest materializes ``results`` as the (Z, success) list. ``arrays``
+    exposes the pending device results for ``device_read.prefetch``.
     """
 
-    __slots__ = ("p", "src", "src_m", "dst", "dst_m", "corr_dist",
-                 "min_inliers", "min_inlier_ratio", "T_dev", "inl_dev",
-                 "T", "inl", "success", "failed", "stage", "results")
+    __slots__ = ("p", "T_dev", "inl_dev", "ok_dev", "results")
 
     @property
     def arrays(self):
-        if self.stage <= 1:
-            return (self.T_dev, self.inl_dev)
+        if self.results is None:
+            return (self.T_dev, self.inl_dev, self.ok_dev)
         return ()
 
     @property
     def done(self) -> bool:
-        return self.stage >= 2
+        return self.results is not None
 
 
 def compute_transform_batch_begin(pairs, voxel_size: float, min_inliers: int,
@@ -496,12 +578,11 @@ def compute_transform_batch_begin(pairs, voxel_size: float, min_inliers: int,
                                   min_inlier_ratio: float = 0.6,
                                   max_pair_tier: int = 8
                                   ) -> list:
-    """Dispatch the first (ICP) stage of batched verification without
-    blocking. Returns one :class:`VerifyBatchHandle` per chunk of up to
-    ``max_pair_tier`` pairs (each fresh pair tier costs a >1 min remote
-    compile; warmups cover tiers up to the cap). Pair counts are padded to
-    a power-of-two tier (repeating the last pair) so each tier compiles
-    once."""
+    """Dispatch batched verification without blocking. Returns one
+    :class:`VerifyBatchHandle` per chunk of up to ``max_pair_tier`` pairs
+    (each fresh pair tier costs a >1 min remote compile; warmups cover
+    tiers up to the cap). Pair counts are padded to a power-of-two tier
+    (repeating the last pair) so each tier compiles once."""
     from cslam_tpu.utils import profiling
     handles = []
     for c in range(0, len(pairs), max_pair_tier):
@@ -513,75 +594,32 @@ def compute_transform_batch_begin(pairs, voxel_size: float, min_inliers: int,
         padded = list(chunk) + [chunk[-1]] * (tier - p)
         h = VerifyBatchHandle()
         h.p = p
-        h.src = np.stack([pad_cloud(s, pad_size)[0] for s, _ in padded])
-        h.src_m = np.stack([pad_cloud(s, pad_size)[1] for s, _ in padded])
-        h.dst = np.stack([pad_cloud(d, pad_size)[0] for _, d in padded])
-        h.dst_m = np.stack([pad_cloud(d, pad_size)[1] for _, d in padded])
-        h.corr_dist = float(voxel_size) * 1.5
-        h.min_inliers = min_inliers
-        h.min_inlier_ratio = min_inlier_ratio
-        h.stage = 0
+        src = np.stack([pad_cloud(s, pad_size)[0] for s, _ in padded])
+        src_m = np.stack([pad_cloud(s, pad_size)[1] for s, _ in padded])
+        dst = np.stack([pad_cloud(d, pad_size)[0] for _, d in padded])
+        dst_m = np.stack([pad_cloud(d, pad_size)[1] for _, d in padded])
         h.results = None
-        with profiling.span("verify.icp_dispatch"):
-            h.T_dev, h.inl_dev = robust_registration_batch(
-                jnp.asarray(h.src), jnp.asarray(h.src_m),
-                jnp.asarray(h.dst), jnp.asarray(h.dst_m),
-                corr_dist=h.corr_dist)
+        with profiling.span("verify.dispatch"):
+            h.T_dev, h.inl_dev, h.ok_dev = _verify_pair_batch(
+                jnp.asarray(src), jnp.asarray(src_m),
+                jnp.asarray(dst), jnp.asarray(dst_m),
+                jnp.float32(float(voxel_size) * 1.5),
+                jnp.float32(min_inliers),
+                jnp.float32(min_inlier_ratio))
         handles.append(h)
     return handles
 
 
 def compute_transform_batch_step(h: VerifyBatchHandle) -> bool:
-    """Advance a staged verification chunk by one harvest step; returns
-    True once ``h.results`` is final. Stage 0 reads the ICP results and
-    dispatches the global-registration fallback over just the failures
-    (its FPFH + dense yaw-correlation stage is ~4x the ICP sweep's cost);
-    stage 1 reads the fallback and merges winners."""
+    """Materialize a dispatched verification chunk (one harvest step);
+    returns True once ``h.results`` is final."""
     from cslam_tpu.utils import profiling
-    if h.stage == 0:
-        # np.asarray on device arrays returns read-only views; the merge
-        # step writes winners in place
-        with profiling.span("verify.icp_read"):
-            h.T, h.inl = np.array(h.T_dev), np.array(h.inl_dev)
-        n_src = np.maximum(h.src_m.sum(axis=1), 1.0)
-
-        def gate(count, i):
-            return (int(count) > h.min_inliers
-                    and float(count) / n_src[i] > h.min_inlier_ratio)
-
-        h.success = [gate(h.inl[i], i) for i in range(h.p)]
-        h.failed = [i for i in range(h.p) if not h.success[i]]
-        if not h.failed:
-            h.results = [
-                (np.linalg.inv(np.asarray(h.T[i], np.float64)), h.success[i])
-                for i in range(h.p)]
-            h.stage = 2
-            return True
-        ftier = 1
-        while ftier < len(h.failed):
-            ftier *= 2
-        fidx = h.failed + [h.failed[-1]] * (ftier - len(h.failed))
-        with profiling.span("verify.global_dispatch"):
-            h.T_dev, h.inl_dev = global_registration_batch(
-                jnp.asarray(h.src[fidx]), jnp.asarray(h.src_m[fidx]),
-                jnp.asarray(h.dst[fidx]), jnp.asarray(h.dst_m[fidx]),
-                corr_dist=h.corr_dist)
-        h.stage = 1
-        return False
-    if h.stage == 1:
-        with profiling.span("verify.global_read"):
-            T_g, inl_g = np.asarray(h.T_dev), np.asarray(h.inl_dev)
-        n_src = np.maximum(h.src_m.sum(axis=1), 1.0)
-        for j, i in enumerate(h.failed):
-            if int(inl_g[j]) > int(h.inl[i]):
-                h.T[i], h.inl[i] = T_g[j], inl_g[j]
-                h.success[i] = (
-                    int(inl_g[j]) > h.min_inliers
-                    and float(inl_g[j]) / n_src[i] > h.min_inlier_ratio)
-        h.results = [
-            (np.linalg.inv(np.asarray(h.T[i], np.float64)), h.success[i])
-            for i in range(h.p)]
-        h.stage = 2
+    if h.results is None:
+        with profiling.span("verify.read"):
+            T = np.asarray(h.T_dev, np.float64)
+            ok = np.asarray(h.ok_dev)
+        h.results = [(np.linalg.inv(T[i]), bool(ok[i]))
+                     for i in range(h.p)]
     return True
 
 

@@ -77,27 +77,31 @@ class LidarFrontEnd:
 
     def warmup(self, pair_tiers=(1, 2, 4, 8), pad_size: int = 1024,
                include_global: bool = True) -> None:
-        """Precompile the geometric-verification programs for the given
-        pair-batch tiers (the multi-start ICP sweep and, optionally, the
-        prior-free global fallback) so live verification never pays JIT
+        """Precompile the fused geometric-verification program
+        (``registration._verify_pair_batch``: multi-start ICP + prior-free
+        global registration + on-device gating, one dispatch per chunk)
+        for the given pair-batch tiers so live verification never pays JIT
         latency mid-run. Use with jax's persistent compilation cache, like
-        ``DecentralizedPGO.warmup``."""
-        corr = float(self.params.get("frontend.voxel_size", 0.5)) * 1.5
-        import jax.numpy as jnp
+        ``DecentralizedPGO.warmup``. ``include_global`` is kept for API
+        compatibility (the fused program always contains both solvers).
+
+        CRITICAL (tests/test_no_retrace.py): this must go through the SAME
+        call chokepoint as production — ``compute_transform_batch_begin``
+        — so the jit cache key (incl. which kwargs are passed) matches."""
+        del include_global
+        voxel = float(self.params.get("frontend.voxel_size", 0.5))
+        min_inl = self.params.get("frontend.registration_min_inliers", 60)
+        rng = np.random.default_rng(0)
         # twice with distinct operand values: the relay-attached chip
         # sometimes recompiles on the call after a single warmup
-        for fill in (0.0, 0.1):
-            cloud = jnp.full((max(pair_tiers), pad_size, 3), fill,
-                             jnp.float32)
-            mask = jnp.ones((max(pair_tiers), pad_size), jnp.float32)
+        for _ in range(2):
+            cloud = rng.uniform(-5, 5, (64, 3)).astype(np.float32)
             for p in pair_tiers:
-                registration.robust_registration_batch(
-                    cloud[:p], mask[:p], cloud[:p], mask[:p],
-                    corr_dist=corr)[1].block_until_ready()
-                if include_global:
-                    registration.global_registration_batch(
-                        cloud[:p], mask[:p], cloud[:p], mask[:p],
-                        corr_dist=corr)[1].block_until_ready()
+                handles = registration.compute_transform_batch_begin(
+                    [(cloud, cloud)] * p, voxel, min_inl,
+                    pad_size=pad_size)
+                for h in handles:
+                    registration.compute_transform_batch_step(h)
 
     # ------------------------------------------------------------------
 

@@ -25,6 +25,36 @@ def transform_cloud(points, yaw_deg, t):
     return points @ R.T + np.asarray(t)
 
 
+class TestSmallestEigvec3:
+    """Closed-form 3x3 smallest-eigenvector (replaces batched eigh in
+    `_normals` — the QR while-loop eigh measured ~25 ms of the global-
+    registration program on chip, benchmarks/global_reg_probe.py)."""
+
+    def test_matches_eigh_on_neighborhood_covariances(self):
+        from cslam_tpu.ops.registration import _smallest_eigvec3
+        rng = np.random.default_rng(0)
+        X = rng.standard_normal((512, 16, 3)).astype(np.float32)
+        X[:, :, 2] *= 0.3  # anisotropic: distinct smallest direction
+        C = X - X.mean(1, keepdims=True)
+        cov = (np.einsum("nki,nkj->nij", C, C)
+               + 1e-9 * np.eye(3, dtype=np.float32))
+        v = np.asarray(_smallest_eigvec3(jnp.asarray(cov)))
+        _, vecs = np.linalg.eigh(cov)
+        dots = np.abs(np.sum(v * vecs[:, :, 0], axis=1))
+        assert dots.min() > 0.999
+
+    def test_degenerate_neighborhoods_stay_finite_unit(self):
+        from cslam_tpu.ops.registration import _smallest_eigvec3
+        iso = np.tile(np.eye(3, dtype=np.float32)[None], (4, 1, 1))
+        line = np.zeros((4, 3, 3), np.float32)
+        line[:, 0, 0] = 5.0  # collinear: two equal small eigenvalues
+        v = np.asarray(_smallest_eigvec3(
+            jnp.asarray(np.concatenate([iso, line]))))
+        assert np.all(np.isfinite(v))
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0,
+                                   rtol=1e-5)
+
+
 class TestVoxelDownsample:
 
     def test_reduces_and_preserves_extent(self):
