@@ -35,6 +35,15 @@ _ap.add_argument("--points", type=int, default=4096,
 _ap.add_argument("--cpu", action="store_true")
 _ap.add_argument("--no-warmup", action="store_true",
                  help="skip tier precompilation (measures cold+steady mixed)")
+_ap.add_argument("--sync", action="store_true",
+                 help="disable the async detection/verification planes "
+                      "(harvest-in-same-cycle; the round-3 flow) — A/B "
+                      "baseline for the ATE-regression bisect")
+_ap.add_argument("--dump-loops", default=None, metavar="PATH",
+                 help="write the verified inter-robot loop set (sorted "
+                      "edge keys) to PATH for cross-run diffing")
+_ap.add_argument("--mac-max-iters", type=int, default=None,
+                 help="override the ACM Frank-Wolfe iteration budget")
 _args = _ap.parse_args()
 
 if _args.cpu:
@@ -103,6 +112,11 @@ def main():
         cfg.frontend.registration_min_inliers = 40
         cfg.frontend.inter_robot_detection_period_sec = 3.0
         cfg.frontend.detection_publication_period_sec = 1.0
+        if _args.sync:
+            cfg.frontend.async_detection = False
+            cfg.frontend.async_verification = False
+        if _args.mac_max_iters is not None:
+            cfg.frontend.mac_max_iters = _args.mac_max_iters
         cfg.backend.pose_graph_optimization_start_period_ms = 30000
         cfg.neighbor_management.enable_neighbor_monitoring = False
         ctx = RobotContext(bus, clock, rid, cfg.flatten())
@@ -167,7 +181,9 @@ def main():
         # round-4 run crossed 1024 candidates mid-run and paid 80 s
         # foreground compiles; warm one tier beyond the expected count.
         from cslam_tpu.selection.mac import warmup_selection_tiers
-        warmup_selection_tiers(R * steps, 2048)
+        warmup_selection_tiers(
+            R * steps, 2048,
+            max_iters=robots[0][2].lcm.candidate_selector.max_iters)
         # the elected optimizer aggregates ALL robots' subgraphs
         robots[0][3].warmup(expected_poses=R * steps,
                             expected_edges=2 * R * steps)
@@ -212,6 +228,13 @@ def main():
     total_kf = sum(robots[r][1].nb_local_keyframes for r in range(R))
     be0 = robots[0][3]
     inter = sum(len(v) for v in be0.inter_robot_loop_closures.values())
+    if _args.dump_loops:
+        keys = sorted(
+            f"{pair[0]},{e.key0.keyframe_id},{pair[1]},{e.key1.keyframe_id}"
+            for pair, edges in be0.inter_robot_loop_closures.items()
+            for e in edges)
+        with open(_args.dump_loops, "w") as f:
+            f.write("\n".join(keys) + "\n")
 
     est = {k[1]: p for k, p in be0.current_pose_estimates.items()
            if k[0] == 0}

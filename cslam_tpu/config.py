@@ -78,6 +78,9 @@ class FrontendConfig:
     # plane off the keyframe critical path (the reference gets the same
     # isolation from its separate LCD process). Off = block in-round.
     async_detection: bool = True
+    # staged geometric verification: registration bursts dispatch now and
+    # harvest one stage per sensor cycle (LidarFrontEnd._advance_verifications)
+    async_verification: bool = True
     # MAC Woodbury-tier LOBPCG budgets: first-stage iterations before the
     # residual-gated continuation (48 disables the early exit), and the
     # opt-in Frank-Wolfe warm start that carries the Ritz block across FW
@@ -94,6 +97,12 @@ class FrontendConfig:
     # analogue of the PGO solver's carried TLS weights). Opt-in until A/B'd
     # on the real chip (benchmarks/selection_bench.py --fw-warm-start).
     mac_fw_warm_start: bool = False
+    # Frank-Wolfe iteration budget per MAC solve (the reference's ACM
+    # default, algebraic_connectivity_maximization.py:40). The rounded
+    # top-k selection's objective is statistically flat past ~6
+    # iterations on e2e-shaped graphs (benchmarks/fw_quality_probe.py) —
+    # the budget is a wall-clock knob, not a quality one.
+    mac_max_iters: int = 20
     warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
     # local-descriptor payloads ship deflate-compressed, like the
     # reference's rtabmap-compressed features (rgbd_handler.cpp:404-431)

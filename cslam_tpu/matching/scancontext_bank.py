@@ -21,7 +21,7 @@ import numpy as np
 
 from cslam_tpu.ops import scancontext as sc_ops
 from cslam_tpu.ops import topk as topk_ops
-from cslam_tpu.utils import profiling
+from cslam_tpu.utils import device_read, profiling
 from cslam_tpu.ops.nns_pallas import (KERNEL_K, TILE_N,
                                       cosine_topk_fused2_pre)
 
@@ -330,17 +330,19 @@ class ScanContextBank:
         lo = self._device_n
         while lo < self.nb_items:
             start = min(lo, self._capacity - chunk)
-            new_sc = jnp.asarray(self._sc_host[start:start + chunk])
-            new_rk = jnp.asarray(self._rk_host[start:start + chunk])
+            # .copy(): the staged transfer may be deferred/zero-copy, and
+            # a later add_item writes into this mirror window
+            new_sc = self._sc_host[start:start + chunk].copy()
+            new_rk = self._rk_host[start:start + chunk].copy()
             if fused:
                 self._sc_bank, self._rk_aug = _sync_chunk_fused(
                     self._sc_bank, self._rk_aug, new_sc, new_rk,
-                    jnp.int32(start))
+                    np.int32(start))
             else:
                 (self._sc_bank, self._rk_bank,
                  self._rk_sq_norms) = _sync_chunk_unfused(
                     self._sc_bank, self._rk_bank, self._rk_sq_norms,
-                    new_sc, new_rk, jnp.int32(start))
+                    new_sc, new_rk, np.int32(start))
             lo = start + chunk
         self._device_n = self.nb_items
 
@@ -408,7 +410,10 @@ class ScanContextBank:
         if tier != b:
             q = np.concatenate(
                 [q, np.zeros((tier - b,) + self.shape, np.float32)])
-        queries_sc = jnp.asarray(q)
+        # numpy operand: jit stages it asynchronously; an explicit
+        # jnp.asarray is a device_put that blocks behind the device queue
+        # (benchmarks/relay_dispatch_probe.py)
+        queries_sc = q
         if use_append:
             lo = self._device_n
             new_sc = np.zeros((_PENDING_PAD,) + self.shape, np.float32)
@@ -418,24 +423,29 @@ class ScanContextBank:
             if fused_mode:
                 (self._rk_aug, self._sc_bank, idx,
                  dists) = _append_two_stage_best_fused(
-                    self._rk_aug, self._sc_bank, lo, jnp.asarray(new_rk),
-                    jnp.asarray(new_sc), pend, queries_sc,
+                    self._rk_aug, self._sc_bank, lo, new_rk,
+                    new_sc, pend, queries_sc,
                     self.num_candidates)
             else:
                 (self._rk_bank, self._rk_sq_norms, self._sc_bank, idx,
                  dists) = _append_two_stage_best(
                     self._rk_bank, self._rk_sq_norms, self._sc_bank, lo,
-                    jnp.asarray(new_rk), jnp.asarray(new_sc), pend,
+                    new_rk, new_sc, pend,
                     queries_sc, self.num_candidates)
             self._device_n = self.nb_items
         elif self._rk_aug is not None:
             idx, dists = _two_stage_best_fused(
-                self._rk_aug, self._sc_bank, jnp.int32(self.nb_items),
+                self._rk_aug, self._sc_bank, np.int32(self.nb_items),
                 queries_sc, self.num_candidates)
         else:
             idx, dists = _two_stage_best(
                 self._rk_bank, self._rk_sq_norms, self._sc_bank,
-                jnp.int32(self.nb_items), queries_sc, self.num_candidates)
+                np.int32(self.nb_items), queries_sc, self.num_candidates)
+        # start the device->host copies NOW: they queue behind the search
+        # program and travel while the host does other work, so the
+        # harvest-side read finds them local (~0.3 ms) instead of paying a
+        # relay round-trip (~30-60 ms; benchmarks/relay_dispatch_probe.py)
+        device_read.prefetch((idx, dists))
         return _BatchSearchHandle(self, idx, dists, b)
 
     def search_best_batch_finish(self, handle: "_BatchSearchHandle"
@@ -551,7 +561,7 @@ def multi_search_best_begin(banks: List["ScanContextBank"],
         grouped.append((i, b))
     if grouped:
         shape = grouped[0][1].shape
-        q = jnp.asarray(np.asarray(query, np.float32).reshape(shape))
+        q = np.asarray(query, np.float32).reshape(shape)
         # per-bank pending blocks ride the same dispatch; a bank with
         # nothing pending passes m=0 and an identity block (its first
         # _PENDING_PAD mirror rows at start 0 — a bitwise no-op rewrite,
@@ -578,12 +588,12 @@ def multi_search_best_begin(banks: List["ScanContextBank"],
             tuple(b._rk_sq_norms for _, b in grouped),
             tuple(b._sc_bank for _, b in grouped),
             tuple(starts),
-            tuple(jnp.asarray(r) for r in new_rks),
-            tuple(jnp.asarray(s) for s in new_scs),
+            tuple(new_rks), tuple(new_scs),
             tuple(ns_live), q, grouped[0][1].num_candidates)
         for (i, b), (rk, rksq, sc) in zip(grouped, new_banks):
             b._rk_bank, b._rk_sq_norms, b._sc_bank = rk, rksq, sc
             b._device_n = b.nb_items
+        device_read.prefetch((idx, dists))  # harvest reads find them local
         return _MultiSearchHandle(out, grouped, idx, dists)
     return _MultiSearchHandle(out, [], None, None)
 

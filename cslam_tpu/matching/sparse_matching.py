@@ -67,7 +67,9 @@ class LoopClosureSparseMatching:
             if i != params["robot_id"]:
                 self.other_robots_nnsm[i] = _make_bank(params)
         self.candidate_selector = AlgebraicConnectivityMaximization(
-            params["robot_id"], params["max_nb_robots"], extra_params=params)
+            params["robot_id"], params["max_nb_robots"],
+            max_iters=int(params.get("frontend.mac_max_iters", 20)),
+            extra_params=params)
 
     # banks up to this capacity are stacked and searched in ONE dispatch;
     # beyond it, restacking R banks per keyframe costs more HBM traffic
@@ -118,7 +120,7 @@ class LoopClosureSparseMatching:
         if groups:
             import jax.numpy as jnp
             from cslam_tpu.ops import topk as topk_ops
-            q = jnp.asarray(np.asarray(embedding), jnp.float32)
+            q = np.asarray(embedding, np.float32)
             for members in groups.values():
                 for _, b in members:
                     b._sync_device()
@@ -126,6 +128,8 @@ class LoopClosureSparseMatching:
                 invn = jnp.stack([b._inv_norms for _, b in members])
                 ns = jnp.asarray([b.n for _, b in members], jnp.int32)
                 sims, idx = topk_ops.cosine_top1_multi(banks, invn, ns, q)
+                from cslam_tpu.utils import device_read
+                device_read.prefetch((sims, idx))
                 parts.append(("group", members, (sims, idx)))
         return SearchHandle(self, keyframe_id, hits, parts)
 

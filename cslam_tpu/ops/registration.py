@@ -599,13 +599,17 @@ def compute_transform_batch_begin(pairs, voxel_size: float, min_inliers: int,
         dst = np.stack([pad_cloud(d, pad_size)[0] for _, d in padded])
         dst_m = np.stack([pad_cloud(d, pad_size)[1] for _, d in padded])
         h.results = None
+        # numpy operands + dispatch-time prefetch: explicit device_puts
+        # block behind the device queue and harvest-time reads pay a
+        # relay RTT each (benchmarks/relay_dispatch_probe.py)
+        from cslam_tpu.utils import device_read
         with profiling.span("verify.dispatch"):
             h.T_dev, h.inl_dev, h.ok_dev = _verify_pair_batch(
-                jnp.asarray(src), jnp.asarray(src_m),
-                jnp.asarray(dst), jnp.asarray(dst_m),
-                jnp.float32(float(voxel_size) * 1.5),
-                jnp.float32(min_inliers),
-                jnp.float32(min_inlier_ratio))
+                src, src_m, dst, dst_m,
+                np.float32(float(voxel_size) * 1.5),
+                np.float32(min_inliers),
+                np.float32(min_inlier_ratio))
+            device_read.prefetch((h.T_dev, h.inl_dev, h.ok_dev))
         handles.append(h)
     return handles
 

@@ -478,29 +478,34 @@ class MAC:
         reference isolates it in its own node/process,
         ``loop_closure_detection_node.py``; our single-host equivalent is
         dispatch-now/harvest-next-cycle)."""
-        from cslam_tpu.utils import profiling
+        from cslam_tpu.utils import device_read, profiling
         k = min(k, self._m)
         w0 = np.zeros(self._E, np.float32)
         w0[:self._m] = np.asarray(w_init, np.float32)
-        cmask = jnp.asarray(
-            (np.arange(self._E) < self._m).astype(np.float32))
-        tol = jnp.float32(duality_gap_tol)
+        # host operands stay numpy: the jit arg-staging path ships them
+        # asynchronously, while an explicit device_put/jnp.asarray blocks
+        # behind whatever the device queue is running (measured ~53 ms
+        # each behind one busy program, and the full queue-drain — over a
+        # second — in the round-4 e2e; benchmarks/relay_dispatch_probe.py)
+        cmask = (np.arange(self._E) < self._m).astype(np.float32)
+        tol = np.float32(duality_gap_tol)
         with profiling.span("mac.fw_dispatch"):
             if self._dense:
                 w, dual, it = _dense_fw_loop(
                     self._L_fixed, self._active, self._ci, self._cj,
-                    self._cw, jnp.asarray(w0), cmask, tol, k=k,
+                    self._cw, w0, cmask, tol, k=k,
                     max_iters=max_iters)
             else:
                 w, dual, it = _woodbury_fw_loop(
                     self._pre, self._active, self._chain_i, self._chain_j,
                     self._chain_w, self._lr_i, self._lr_j, self._lr_w_fixed,
-                    self._ci, self._cj, self._cw, jnp.asarray(w0), cmask,
+                    self._ci, self._cj, self._cw, w0, cmask,
                     tol, k=k, max_iters=max_iters,
                     lobpcg_iters=self._lobpcg_iters,
                     lobpcg_short_iters=self._lobpcg_short_iters,
                     warm_ritz=self._fw_warm_ritz,
                     lobpcg_warm_iters=self._lobpcg_warm_iters)
+            device_read.prefetch((w, dual, it))  # harvest reads ~free
         return w, dual, k, it
 
     #: FW iterations consumed by the last harvested solve (diagnostic:

@@ -23,12 +23,21 @@ _registry: Dict[str, Dict[str, float]] = {}
 
 @contextlib.contextmanager
 def span(name: str) -> Iterator[None]:
-    """Accumulate wall-clock for a named region into the span registry."""
+    """Accumulate wall-clock for a named region into the span registry.
+
+    Spans entered from non-main threads (e.g. the background tier
+    prefetcher, which drives the SAME dispatch chokepoints as production)
+    are recorded under ``name (bg)``: their time is concurrent with the
+    main loop, and folding it in silently inflated the round-4 e2e span
+    table (mac.fw_dispatch "131 s" included 60+ s of background prefetch
+    compiles that never blocked the pipeline)."""
     t0 = time.perf_counter()
     try:
         yield
     finally:
         dt = time.perf_counter() - t0
+        if threading.current_thread() is not threading.main_thread():
+            name = name + " (bg)"
         with _lock:
             rec = _registry.setdefault(
                 name, {"count": 0, "total_s": 0.0, "max_s": 0.0})
