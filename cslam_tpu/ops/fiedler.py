@@ -118,10 +118,20 @@ def chain_lowrank_precompute(chain_w: jax.Array,
         sigma: spectral shift (> lambda_max) used for padding and deflation.
 
     Returns:
-        dict of precomputed tensors: the tridiagonal factors of T~, the
-        expanded column block U ``[P, M+1]``, Y = T~^-1 U, and G = U^T Y.
-        These stay fixed while candidate edge weights change (the
-        Frank-Wolfe inner loop only refreshes the small Woodbury core).
+        dict of precomputed tensors: the DENSE inverse ``Tinv = T~^-1``
+        ``[P, P]``, the expanded column block U ``[P, M+1]``, Y = T~^-1 U,
+        and G = U^T Y. These stay fixed while candidate edge weights change
+        (the Frank-Wolfe inner loop only refreshes the small Woodbury core).
+
+    Why a dense inverse: each LOBPCG iteration inside the Frank-Wolfe loop
+    applies ``T~^-1`` to a thin block. A per-apply ``tridiagonal_solve`` is
+    a P-step *sequential* recurrence — the worst shape for a TPU — and was
+    measured as the dominant term of every MAC solve (~60 ms per FW
+    iteration at P=2048; 131 s of the round-4 lidar-e2e steady wall). T~ is
+    weight-INdependent across the whole solve, so one tridiagonal solve
+    against the identity at construction turns every subsequent apply into
+    an MXU matmul (~20 us at P=2048). Memory: P^2 f32 = 16 MB at the e2e
+    tier, 268 MB at the largest bench tier — cheap next to a 16 GB HBM.
     """
     P = active.shape[0]
     chain_w = chain_w.astype(jnp.float32)
@@ -143,10 +153,16 @@ def chain_lowrank_precompute(chain_w: jax.Array,
     U = U.at[lr_j, cols].add(-1.0)
     U = U.at[:, M].set(u)
 
-    Y = jax.lax.linalg.tridiagonal_solve(lower, diag, upper, U)
+    # One sequential solve per construction (P rhs), every apply after
+    # this is a matmul. Symmetrize: T~ is symmetric, but the one-sided
+    # solve leaves O(cond * eps_f32) asymmetry that LOBPCG's Rayleigh-Ritz
+    # is sensitive to.
+    Tinv = jax.lax.linalg.tridiagonal_solve(lower, diag, upper,
+                                            jnp.eye(P, dtype=jnp.float32))
+    Tinv = 0.5 * (Tinv + Tinv.T)
+    Y = Tinv @ U
     G = U.T @ Y
-    return {"lower": lower, "diag": diag, "upper": upper,
-            "U": U, "Y": Y, "G": G, "sigma": sigma}
+    return {"Tinv": Tinv, "U": U, "Y": Y, "G": G, "sigma": sigma}
 
 
 @highest_precision
@@ -200,8 +216,9 @@ def fiedler_pair_chain_lowrank(pre: dict, lr_w: jax.Array, active: jax.Array,
     chol = jax.scipy.linalg.cho_factor(S, lower=True)
 
     def b_inverse(x):
-        t = jax.lax.linalg.tridiagonal_solve(pre["lower"], pre["diag"],
-                                             pre["upper"], x)
+        # Tinv is precomputed (see chain_lowrank_precompute): two MXU
+        # matmuls + a small Cholesky solve per apply, no sequential pass.
+        t = pre["Tinv"] @ x
         z = jax.scipy.linalg.cho_solve(chol, pre["U"].T @ t)
         return t - pre["Y"] @ z
 

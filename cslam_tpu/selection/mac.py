@@ -111,10 +111,24 @@ def _woodbury_fw_step(pre, active, chain_i, chain_j, chain_w,
     return lam2, cw * diff * diff
 
 
-def _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=None):
+def _round_mask(w, cw, cmask, k):
+    """In-program one-hot rounding of a relaxed iterate: top-k of w with a
+    small original-weight tie-break (the f32 stand-in for the reference's
+    (w, weight) lexicographic rounding, ``mac.py:168-189``). Used only to
+    SCORE iterates inside the fused loop — the selection handed to callers
+    is still the exact float64 host rounding of the returned iterate."""
+    E = w.shape[0]
+    score = jnp.where(cmask > 0, w + 1e-6 * cw, -jnp.inf)
+    _, idx = jax.lax.top_k(score, E)
+    keep = (jnp.arange(E) < k)[:, None]
+    return jnp.sum(jax.nn.one_hot(idx, E, dtype=w.dtype) * keep, axis=0)
+
+
+def _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=None,
+                   round_eval_fn=None, cw=None):
     """The whole Frank-Wolfe loop as one traced ``lax.while_loop``.
 
-    Semantics identical to the reference's host loop (``mac.py:191-233``):
+    Semantics preserved from the reference's host loop (``mac.py:191-233``):
     evaluate (lambda_2, supergradient), one-hot top-k direction, dual
     upper-bound update, duality-gap early stop BEFORE the step, step size
     alpha = 2/(it+2). Returns (relaxed w, dual, iterations used).
@@ -129,17 +143,32 @@ def _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=None):
     ``eval_fn(w, aux) -> (f, grad, aux)`` may thread solver state across
     iterations through ``aux`` (e.g. the warm-started LOBPCG Ritz block);
     tiers without such state pass a scalar dummy through unchanged.
+
+    ``round_eval_fn(mask, aux) -> lambda_2`` enables BEST-ROUNDED-ITERATE
+    tracking: measured per-iteration, the objective of the *rounded*
+    iterate fluctuates non-monotonically (the relaxed objective improves,
+    but rounding a half-converged iterate is noisy — intermediate iterates
+    round better than the final one on most instances; sweep in BENCH.md).
+    So each iterate's rounding is evaluated in-program and the best one
+    seen — including the initialization — is returned. This is a pure
+    quality upgrade over the reference's round-the-final-iterate at the
+    cost of one extra eigensolve per iteration (cheap post-Tinv).
     """
     E = w0.shape[0]
     if aux0 is None:
         aux0 = jnp.float32(0.0)
 
+    if round_eval_fn is not None:
+        f_best0 = round_eval_fn(_round_mask(w0, cw, cmask, k), aux0)
+    else:
+        f_best0 = jnp.float32(-jnp.inf)
+
     def cond(st):
-        _, _, it, done, _ = st
+        it, done = st[2], st[3]
         return jnp.logical_and(it < max_iters, jnp.logical_not(done))
 
     def body(st):
-        w, dual, it, _, aux = st
+        w, dual, it, _, aux, w_best, f_best = st
         f, grad, aux = eval_fn(w, aux)
         g = jnp.where(cmask > 0, grad, -jnp.inf)
         _, idx = jax.lax.top_k(g, E)
@@ -150,38 +179,55 @@ def _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=None):
         done_now = (new_dual - f) < tol
         alpha = 2.0 / (it.astype(jnp.float32) + 2.0)
         w_new = jnp.where(done_now, w, w + alpha * (s - w))
-        return (w_new, new_dual, it + 1, done_now, aux)
+        if round_eval_fn is not None:
+            f_r = round_eval_fn(_round_mask(w_new, cw, cmask, k), aux)
+            better = f_r > f_best
+            w_best = jnp.where(better, w_new, w_best)
+            f_best = jnp.where(better, f_r, f_best)
+        return (w_new, new_dual, it + 1, done_now, aux, w_best, f_best)
 
-    init = (w0, jnp.float32(jnp.inf), jnp.int32(0), jnp.bool_(False), aux0)
-    w, dual, it, _, _ = jax.lax.while_loop(cond, body, init)
+    init = (w0, jnp.float32(jnp.inf), jnp.int32(0), jnp.bool_(False), aux0,
+            w0, f_best0)
+    w, dual, it, _, _, w_best, _ = jax.lax.while_loop(cond, body, init)
+    if round_eval_fn is not None:
+        return w_best, dual, it
     return w, dual, it
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(jax.jit, static_argnames=("max_iters", "best_rounding"))
 @highest_precision
 def _dense_fw_loop(L_fixed, active, ci, cj, cw, w0, cmask, tol,
-                   k, max_iters: int):
+                   k, max_iters: int, best_rounding: bool = False):
+    P = L_fixed.shape[0]
+
     def eval_fn(w, aux):
-        P = L_fixed.shape[0]
         Lw = L_fixed + fd.laplacian_from_edges(ci, cj, w * cw, P)
         lam2, v = fd.fiedler_pair(Lw, active)
         diff = v[ci] - v[cj]
         return lam2, cw * diff * diff, aux
 
-    return _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol)
+    round_eval_fn = None
+    if best_rounding:
+        def round_eval_fn(mask, aux):
+            Lr = L_fixed + fd.laplacian_from_edges(ci, cj, mask * cw, P)
+            return fd.fiedler_pair(Lr, active)[0]
+
+    return _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol,
+                          round_eval_fn=round_eval_fn, cw=cw)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("max_iters", "lobpcg_iters",
                                     "lobpcg_short_iters", "warm_ritz",
-                                    "lobpcg_warm_iters"))
+                                    "lobpcg_warm_iters", "best_rounding"))
 @highest_precision
 def _woodbury_fw_loop(pre, active, chain_i, chain_j, chain_w,
                       lr_i, lr_j, lr_w_fixed, ci, cj, cw, w0, cmask, tol,
                       k, max_iters: int, lobpcg_iters: int,
                       lobpcg_short_iters: int = 14,
                       warm_ritz: bool = False,
-                      lobpcg_warm_iters: int = 6):
+                      lobpcg_warm_iters: int = 6,
+                      best_rounding: bool = False):
     def eval_fn(w, aux):
         cand_w = w * cw
         lr_w = jnp.concatenate([lr_w_fixed, cand_w])
@@ -204,13 +250,29 @@ def _woodbury_fw_loop(pre, active, chain_i, chain_j, chain_w,
         diff = v[ci] - v[cj]
         return lam2, cw * diff * diff, aux
 
+    round_eval_fn = None
+    if best_rounding:
+        def round_eval_fn(mask, aux):
+            lr_w = jnp.concatenate([lr_w_fixed, mask * cw])
+            # the carried Ritz block (when warm) is used as a start but
+            # NOT updated from rounded evals: the rounded matrices jump
+            # around more than the relaxed alpha-step sequence does
+            x0 = aux if warm_ritz else None
+            si = lobpcg_warm_iters if warm_ritz else lobpcg_short_iters
+            _, v = fd.fiedler_pair_chain_lowrank(
+                pre, lr_w, active, lobpcg_iters=lobpcg_iters,
+                short_iters=si, X0=x0)
+            return (fd.rayleigh_quotient(chain_i, chain_j, chain_w, v)
+                    + fd.rayleigh_quotient(lr_i, lr_j, lr_w, v))
+
     aux0 = None
     if warm_ritz:
         P = active.shape[0]
         key = jax.random.PRNGKey(7)
         aux0 = (jax.random.normal(key, (P, 4), jnp.float32)
                 * active[:, None])
-    return _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=aux0)
+    return _fw_while_loop(eval_fn, w0, cmask, k, max_iters, tol, aux0=aux0,
+                          round_eval_fn=round_eval_fn, cw=cw)
 
 
 def mac_kwargs_from_params(params: dict) -> dict:
@@ -223,7 +285,9 @@ def mac_kwargs_from_params(params: dict) -> dict:
             "frontend.mac_lobpcg_short_iters", 14)),
         fw_warm_ritz=bool(params.get("frontend.mac_fw_warm_ritz", True)),
         lobpcg_warm_iters=int(params.get(
-            "frontend.mac_lobpcg_warm_iters", 6)))
+            "frontend.mac_lobpcg_warm_iters", 6)),
+        best_rounding=bool(params.get(
+            "frontend.mac_best_rounding", True)))
 
 
 _PREFETCHED: set = set()
@@ -341,8 +405,10 @@ class MAC:
     def __init__(self, fixed_edges: Sequence[Edge],
                  candidate_edges: Sequence[Edge], num_poses: int,
                  lobpcg_iters: int = 48, lobpcg_short_iters: int = 14,
-                 fw_warm_ritz: bool = False, lobpcg_warm_iters: int = 6):
+                 fw_warm_ritz: bool = False, lobpcg_warm_iters: int = 6,
+                 best_rounding: bool = False):
         self.num_poses = num_poses
+        self._best_rounding = best_rounding
         self._P = _tier(max(num_poses, 2))
         self._E = _tier(max(len(candidate_edges), 1), minimum=_E_FLOOR)
         self._m = len(candidate_edges)
@@ -494,7 +560,8 @@ class MAC:
                 w, dual, it = _dense_fw_loop(
                     self._L_fixed, self._active, self._ci, self._cj,
                     self._cw, w0, cmask, tol, k=k,
-                    max_iters=max_iters)
+                    max_iters=max_iters,
+                    best_rounding=self._best_rounding)
             else:
                 w, dual, it = _woodbury_fw_loop(
                     self._pre, self._active, self._chain_i, self._chain_j,
@@ -504,7 +571,8 @@ class MAC:
                     lobpcg_iters=self._lobpcg_iters,
                     lobpcg_short_iters=self._lobpcg_short_iters,
                     warm_ritz=self._fw_warm_ritz,
-                    lobpcg_warm_iters=self._lobpcg_warm_iters)
+                    lobpcg_warm_iters=self._lobpcg_warm_iters,
+                    best_rounding=self._best_rounding)
             device_read.prefetch((w, dual, it))  # harvest reads ~free
         return w, dual, k, it
 
@@ -523,6 +591,15 @@ class MAC:
             w_host = np.asarray(w)[:self._m].astype(np.float64)
             dual = float(dual)
             self.last_fw_iters = int(it)
+        if self._best_rounding:
+            # the selection must be EXACTLY the mask whose objective the
+            # fused loop measured when it chose this iterate — so round
+            # with the loop's own scoring, not the legacy lexicographic
+            # tie-break (they can disagree within 1e-6 of a tie, and a
+            # disagreement here silently swaps in an unmeasured selection)
+            return (self._round_mask_host(w_host.astype(np.float32),
+                                          k)[:self._m],
+                    w_host, dual)
         return (self.round_solution_tiebreaker(w_host, k), w_host, dual)
 
     def fw_subset(self, w_init: np.ndarray, k: int, max_iters: int = 5,
@@ -544,17 +621,31 @@ class MAC:
             w_init, k, max_iters=max_iters,
             duality_gap_tol=duality_gap_tol))
 
+    def _round_mask_host(self, w: np.ndarray, k: int) -> np.ndarray:
+        """numpy mirror of the fused loop's in-program ``_round_mask``."""
+        score = (w[:self._m].astype(np.float32)
+                 + np.float32(1e-6) * self.weights.astype(np.float32))
+        order = np.argsort(-score, kind="stable")
+        mask = np.zeros(self._E, np.float32)
+        mask[order[:k]] = 1.0
+        return mask
+
     def fw_subset_host(self, w_init: np.ndarray, k: int, max_iters: int = 5,
                        duality_gap_tol: float = 1e-8
                        ) -> Tuple[np.ndarray, np.ndarray, float]:
         """Host-driven FW loop (one device step per iteration) — kept as
-        the differential oracle for the fused ``fw_subset``."""
+        the differential oracle for the fused ``fw_subset``, including the
+        best-rounded-iterate tracking when the MAC enables it."""
         if self._m == 0:
             return np.zeros(0), np.zeros(0), 0.0
         k = min(k, self._m)
         w = np.zeros(self._E, np.float32)
         w[:self._m] = np.asarray(w_init, np.float32)
         dual = float("inf")
+        w_best, f_best = w.copy(), -np.inf
+        if self._best_rounding:
+            f_best = self._evaluate(jnp.asarray(
+                self._round_mask_host(w, k)))[0]
         for it in range(max_iters):
             f, grad = self._evaluate(jnp.asarray(w))
             s = np.zeros(self._E, np.float32)
@@ -564,6 +655,15 @@ class MAC:
                 break
             alpha = 2.0 / (it + 2.0)
             w = w + alpha * (s - w)
+            if self._best_rounding:
+                f_r = self._evaluate(jnp.asarray(
+                    self._round_mask_host(w, k)))[0]
+                if f_r > f_best:
+                    w_best, f_best = w.copy(), f_r
+        if self._best_rounding:
+            w_host = w_best[:self._m].astype(np.float64)
+            return (self._round_mask_host(w_best, k)[:self._m], w_host,
+                    float(dual))
         w_host = w[:self._m].astype(np.float64)
         return (self.round_solution_tiebreaker(w_host, k), w_host,
                 float(dual))

@@ -180,6 +180,29 @@ class TestFusedFrankWolfe:
         lam_w = mac_warm.evaluate_objective(sel_w)
         assert lam_w == pytest.approx(lam_c, rel=1e-4)
 
+    @pytest.mark.parametrize("num_poses,tier", [(60, "dense"),
+                                                (700, "woodbury")])
+    def test_best_rounding_fused_matches_host(self, num_poses, tier):
+        """Best-rounded-iterate tracking (frontend.mac_best_rounding, the
+        production default) must agree between the fused loop and the host
+        oracle, and must never select a WORSE-objective set than the
+        reference's round-the-final-iterate."""
+        rng = np.random.default_rng(23)
+        mac = self._random_mac(rng, num_poses, n_fixed=5, n_cand=30)
+        mac._best_rounding = True
+        assert mac._dense == (tier == "dense")
+        w_init = np.full(30, 5 / 30.0)
+        sel_f, w_f, _ = mac.fw_subset(w_init, 5, max_iters=12)
+        sel_h, w_h, _ = mac.fw_subset_host(w_init, 5, max_iters=12)
+        np.testing.assert_array_equal(sel_f, sel_h)
+        np.testing.assert_allclose(w_f, w_h, atol=1e-5)
+        # quality: >= the final-iterate rounding (legacy behavior)
+        mac._best_rounding = False
+        sel_legacy, _, _ = mac.fw_subset(w_init, 5, max_iters=12)
+        lam_best = mac.evaluate_objective(sel_f)
+        lam_legacy = mac.evaluate_objective(sel_legacy)
+        assert lam_best >= lam_legacy * (1 - 1e-3)
+
     def test_fused_early_stop_and_budget(self):
         rng = np.random.default_rng(3)
         mac = self._random_mac(rng, 50, n_fixed=3, n_cand=12)
