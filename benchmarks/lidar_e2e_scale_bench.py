@@ -230,8 +230,9 @@ def main():
     inter = sum(len(v) for v in be0.inter_robot_loop_closures.values())
     if _args.dump_loops:
         keys = sorted(
-            f"{pair[0]},{e.key0.keyframe_id},{pair[1]},{e.key1.keyframe_id}"
-            for pair, edges in be0.inter_robot_loop_closures.items()
+            f"{e.key_from.robot_id},{e.key_from.keyframe_id},"
+            f"{e.key_to.robot_id},{e.key_to.keyframe_id}"
+            for edges in be0.inter_robot_loop_closures.values()
             for e in edges)
         with open(_args.dump_loops, "w") as f:
             f.write("\n".join(keys) + "\n")

@@ -101,6 +101,14 @@ class DescriptorBank:
         self._bank = None  # force device re-upload at next search
         self._device_n = 0
 
+    # Delta uploads run in FIXED-size chunks so the append program compiles
+    # once per capacity tier. A raw `host[device_n:n]` delta keys a fresh
+    # XLA program on every distinct delta length — the round-3 scan-context
+    # bank hit exactly this (varying `_sync_device` delta spans = steady
+    # recompiles, CLAUDE.md hard-won facts); same fix here for the visual
+    # path.
+    _SYNC_CHUNK = 256
+
     def _sync_device(self) -> None:
         # the device mirror stores UNIT rows (inv_norms stays all-ones):
         # the streaming kernel then needs no per-dispatch normalization
@@ -109,11 +117,18 @@ class DescriptorBank:
             self._bank = jnp.zeros((self._capacity, self.dim), self._dtype)
             self._inv_norms = jnp.ones((self._capacity,), jnp.float32)
             self._device_n = 0
-        if self._device_n < self.n:
-            chunk = self._host[self._device_n:self.n]
+        chunk = min(self._SYNC_CHUNK, self._capacity)
+        while self._device_n < self.n:
+            # clip the window so start+chunk fits the bank: the first rows
+            # of a clipped window rewrite already-synced rows with
+            # identical values
+            start = min(self._device_n, self._capacity - chunk)
+            rows = np.zeros((chunk, self.dim), np.float32)
+            valid = min(start + chunk, self.n) - start
+            rows[:valid] = self._host[start:start + valid]
             self._bank = topk_ops.update_rows_unit(
-                self._bank, jnp.asarray(chunk), jnp.int32(self._device_n))
-            self._device_n = self.n
+                self._bank, rows, jnp.int32(start))
+            self._device_n = start + valid
 
     # ------------------------------------------------------------------
     # Search
@@ -147,17 +162,27 @@ class DescriptorBank:
         bank-scan kernel (``ops.nns_pallas``); smaller tiers and CPU use the
         XLA matmul + top_k path.
         """
+        b = len(queries)
         sims, idx = self.search_batch_begin(queries, k)
-        return np.asarray(sims)[:, :k], np.asarray(idx)[:, :k]
+        return np.asarray(sims)[:b, :k], np.asarray(idx)[:b, :k]
 
     def search_batch_begin(self, queries: np.ndarray, k: int):
         """Dispatch :meth:`search_batch` without blocking on the result:
         returns ``(sims, idx)`` DEVICE arrays with AT LEAST ``k`` columns
         (the XLA tier computes a ``k``-bucket worth — slice on the host
-        after reading). Harvest with ``np.asarray`` (or
-        ``utils.device_read.fetch`` to overlap several pending reads)."""
+        after reading) and AT LEAST ``len(queries)`` rows (batches are
+        zero-padded to a power-of-two tier so arbitrary gossip-chunk sizes
+        reuse one compiled program per tier instead of keying a fresh
+        remote compile each; callers index rows by their own query count).
+        Harvest with ``np.asarray`` (or ``utils.device_read.fetch`` to
+        overlap several pending reads)."""
         self._sync_device()
-        queries = jnp.asarray(queries, dtype=jnp.float32)
+        queries = np.asarray(queries, dtype=np.float32)
+        b = _k_bucket(max(len(queries), 1))
+        if b != len(queries):
+            queries = np.concatenate(
+                [queries, np.zeros((b - len(queries), queries.shape[1]),
+                                   np.float32)])
         if self._use_fused_kernel(k):
             from cslam_tpu.ops import nns_pallas
             return nns_pallas.cosine_topk_fused2_pre(
@@ -172,3 +197,40 @@ class DescriptorBank:
                 or self._capacity % nns_pallas.TILE_N != 0):
             return False
         return jax.devices()[0].platform not in ("cpu",)
+
+
+def warmup_bank_tiers(capacity: int, dim: int,
+                      batch_tiers=(1, 2, 4, 8, 16, 32),
+                      multi_bank_counts=(),
+                      k_values=(1, 10)) -> None:
+    """Precompile every device program the visual-descriptor bank path hits
+    at one capacity tier: the fixed-chunk append, the (batch, k-bucket)
+    search grid, and the stacked multi-bank top-1 for the given bank
+    counts. Mirrors ``scancontext_bank.warmup_search_tiers``; live runs
+    must never pay JIT latency (remote-compile latency on the
+    relay-attached chip is seconds-to-minutes per program). Calls go
+    through the SAME chokepoints as production (``search_batch_begin``,
+    ``topk_ops.cosine_top1_multi``) so the jit cache keys match
+    (tests/test_no_retrace.py discipline)."""
+    rng = np.random.default_rng(0)
+    bank = DescriptorBank(dim=dim, capacity=capacity)
+    # two appends+searches with distinct values: the relay-attached chip
+    # sometimes recompiles on the call after a single warmup
+    for round_ in range(2):
+        bank.add_item(rng.standard_normal(dim).astype(np.float32), round_)
+        for b in batch_tiers:
+            q = rng.standard_normal((b, dim)).astype(np.float32)
+            for k in k_values:
+                sims, idx = bank.search_batch_begin(q, k)
+                sims.block_until_ready()
+    for r in multi_bank_counts:
+        if r < 1:
+            continue
+        bank._sync_device()
+        banks = jnp.stack([bank._bank] * r)
+        invn = jnp.stack([bank._inv_norms] * r)
+        ns = jnp.asarray([bank.n] * r, jnp.int32)
+        for fill in (0.0, 0.25):
+            q = np.full((dim,), fill, np.float32)
+            sims, idx = topk_ops.cosine_top1_multi(banks, invn, ns, q)
+            sims.block_until_ready()
