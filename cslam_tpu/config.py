@@ -57,6 +57,11 @@ class FrontendConfig:
     pointcloud_odom_approx_time_sync_s: float = 0.1
     max_queue_size: int = 10
     pnp_min_inliers: int = 6
+    # visual verification residual: "3d3d" (GNC Kabsch over matched 3D
+    # keypoints — needs valid depth on both sides) or "projective" (GNC
+    # PnP over reprojection error, the reference's RANSAC-PnP decision
+    # surface, rgbd_handler.cpp:493-554 — local depth only seeds the init)
+    verification_residual: str = "3d3d"
     # --- TPU-native extras ---
     descriptor_dim: int = 64          # used by the 'disable' random-descriptor mode
     bank_initial_capacity: int = 1024  # padded bank tier start (doubles on growth)

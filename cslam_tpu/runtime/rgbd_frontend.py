@@ -332,8 +332,24 @@ class RGBDFrontEnd:
     # Geometric verification (rgbd_handler.cpp:433-554)
     # ------------------------------------------------------------------
 
+    def _projective(self) -> bool:
+        """frontend.verification_residual == 'projective': verify with the
+        reference's reprojection-error decision surface (RANSAC-PnP parity,
+        rgbd_handler.cpp:493-554) instead of 3D-3D alignment — local depth
+        then only seeds the initialization, so degraded/sparse local depth
+        does not bias the estimate."""
+        return self.params.get("frontend.verification_residual",
+                               "3d3d") == "projective"
+
     def _verify(self, a: KeyframeFeatures, b: KeyframeFeatures
                 ) -> Tuple[np.ndarray, bool]:
+        if self._projective():
+            T, success, _ = vreg.verify_keyframe_pairs_projective(
+                [(a.keypoints.astype(np.float32), a.keypoints3d,
+                  a.descriptors, b.keypoints3d, b.descriptors)],
+                self.camera.fx, self.camera.fy, self.camera.cx,
+                self.camera.cy, min_inliers=self.min_inliers)[0]
+            return T, success
         T, success, _ = vreg.verify_keyframe_pair(
             a.keypoints3d, a.descriptors, b.keypoints3d, b.descriptors,
             min_inliers=self.min_inliers)
@@ -364,10 +380,18 @@ class RGBDFrontEnd:
             jobs.append((kf_id, local))
         if not jobs:
             return
-        results = vreg.verify_keyframe_pairs(
-            [(local.keypoints3d, local.descriptors,
-              msg.keypoints3d, msg.descriptors) for _, local in jobs],
-            min_inliers=self.min_inliers)
+        if self._projective():
+            results = vreg.verify_keyframe_pairs_projective(
+                [(local.keypoints.astype(np.float32), local.keypoints3d,
+                  local.descriptors, msg.keypoints3d, msg.descriptors)
+                 for _, local in jobs],
+                self.camera.fx, self.camera.fy, self.camera.cx,
+                self.camera.cy, min_inliers=self.min_inliers)
+        else:
+            results = vreg.verify_keyframe_pairs(
+                [(local.keypoints3d, local.descriptors,
+                  msg.keypoints3d, msg.descriptors) for _, local in jobs],
+                min_inliers=self.min_inliers)
         for (kf_id, _), (transform, success, _) in zip(jobs, results):
             self.inter_lc_publisher.publish(InterRobotLoopClosure(
                 robot0_id=self.robot_id, robot0_keyframe_id=kf_id,

@@ -835,3 +835,128 @@ class TestPayloadCompression:
         assert isinstance(sent[0].descriptors, np.ndarray)
         # feed the raw message into a compressing receiver: must not choke
         fe.receive_local_image_descriptors(sent[0])
+
+
+class TestProjectiveVerification:
+    """GNC-TLS PnP (frontend.verification_residual == 'projective'): the
+    reference's reprojection-error decision surface
+    (rgbd_handler.cpp:493-554) — verify convention, outlier robustness,
+    and the degraded-local-depth case where 3D-3D alignment biases."""
+
+    def _synthetic_pair(self, seed, n=220, outlier_frac=0.2,
+                        depth_noise=0.0):
+        """Known relative pose; returns the projective-verify inputs and
+        ground truth Z = X_a^-1 X_b.
+
+        Points live in b's camera frame; a observes their projections.
+        a's own back-projections (init input) get multiplicative depth
+        noise to model coarse stereo depth.
+        """
+        rng = np.random.default_rng(seed)
+        Z = pose_xyz_yaw(0.5, 0.3, 0.1, yaw=0.15)  # = X_a^-1 X_b
+        p_b = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+                        rng.uniform(3, 12, n)], axis=1).astype(np.float32)
+        p_a = (p_b @ Z[:3, :3].T + Z[:3, 3]).astype(np.float32)
+        uv = np.stack([CAM.fx * p_a[:, 0] / p_a[:, 2] + CAM.cx,
+                       CAM.fy * p_a[:, 1] / p_a[:, 2] + CAM.cy],
+                      axis=1).astype(np.float32)
+        uv += rng.normal(scale=0.3, size=uv.shape).astype(np.float32)
+        n_out = int(outlier_frac * n)
+        out_idx = rng.choice(n, n_out, replace=False)
+        uv[out_idx] += rng.uniform(40, 200, (n_out, 2)).astype(np.float32)
+        a3 = p_a.copy()
+        if depth_noise:
+            a3 *= (1.0 + rng.normal(scale=depth_noise, size=(n, 1))
+                   ).astype(np.float32)
+        valid = np.ones(n, np.float32)
+        return Z, p_b, uv, a3, valid, out_idx
+
+    def _pad(self, arr, rows):
+        out = np.zeros((rows,) + arr.shape[1:], arr.dtype)
+        out[:len(arr)] = arr
+        return out
+
+    def test_pnp_convention_and_outliers(self):
+        Z, p_b, uv, a3, valid, out_idx = self._synthetic_pair(0)
+        N = vreg.MAX_CORRESPONDENCES
+        T, inl = vreg.gnc_pnp_batch(
+            self._pad(p_b, N)[None], self._pad(uv, N)[None],
+            self._pad(valid, N)[None], self._pad(a3, N)[None],
+            np.float32(CAM.fx), np.float32(CAM.fy),
+            np.float32(CAM.cx), np.float32(CAM.cy))
+        T = np.asarray(T)[0]
+        np.testing.assert_allclose(T[:3, 3], Z[:3, 3], atol=0.03)
+        np.testing.assert_allclose(T[:3, :3], Z[:3, :3], atol=0.02)
+        # inliers ~ the clean correspondences
+        assert int(inl[0]) > 0.9 * (len(p_b) - len(out_idx))
+
+    def test_projective_beats_3d3d_under_degraded_depth(self):
+        """With 25% multiplicative local-depth noise the 3D-3D estimate
+        biases (depth errors enter the residual); the projective estimate
+        must stay metric because local depth only seeds the init."""
+        Z, p_b, uv, a3, valid, _ = self._synthetic_pair(
+            1, outlier_frac=0.1, depth_noise=0.25)
+        N = vreg.MAX_CORRESPONDENCES
+        T_pnp, _ = vreg.gnc_pnp_batch(
+            self._pad(p_b, N)[None], self._pad(uv, N)[None],
+            self._pad(valid, N)[None], self._pad(a3, N)[None],
+            np.float32(CAM.fx), np.float32(CAM.fy),
+            np.float32(CAM.cx), np.float32(CAM.cy))
+        err_pnp = np.linalg.norm(np.asarray(T_pnp)[0][:3, 3] - Z[:3, 3])
+        # 3D-3D on the SAME noisy local points (src=p_b -> dst=a3; its
+        # returned point map inverse equals Z's convention already
+        # via verify path; here compare the raw alignment error)
+        T3, _ = vreg.gnc_align(self._pad(p_b, N), self._pad(a3, N),
+                               self._pad(valid, N), 0.3)
+        err_3d = np.linalg.norm(np.asarray(T3)[:3, 3] - Z[:3, 3])
+        assert err_pnp < 0.05, err_pnp
+        assert err_pnp < 0.5 * err_3d, (err_pnp, err_3d)
+
+    def test_missing_local_depth_still_verifies(self):
+        """Zero local depth everywhere (no init seed): identity init + GN
+        must still converge for a small relative pose."""
+        Z, p_b, uv, a3, valid, out_idx = self._synthetic_pair(
+            2, outlier_frac=0.1)
+        a3[:] = 0.0
+        N = vreg.MAX_CORRESPONDENCES
+        T, inl = vreg.gnc_pnp_batch(
+            self._pad(p_b, N)[None], self._pad(uv, N)[None],
+            self._pad(valid, N)[None], self._pad(a3, N)[None],
+            np.float32(CAM.fx), np.float32(CAM.fy),
+            np.float32(CAM.cx), np.float32(CAM.cy))
+        T = np.asarray(T)[0]
+        np.testing.assert_allclose(T[:3, 3], Z[:3, 3], atol=0.05)
+
+    def test_projective_flow_over_bus(self):
+        """The RGBDFrontEnd wired with verification_residual='projective'
+        must verify rendered keyframes end-to-end (the product surface of
+        the new residual) with the BetweenFactor convention."""
+        rng = np.random.default_rng(3)
+        pts, tex = make_world(rng)
+        bus, clock = MessageBus(), VirtualClock()
+        params = {"robot_id": 0, "max_nb_robots": 2,
+                  "frontend.verification_residual": "projective",
+                  "frontend.pnp_min_inliers": 8}
+        fes = [RGBDFrontEnd(RobotContext(bus, clock, rid,
+                                         dict(params, robot_id=rid)), CAM)
+               for rid in (0, 1)]
+        Xa = pose_xyz_yaw(0, 0, 0)
+        Xb = pose_xyz_yaw(0.4, 0.2, 0.0, yaw=0.1)
+        for fe, X in zip(fes, (Xa, Xb)):
+            img, dep = render(pts, tex, X)
+            fe.rgbd_callback(img, dep, Odometry(pose=X))
+        clock.advance(0.2)
+        for fe in fes:
+            fe.ctx.poll_timers()
+        bus.deliver()
+        closures = []
+        bus.subscribe("/cslam/inter_robot_loop_closure", closures.append)
+        bus.publish("/r1/cslam/local_descriptors_request",
+                    LocalDescriptorsRequest(keyframe_id=0,
+                                            matches_robot_id=[0],
+                                            matches_keyframe_id=[0]))
+        bus.deliver()
+        assert closures and closures[0].success
+        Z_gt = np.linalg.inv(Xa) @ Xb
+        np.testing.assert_allclose(closures[0].transform[:3, 3],
+                                   Z_gt[:3, 3], atol=0.1)
