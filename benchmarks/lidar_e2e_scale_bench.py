@@ -162,8 +162,15 @@ def main():
     warm_s = 0.0
     if not _args.no_warmup:
         tw = time.perf_counter()
+
+        def _lap(label, prev=[0.0]):
+            now = time.perf_counter() - tw
+            print(f"#   warmup.{label} {now - prev[0]:.1f} s", flush=True)
+            prev[0] = now
+
         from cslam_tpu.matching.scancontext_bank import warmup_search_tiers
         robots[0][2].model.warmup(_args.points)
+        _lap("embed")
         cap = 1024
         while cap < steps:  # local bank holds `steps` own scans
             cap *= 2
@@ -173,20 +180,26 @@ def main():
             warmup_search_tiers(
                 c, batch_tiers=(1, 2, 4, 8, 16, 32),
                 multi_bank_counts=tuple(range(1, R)))
+        _lap("scancontext_banks")
         robots[0][1].warmup()
+        _lap("verification")
         # MAC selection tiers (one FW program per (pose, candidate) tier;
         # k is a traced operand so budgets don't multiply programs).
         # Candidates = accumulated unverified matches, which can exceed the
         # keyframe count (every keyframe can match several robots) — the
         # round-4 run crossed 1024 candidates mid-run and paid 80 s
         # foreground compiles; warm one tier beyond the expected count.
-        from cslam_tpu.selection.mac import warmup_selection_tiers
+        from cslam_tpu.selection.mac import (mac_kwargs_from_params,
+                                             warmup_selection_tiers)
         warmup_selection_tiers(
             R * steps, 2048,
-            max_iters=robots[0][2].lcm.candidate_selector.max_iters)
+            max_iters=robots[0][2].lcm.candidate_selector.max_iters,
+            **mac_kwargs_from_params(robots[0][2].params))
+        _lap("mac_tiers")
         # the elected optimizer aggregates ALL robots' subgraphs
         robots[0][3].warmup(expected_poses=R * steps,
                             expected_edges=2 * R * steps)
+        _lap("pgo_tiers")
         warm_s = time.perf_counter() - tw
         print(f"# warmup (tier precompilation) {warm_s:.1f} s", flush=True)
 
