@@ -44,6 +44,10 @@ _ap.add_argument("--dump-loops", default=None, metavar="PATH",
                       "edge keys) to PATH for cross-run diffing")
 _ap.add_argument("--mac-max-iters", type=int, default=None,
                  help="override the ACM Frank-Wolfe iteration budget")
+_ap.add_argument("--warmup-threads", type=int, default=6,
+                 help="concurrent warmup compiles (the remote compile "
+                      "service accepts parallel programs; 1 = the "
+                      "round-4 serial behavior)")
 _args = _ap.parse_args()
 
 if _args.cpu:
@@ -162,46 +166,69 @@ def main():
     warm_s = 0.0
     if not _args.no_warmup:
         tw = time.perf_counter()
-
-        def _lap(label, prev=[0.0]):
-            now = time.perf_counter() - tw
-            print(f"#   warmup.{label} {now - prev[0]:.1f} s", flush=True)
-            prev[0] = now
-
         from cslam_tpu.matching.scancontext_bank import warmup_search_tiers
-        robots[0][2].model.warmup(_args.points)
-        _lap("embed")
+        from cslam_tpu.selection.mac import (mac_kwargs_from_params,
+                                             selection_tier_grid,
+                                             warmup_selection_tier)
+
+        # Build one task per program family and spread the compiles over a
+        # thread pool: the remote compile service accepts concurrent
+        # programs, so a serial warmup (round 4: 1860 s) pays every
+        # per-program latency end to end. During warmup there is no
+        # main-loop dispatch contention to starve the workers.
+        tasks = []
+
+        def task(label, fn, *a, **kw):
+            tasks.append((label, fn, a, kw))
+
+        task("embed", robots[0][2].model.warmup, _args.points)
         cap = 1024
         while cap < steps:  # local bank holds `steps` own scans
             cap *= 2
         for c in {1024, cap}:
             # multi-bank search groups only non-empty banks, so the bank
             # count varies 1..R-1 over a run — warm every count
-            warmup_search_tiers(
-                c, batch_tiers=(1, 2, 4, 8, 16, 32),
-                multi_bank_counts=tuple(range(1, R)))
-        _lap("scancontext_banks")
-        robots[0][1].warmup()
-        _lap("verification")
+            for b in (1, 2, 4, 8, 16, 32):
+                task(f"sc_bank_{c}_b{b}", warmup_search_tiers, c,
+                     batch_tiers=(b,))
+            for r in range(1, R):
+                task(f"sc_bank_{c}_m{r}", warmup_search_tiers, c,
+                     batch_tiers=(), multi_bank_counts=(r,))
+        for p in (1, 2, 4, 8):
+            task(f"verify_t{p}", robots[0][1].warmup, pair_tiers=(p,))
         # MAC selection tiers (one FW program per (pose, candidate) tier;
         # k is a traced operand so budgets don't multiply programs).
         # Candidates = accumulated unverified matches, which can exceed the
         # keyframe count (every keyframe can match several robots) — the
         # round-4 run crossed 1024 candidates mid-run and paid 80 s
         # foreground compiles; warm one tier beyond the expected count.
-        from cslam_tpu.selection.mac import (mac_kwargs_from_params,
-                                             warmup_selection_tiers)
-        warmup_selection_tiers(
-            R * steps, 2048,
-            max_iters=robots[0][2].lcm.candidate_selector.max_iters,
-            **mac_kwargs_from_params(robots[0][2].params))
-        _lap("mac_tiers")
+        mac_kwargs = mac_kwargs_from_params(robots[0][2].params)
+        mac_iters = robots[0][2].lcm.candidate_selector.max_iters
+        for (p, e) in selection_tier_grid(R * steps, 2048):
+            task(f"mac_{p}x{e}", warmup_selection_tier, p, e,
+                 max_iters=mac_iters, **mac_kwargs)
         # the elected optimizer aggregates ALL robots' subgraphs
-        robots[0][3].warmup(expected_poses=R * steps,
-                            expected_edges=2 * R * steps)
-        _lap("pgo_tiers")
+        for (np_t, ne_t) in robots[0][3].warmup_tier_grid(
+                R * steps, 2 * R * steps):
+            task(f"pgo_{np_t}x{ne_t}", robots[0][3].warmup_tier, np_t, ne_t)
+
+        from concurrent.futures import ThreadPoolExecutor
+        durations = {}
+
+        def run_task(t):
+            label, fn, a, kw = t
+            t0 = time.perf_counter()
+            fn(*a, **kw)
+            durations[label] = time.perf_counter() - t0
+
+        with ThreadPoolExecutor(max_workers=_args.warmup_threads) as ex:
+            list(ex.map(run_task, tasks))
         warm_s = time.perf_counter() - tw
-        print(f"# warmup (tier precompilation) {warm_s:.1f} s", flush=True)
+        for label, d in sorted(durations.items(), key=lambda kv: -kv[1])[:8]:
+            print(f"#   warmup long-pole: {label} {d:.1f} s", flush=True)
+        print(f"# warmup (tier precompilation) {warm_s:.1f} s "
+              f"({len(tasks)} tasks, {_args.warmup_threads} threads)",
+              flush=True)
 
     from cslam_tpu.utils import profiling
     profiling.reset_spans()

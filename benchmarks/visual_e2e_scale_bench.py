@@ -44,6 +44,7 @@ _ap.add_argument("--no-warmup", action="store_true")
 _ap.add_argument("--sync", action="store_true",
                  help="disable the async detection/verification planes")
 _ap.add_argument("--dump-loops", default=None, metavar="PATH")
+_ap.add_argument("--warmup-threads", type=int, default=6)
 _args = _ap.parse_args()
 
 if _args.cpu:
@@ -67,27 +68,32 @@ W, H = 320, 240
 CAM = CameraModel(fx=300.0, fy=300.0, cx=160.0, cy=120.0)
 
 
-def make_scene(seed, n=130):
+def make_scene(seed, n=None):
     """Textured landmark field with a scene-distinct global appearance
-    (ambient level + texture band + stamp size): untrained GeM pooling
-    separates global statistics, not layout — see module docstring."""
+    (background ramp, ambient level, texture band, stamp size/count):
+    untrained GeM pooling separates global statistics, not layout — see
+    module docstring. Several independent appearance axes keep same-scene
+    views closer than cross-scene pairs even with random trunk weights."""
     rng = np.random.default_rng(seed)
+    if n is None:
+        n = int(rng.integers(60, 220))
     pts = np.stack([rng.uniform(-5, 5, n), rng.uniform(-3, 3, n),
                     rng.uniform(4, 11, n)], axis=1)
-    ambient = int(rng.integers(5, 120))
-    lo = int(rng.integers(30, 120))
-    hi = lo + int(rng.integers(60, 135))
+    a0, a1 = rng.integers(0, 150, 2)  # vertical background ramp
+    bg = (a0 + (a1 - a0) * np.linspace(0, 1, H))[:, None] * np.ones((1, W))
+    lo = int(rng.integers(30, 150))
+    hi = lo + int(rng.integers(40, 105))
     half = int(rng.integers(3, 8))
     tex = rng.integers(lo, hi, (n, 2 * half + 1, 2 * half + 1),
                        dtype=np.int64)
-    return pts, tex, ambient, half
+    return pts, tex, bg.astype(np.uint8), half
 
 
 def render(scene, pose):
     """Painter's-algorithm stamp render in the camera at ``pose``;
     returns (grayscale image, metric depth)."""
-    pts, tex, ambient, half = scene
-    img = np.full((H, W), ambient, np.uint8)
+    pts, tex, bg, half = scene
+    img = bg.copy()
     dep = np.zeros((H, W), np.float32)
     inv = np.linalg.inv(pose)
     cpts = pts @ inv[:3, :3].T + inv[:3, 3]
@@ -123,7 +129,7 @@ def main():
         cfg.frontend.global_descriptor_technique = "cosplace"
         cfg.frontend.nn_checkpoint = "random"
         cfg.frontend.image_crop_size = 224
-        cfg.frontend.similarity_threshold = 0.996
+        cfg.frontend.similarity_threshold = 0.998
         cfg.frontend.keyframe_generation_ratio_threshold = 1.0
         cfg.frontend.pnp_min_inliers = 10
         cfg.frontend.inter_robot_detection_period_sec = 3.0
@@ -139,8 +145,15 @@ def main():
         robots.append((ctx, RGBDFrontEnd(ctx, CAM), DetectionFrontEnd(ctx),
                        DecentralizedPGO(ctx, synchronous_optimization=True)))
 
-    scenes = [make_scene(1000 + s) for s in range(S)]
     scene_pose = [pose_xyz_yaw(7.0 * (s % 8), 7.0 * (s // 8)) for s in range(S)]
+    scenes = []
+    for s in range(S):
+        pts, tex, bg, half = make_scene(1000 + s)
+        # landmarks live in the scene's world cell (the camera visits
+        # scene_pose[s]; without this transform every off-origin scene
+        # rendered as an empty background — zero FAST keypoints)
+        pts = pts @ scene_pose[s][:3, :3].T + scene_pose[s][:3, 3]
+        scenes.append((pts, tex, bg, half))
 
     rng = np.random.default_rng(3)
     gt = {r: [] for r in range(R)}
@@ -164,35 +177,65 @@ def main():
     if not _args.no_warmup:
         tw = time.perf_counter()
         from cslam_tpu.matching.nns_bank import warmup_bank_tiers
+        from cslam_tpu.selection.mac import (mac_kwargs_from_params,
+                                             selection_tier_grid,
+                                             warmup_selection_tier)
+        tasks = []
+
+        def task(label, fn, *a, **kw):
+            tasks.append((label, fn, a, kw))
+
         # embedding program (fixed render shape -> one program)
-        dummy = np.stack([render(scenes[0], scene_pose[0])[0]] * 1)[0]
+        dummy = render(scenes[0], scene_pose[0])[0]
         rgb = np.stack([dummy] * 3, axis=-1)
-        for _ in range(2):
-            robots[0][2].model.compute_embedding(rgb)
+
+        def warm_embed():
+            for _ in range(2):
+                robots[0][2].model.compute_embedding(rgb)
+
+        task("embed", warm_embed)
         # bank tiers: local + other-robot banks stay within 1024 capacity
         # at `steps` <= 1024 descriptors; gossip-flush batches can stack
         # several senders' chunks
         dim = int(robots[0][2].params.get(
             "frontend.cosplace.descriptor_dim", 64))
+        kv = (1, int(robots[0][2].params["frontend.nb_best_matches"]))
         cap = 1024
         while cap < steps:
             cap *= 2
         for c in {1024, cap}:
-            warmup_bank_tiers(
-                c, dim, batch_tiers=(1, 2, 4, 8, 16, 32, 64, 128, 256),
-                multi_bank_counts=tuple(range(1, R)),
-                k_values=(1, int(robots[0][2].params[
-                    "frontend.nb_best_matches"])))
-        from cslam_tpu.selection.mac import (mac_kwargs_from_params,
-                                             warmup_selection_tiers)
-        warmup_selection_tiers(
-            R * steps, 2048,
-            max_iters=robots[0][2].lcm.candidate_selector.max_iters,
-            **mac_kwargs_from_params(robots[0][2].params))
-        robots[0][3].warmup(expected_poses=R * steps,
-                            expected_edges=2 * R * steps)
+            for b in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+                task(f"bank_{c}_b{b}", warmup_bank_tiers, c, dim,
+                     batch_tiers=(b,), k_values=kv)
+            for r in range(1, R):
+                task(f"bank_{c}_m{r}", warmup_bank_tiers, c, dim,
+                     batch_tiers=(), multi_bank_counts=(r,), k_values=kv)
+        mac_kwargs = mac_kwargs_from_params(robots[0][2].params)
+        mac_iters = robots[0][2].lcm.candidate_selector.max_iters
+        for (p, e) in selection_tier_grid(R * steps, 2048):
+            task(f"mac_{p}x{e}", warmup_selection_tier, p, e,
+                 max_iters=mac_iters, **mac_kwargs)
+        for (np_t, ne_t) in robots[0][3].warmup_tier_grid(
+                R * steps, 2 * R * steps):
+            task(f"pgo_{np_t}x{ne_t}", robots[0][3].warmup_tier, np_t, ne_t)
+
+        from concurrent.futures import ThreadPoolExecutor
+        durations = {}
+
+        def run_task(t):
+            label, fn, a, kw = t
+            t0 = time.perf_counter()
+            fn(*a, **kw)
+            durations[label] = time.perf_counter() - t0
+
+        with ThreadPoolExecutor(max_workers=_args.warmup_threads) as ex:
+            list(ex.map(run_task, tasks))
         warm_s = time.perf_counter() - tw
-        print(f"# warmup (tier precompilation) {warm_s:.1f} s", flush=True)
+        for label, d in sorted(durations.items(), key=lambda kv: -kv[1])[:8]:
+            print(f"#   warmup long-pole: {label} {d:.1f} s", flush=True)
+        print(f"# warmup (tier precompilation) {warm_s:.1f} s "
+              f"({len(tasks)} tasks, {_args.warmup_threads} threads)",
+              flush=True)
 
     from cslam_tpu.utils import profiling
     profiling.reset_spans()

@@ -20,6 +20,16 @@ from cslam_tpu.models import preprocess
 from cslam_tpu.models.backbones import make_backbone
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _apply_model(model, variables, x):
+    """Shared jitted forward keyed by the (hashable, structurally-equal)
+    flax Module — all instances with the same config reuse one program."""
+    return model.apply(variables, x)
+
+
 def gem(x: jax.Array, p: jax.Array, eps: float = 1e-6) -> jax.Array:
     """Generalized-mean pooling over spatial dims (reference ``layers.py:8-9``)."""
     x = jnp.clip(x, eps, None) ** p
@@ -92,8 +102,13 @@ class CosPlace:
             # so the trunk runs on the MXU in bf16 (head params stay f32)
             self.variables = self._cast_trunk(self.variables,
                                               self.compute_dtype)
-        self._forward = jax.jit(
-            lambda v, x: self.model.apply(v, x))
+        # one SHARED jitted program per model CONFIG, not per instance:
+        # flax Modules hash structurally, so a multi-robot process (every
+        # robot owns a CosPlace) compiles the trunk once instead of once
+        # per robot (caught by CompileWatch in the visual e2e bench —
+        # per-instance `jax.jit(lambda ...)` can never cache-hit across
+        # instances)
+        self._forward = lambda v, x: _apply_model(self.model, v, x)
 
     @staticmethod
     def _cast_trunk(variables: dict, dtype) -> dict:

@@ -68,6 +68,18 @@ class NetVLADNet(nn.Module):
         return NetVLADLayer(self.num_clusters, 512, name="pool")(x)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _netvlad_forward(model, variables, x, pca_components, pca_mean):
+    """Shared jitted forward (VLAD + PCA + L2) keyed by the flax Module."""
+    vlad = model.apply(variables, x)
+    reduced = (vlad - pca_mean) @ pca_components.T
+    return reduced / jnp.maximum(
+        jnp.linalg.norm(reduced, axis=-1, keepdims=True), 1e-12)
+
+
 class NetVLAD:
     """NetVLAD matcher with the reference's duck-typed interface."""
 
@@ -125,13 +137,10 @@ class NetVLAD:
         self._pca_components = jnp.asarray(pca["components"], jnp.float32)
         self._pca_mean = jnp.asarray(pca["mean"], jnp.float32)
 
-        def forward(v, x):
-            vlad = self.model.apply(v, x)
-            reduced = (vlad - self._pca_mean) @ self._pca_components.T
-            return reduced / jnp.maximum(
-                jnp.linalg.norm(reduced, axis=-1, keepdims=True), 1e-12)
-
-        self._forward = jax.jit(forward)
+        # shared jitted program per model CONFIG (see cosplace._apply_model:
+        # per-instance closures can never cache-hit across robots)
+        self._forward = lambda v, x: _netvlad_forward(
+            self.model, v, x, self._pca_components, self._pca_mean)
 
     def compute_embedding(self, keyframe: np.ndarray) -> np.ndarray:
         if not self.enable:
@@ -152,5 +161,6 @@ class NetVLAD:
 
     def compute_vlad(self, x: np.ndarray) -> np.ndarray:
         """Raw (pre-PCA) VLAD descriptors for preprocessed NHWC input."""
-        return np.asarray(jax.jit(self.model.apply)(
-            self.variables, jnp.asarray(x)))
+        from cslam_tpu.models.cosplace import _apply_model
+        return np.asarray(_apply_model(self.model, self.variables,
+                                       jnp.asarray(x)))

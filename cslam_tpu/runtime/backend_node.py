@@ -179,6 +179,15 @@ class DecentralizedPGO:
         enough to wedge the state machine in OPTIMIZATION. Combine with
         jax's persistent compilation cache so robot processes share tiers.
         """
+        for np_tier, ne_tier in self.warmup_tier_grid(expected_poses,
+                                                      expected_edges):
+            self.warmup_tier(np_tier, ne_tier)
+
+    @staticmethod
+    def warmup_tier_grid(expected_poses: int, expected_edges: int):
+        """The (pose tier, edge tier) pairs :meth:`warmup` covers —
+        exposed so callers can spread the tier compiles over a thread
+        pool (serial warmup pays each remote compile end to end)."""
         from cslam_tpu.pgo.factor_graph import _tier
 
         def tiers(n, minimum=16):
@@ -189,45 +198,50 @@ class DecentralizedPGO:
                     return
                 t *= 2
 
+        grid = []
         for np_tier in tiers(expected_poses):
             # realistic SLAM graphs have edges ~ nodes + loop closures:
             # warm only the (n, n) and (n, 2n) edge tiers
             for ne_tier in {np_tier,
                             min(2 * np_tier,
-                                max(_tier(max(expected_edges, 1)), np_tier))}:
-                g = FactorGraph()
-                for k in range(np_tier):
-                    g.add_variable((self.robot_id, k), np.eye(4))
-                for k in range(ne_tier):
-                    a = k % np_tier
-                    b = (k + 1) % np_tier
-                    if a == b:
-                        b = (b + 1) % np_tier
-                    g.add_between((self.robot_id, a), (self.robot_id, b),
-                                  np.eye(4), self.default_sigmas,
-                                  robust=k % 2 == 0)
-                g.add_prior((self.robot_id, 0), np.eye(4),
-                            self.default_sigmas)
-                # compile BOTH solver programs for this tier, without going
-                # through _optimize (which would pollute the carried TLS
-                # weights with the dummy graph's edges). The calls MUST go
-                # through the same _gnc_call/_reopt_call chokepoints as real
-                # optimizations: jax.jit's cache key includes WHICH keyword
-                # arguments were explicitly passed, so a warmup call spelled
-                # with fewer kwargs than the production call retraces and
-                # recompiles the whole program on first real use (measured
-                # 40+ s per tier on the relay-attached chip; this was the
-                # "recompiles after a single warmup" mystery). Each program
-                # is still exercised twice with distinct operand values.
-                import jax
-                import dataclasses as _dc
-                arrays = g.to_arrays()
-                for bump in (0.0, 1e-7):
-                    a = _dc.replace(
-                        arrays, poses=arrays.poses.at[:, 0, 3].add(bump))
-                    jax.block_until_ready(self._gnc_call(a).poses)
-                    jax.block_until_ready(self._reopt_call(
-                        a, np.ones(arrays.num_edges)).poses)
+                                max(_tier(max(expected_edges, 1)),
+                                    np_tier))}:
+                grid.append((np_tier, ne_tier))
+        return grid
+
+    def warmup_tier(self, np_tier: int, ne_tier: int) -> None:
+        """Precompile BOTH solver programs for ONE (pose, edge) tier,
+        without going through _optimize (which would pollute the carried
+        TLS weights with the dummy graph's edges). The calls MUST go
+        through the same _gnc_call/_reopt_call chokepoints as real
+        optimizations: jax.jit's cache key includes WHICH keyword
+        arguments were explicitly passed, so a warmup call spelled
+        with fewer kwargs than the production call retraces and
+        recompiles the whole program on first real use (measured
+        40+ s per tier on the relay-attached chip; this was the
+        "recompiles after a single warmup" mystery). Each program
+        is still exercised twice with distinct operand values."""
+        g = FactorGraph()
+        for k in range(np_tier):
+            g.add_variable((self.robot_id, k), np.eye(4))
+        for k in range(ne_tier):
+            a = k % np_tier
+            b = (k + 1) % np_tier
+            if a == b:
+                b = (b + 1) % np_tier
+            g.add_between((self.robot_id, a), (self.robot_id, b),
+                          np.eye(4), self.default_sigmas,
+                          robust=k % 2 == 0)
+        g.add_prior((self.robot_id, 0), np.eye(4), self.default_sigmas)
+        import jax
+        import dataclasses as _dc
+        arrays = g.to_arrays()
+        for bump in (0.0, 1e-7):
+            a = _dc.replace(
+                arrays, poses=arrays.poses.at[:, 0, 3].add(bump))
+            jax.block_until_ready(self._gnc_call(a).poses)
+            jax.block_until_ready(self._reopt_call(
+                a, np.ones(arrays.num_edges)).poses)
 
     # ------------------------------------------------------------------
     # Intake (cpp:233-320)

@@ -366,31 +366,51 @@ def warmup_selection_tiers(expected_poses: int, expected_candidates: int,
     """
     if not mac_kwargs:
         mac_kwargs = mac_kwargs_from_params({})
+    for p, e in selection_tier_grid(expected_poses, expected_candidates):
+        warmup_selection_tier(p, e, max_iters=max_iters, **mac_kwargs)
+
+
+def selection_tier_grid(expected_poses: int, expected_candidates: int):
+    """Every (pose tier, candidate tier) pair ``warmup_selection_tiers``
+    covers — exposed so callers can spread the tier compiles over a thread
+    pool (the remote compile service accepts concurrent programs; a serial
+    warmup pays the full per-program latency end to end)."""
+    grid = []
     p = 64
     while True:
         e = _E_FLOOR
         while True:
-            fixed = [Edge(i, i + 1, 1.0) for i in range(p - 1)]
-            # ZERO-weight candidates: the compiled program is identical
-            # (weights are operands, not statics) but the supergradient is
-            # all-zero, so the duality gap closes after ONE Frank-Wolfe
-            # iteration — each warmup execution costs one eigensolve
-            # instead of max_iters of them (the big-tier warmups were
-            # seconds of real solve time apiece, most of the lidar e2e's
-            # ~9-minute warmup phase).
-            cands = [Edge(i % (p - 1), (i + p // 2) % p, 0.0)
-                     for i in range(e)]
-            m = MAC(fixed, cands, p, **mac_kwargs)
-            # twice with distinct inits: the relay-attached chip sometimes
-            # recompiles on the call after a single warmup
-            m.fw_subset(np.zeros(e), min(4, e), max_iters=max_iters)
-            m.fw_subset(np.full(e, 0.5), min(4, e), max_iters=max_iters)
+            grid.append((p, e))
             if e >= _tier(max(expected_candidates, 1), minimum=_E_FLOOR):
                 break
             e *= 2
         if p >= _tier(max(expected_poses, 2)):
             break
         p *= 2
+    return grid
+
+
+def warmup_selection_tier(p: int, e: int, max_iters: int = 20,
+                          **mac_kwargs) -> None:
+    """Precompile ONE (pose tier, candidate tier) FW program (see
+    ``warmup_selection_tiers``)."""
+    if not mac_kwargs:
+        mac_kwargs = mac_kwargs_from_params({})
+    fixed = [Edge(i, i + 1, 1.0) for i in range(p - 1)]
+    # ZERO-weight candidates: the compiled program is identical
+    # (weights are operands, not statics) but the supergradient is
+    # all-zero, so the duality gap closes after ONE Frank-Wolfe
+    # iteration — each warmup execution costs one eigensolve
+    # instead of max_iters of them (the big-tier warmups were
+    # seconds of real solve time apiece, most of the lidar e2e's
+    # ~9-minute warmup phase).
+    cands = [Edge(i % (p - 1), (i + p // 2) % p, 0.0)
+             for i in range(e)]
+    m = MAC(fixed, cands, p, **mac_kwargs)
+    # twice with distinct inits: the relay-attached chip sometimes
+    # recompiles on the call after a single warmup
+    m.fw_subset(np.zeros(e), min(4, e), max_iters=max_iters)
+    m.fw_subset(np.full(e, 0.5), min(4, e), max_iters=max_iters)
 
 
 class MAC:

@@ -20,16 +20,14 @@ run() {
     if [ "${rc}" -eq 0 ]; then mv "${log}.tmp" "${log}"; fi
     echo "=== ${name} rc=${rc}"
 }
-run 5400 lidar_e2e_scale       python benchmarks/lidar_e2e_scale_bench.py
-run 3000 scancontext_65k       python benchmarks/scancontext_scale_bench.py --bank 65536
-run 3000 scancontext_65k_fused python benchmarks/scancontext_scale_bench.py --bank 65536 --fused-rk
+run 5400 lidar_e2e_scale       python benchmarks/lidar_e2e_scale_bench.py --dump-loops benchmarks/results/lidar_e2e_loops.txt
+run 5400 visual_e2e_scale     python benchmarks/visual_e2e_scale_bench.py
 run 3000 selection_bench       python benchmarks/selection_bench.py
-run 3000 selection_bench_warmritz python benchmarks/selection_bench.py --warm-ritz
 run 3000 selection_bench_full  python benchmarks/selection_bench.py --full-lobpcg
-mkdir -p benchmarks/graphs
 run 3000 pgo_8x512             python benchmarks/pgo_bench.py --robots 8 --poses 512 --export-g2o benchmarks/graphs/pgo_8x512
 run 3000 pgo_headline          python benchmarks/pgo_bench.py
 run 3000 bench_headline        python bench.py
+run 3000 scancontext_65k       python benchmarks/scancontext_scale_bench.py --bank 65536
 run 3000 nns_kernel_probe      python benchmarks/nns_kernel_probe.py
 run 3000 pgo_8x256             python benchmarks/pgo_bench.py --robots 8 --poses 256 --export-g2o benchmarks/graphs/pgo_8x256
 run 3000 mesh_bank             python benchmarks/mesh_bank_bench.py
