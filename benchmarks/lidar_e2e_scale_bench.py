@@ -103,6 +103,13 @@ def pose_at(x, y, yaw=0.0):
 
 
 def main():
+    import logging
+    _h = logging.StreamHandler(sys.stdout)
+    _h.setFormatter(logging.Formatter("# %(message)s"))
+    _lg = logging.getLogger("cslam_tpu.selection.mac")
+    _lg.addHandler(_h)
+    _lg.setLevel(logging.INFO)
+
     R, steps, S = _args.robots, _args.steps, _args.scenes
     bus, clock = MessageBus(), VirtualClock()
     robots = []
@@ -116,6 +123,12 @@ def main():
         cfg.frontend.registration_min_inliers = 40
         cfg.frontend.inter_robot_detection_period_sec = 3.0
         cfg.frontend.detection_publication_period_sec = 1.0
+        # Pin the verified-loop (mf) axis to ONE tier for the whole
+        # mission: the round-5 run verified 357+ inter-robot loops (plus
+        # intra), crossed mf=512 mid-run and paid two 90-380 s foreground
+        # Woodbury compiles on the serialized compile service — tier
+        # crossings, not kernel speed, were the throughput ceiling.
+        cfg.frontend.mac_mf_floor = 2048
         if _args.sync:
             cfg.frontend.async_detection = False
             cfg.frontend.async_verification = False
@@ -204,7 +217,10 @@ def main():
         # foreground compiles; warm one tier beyond the expected count.
         mac_kwargs = mac_kwargs_from_params(robots[0][2].params)
         mac_iters = robots[0][2].lcm.candidate_selector.max_iters
-        for (p, e) in selection_tier_grid(R * steps, 2048):
+        # candidates = accumulated unverified matches; the round-5 run
+        # crossed E=2048, so warm one tier past that too
+        for (p, e) in selection_tier_grid(
+                R * steps, 4096, e_floor=mac_kwargs["e_floor"]):
             task(f"mac_{p}x{e}", warmup_selection_tier, p, e,
                  max_iters=mac_iters, **mac_kwargs)
         # the elected optimizer aggregates ALL robots' subgraphs

@@ -120,6 +120,13 @@ def pose_xyz_yaw(x, y, z=0.0, yaw=0.0):
 
 
 def main():
+    import logging
+    _h = logging.StreamHandler(sys.stdout)
+    _h.setFormatter(logging.Formatter("# %(message)s"))
+    _lg = logging.getLogger("cslam_tpu.selection.mac")
+    _lg.addHandler(_h)
+    _lg.setLevel(logging.INFO)
+
     R, steps, S = _args.robots, _args.steps, _args.scenes
     bus, clock = MessageBus(), VirtualClock()
     robots = []
@@ -139,6 +146,9 @@ def main():
         if _args.sync:
             cfg.frontend.async_detection = False
             cfg.frontend.async_verification = False
+        # pin the verified-loop (mf) MAC axis to one tier (see the lidar
+        # bench: mid-run mf crossings paid 90-380 s foreground compiles)
+        cfg.frontend.mac_mf_floor = 2048
         cfg.backend.pose_graph_optimization_start_period_ms = 30000
         cfg.neighbor_management.enable_neighbor_monitoring = False
         ctx = RobotContext(bus, clock, rid, cfg.flatten())
@@ -212,7 +222,8 @@ def main():
                      batch_tiers=(), multi_bank_counts=(r,), k_values=kv)
         mac_kwargs = mac_kwargs_from_params(robots[0][2].params)
         mac_iters = robots[0][2].lcm.candidate_selector.max_iters
-        for (p, e) in selection_tier_grid(R * steps, 2048):
+        for (p, e) in selection_tier_grid(
+                R * steps, 4096, e_floor=mac_kwargs["e_floor"]):
             task(f"mac_{p}x{e}", warmup_selection_tier, p, e,
                  max_iters=mac_iters, **mac_kwargs)
         for (np_t, ne_t) in robots[0][3].warmup_tier_grid(

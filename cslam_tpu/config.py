@@ -115,6 +115,17 @@ class FrontendConfig:
     # upgrade (mean +7-33% lambda_2 at equal budget on randomized
     # scenarios) for one extra eigensolve per iteration.
     mac_best_rounding: bool = True
+    # Shape-tier floors for the fused FW program's candidate (E) and
+    # non-chain-fixed (mf = verified loops) axes. Every distinct padded
+    # shape compiles its own program (30-380 s each on the relay-attached
+    # compile service), so a mission crossing a tier mid-run stalls the
+    # detection plane; the round-5 lidar e2e verified 357+ loops and
+    # crossed mf=512 twice. Padding is cheap on device (the E axis feeds a
+    # top_k + one-hot, the mf axis a (mf+E) Cholesky — microseconds on the
+    # MXU), so deployments should floor these ABOVE the mission's expected
+    # totals; the small defaults keep CPU tests fast.
+    mac_e_floor: int = 1024
+    mac_mf_floor: int = 512
     warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
     # local-descriptor payloads ship deflate-compressed, like the
     # reference's rtabmap-compressed features (rgbd_handler.cpp:404-431)

@@ -28,6 +28,7 @@ compiles once; validity masks cover the padding.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import List, Sequence, Tuple
 
 import jax
@@ -52,6 +53,9 @@ _DENSE_MAX_NODES = 512  # above this, use the chain+low-rank solver
 # eigh is P^3 per FW iteration, the tridiagonal solves are O(P)).
 _E_FLOOR = 1024   # candidate-edge tier floor
 _MF_FLOOR = 512   # non-chain fixed-edge (verified loop) tier floor
+
+_SEEN_TIERS: set = set()  # (P, E, mf) triples logged once per process
+_logger = logging.getLogger(__name__)
 
 
 def _tier(n: int, minimum: int = 64) -> int:
@@ -287,7 +291,9 @@ def mac_kwargs_from_params(params: dict) -> dict:
         lobpcg_warm_iters=int(params.get(
             "frontend.mac_lobpcg_warm_iters", 6)),
         best_rounding=bool(params.get(
-            "frontend.mac_best_rounding", True)))
+            "frontend.mac_best_rounding", True)),
+        e_floor=int(params.get("frontend.mac_e_floor", _E_FLOOR)),
+        mf_floor=int(params.get("frontend.mac_mf_floor", _MF_FLOOR)))
 
 
 _PREFETCHED: set = set()
@@ -316,8 +322,10 @@ def prefetch_selection_tier_async(num_poses: int, num_candidates: int,
     if _PREFETCH_LOCK is None:
         _PREFETCH_LOCK = threading.Lock()
     p = _tier(max(num_poses, 2))
-    e = _tier(max(num_candidates, 1), minimum=_E_FLOOR)
-    mf = _tier(max(num_fixed_loops, 1), minimum=_MF_FLOOR)
+    e = _tier(max(num_candidates, 1),
+              minimum=mac_kwargs.get("e_floor", _E_FLOOR))
+    mf = _tier(max(num_fixed_loops, 1),
+               minimum=mac_kwargs.get("mf_floor", _MF_FLOOR))
     key = (p, e, mf, max_iters, tuple(sorted(mac_kwargs.items())))
     with _PREFETCH_LOCK:
         if key in _PREFETCHED:
@@ -328,7 +336,8 @@ def prefetch_selection_tier_async(num_poses: int, num_candidates: int,
         try:
             fixed = [Edge(i, i + 1, 1.0) for i in range(p - 1)]
             # enough non-chain fixed edges to land exactly on the mf tier
-            nf = 1 if mf <= _MF_FLOOR else mf // 2 + 1
+            nf = (1 if mf <= mac_kwargs.get("mf_floor", _MF_FLOOR)
+                  else mf // 2 + 1)
             fixed += [Edge(i % (p - 2), (i + p // 2) % p, 1.0)
                       for i in range(nf)]
             # zero candidate weights: identical program, but the FW loop
@@ -366,22 +375,30 @@ def warmup_selection_tiers(expected_poses: int, expected_candidates: int,
     """
     if not mac_kwargs:
         mac_kwargs = mac_kwargs_from_params({})
-    for p, e in selection_tier_grid(expected_poses, expected_candidates):
+    for p, e in selection_tier_grid(
+            expected_poses, expected_candidates,
+            e_floor=mac_kwargs.get("e_floor", _E_FLOOR)):
         warmup_selection_tier(p, e, max_iters=max_iters, **mac_kwargs)
 
 
-def selection_tier_grid(expected_poses: int, expected_candidates: int):
+def selection_tier_grid(expected_poses: int, expected_candidates: int,
+                        e_floor: int = _E_FLOOR):
     """Every (pose tier, candidate tier) pair ``warmup_selection_tiers``
     covers — exposed so callers can spread the tier compiles over a thread
     pool (the remote compile service accepts concurrent programs; a serial
-    warmup pays the full per-program latency end to end)."""
+    warmup pays the full per-program latency end to end). ``e_floor`` must
+    match the production config's ``frontend.mac_e_floor``. The mf axis is
+    not part of the grid: deployments pin it to ONE tier by flooring
+    ``frontend.mac_mf_floor`` above the mission's expected verified-loop
+    total (the round-5 lidar e2e crossed mf=512 at loop ~512 and paid two
+    90-380 s mid-run Woodbury compiles)."""
     grid = []
     p = 64
     while True:
-        e = _E_FLOOR
+        e = e_floor
         while True:
             grid.append((p, e))
-            if e >= _tier(max(expected_candidates, 1), minimum=_E_FLOOR):
+            if e >= _tier(max(expected_candidates, 1), minimum=e_floor):
                 break
             e *= 2
         if p >= _tier(max(expected_poses, 2)):
@@ -426,11 +443,13 @@ class MAC:
                  candidate_edges: Sequence[Edge], num_poses: int,
                  lobpcg_iters: int = 48, lobpcg_short_iters: int = 14,
                  fw_warm_ritz: bool = False, lobpcg_warm_iters: int = 6,
-                 best_rounding: bool = False):
+                 best_rounding: bool = False,
+                 e_floor: int = _E_FLOOR, mf_floor: int = _MF_FLOOR):
         self.num_poses = num_poses
         self._best_rounding = best_rounding
+        self._mf_floor = mf_floor
         self._P = _tier(max(num_poses, 2))
-        self._E = _tier(max(len(candidate_edges), 1), minimum=_E_FLOOR)
+        self._E = _tier(max(len(candidate_edges), 1), minimum=e_floor)
         self._m = len(candidate_edges)
         self._lobpcg_iters = lobpcg_iters
         self._lobpcg_short_iters = lobpcg_short_iters
@@ -467,6 +486,18 @@ class MAC:
             self._L_fixed = jnp.asarray(L)
         else:
             self._setup_chain_lowrank(fixed_edges, ci, cj, cw)
+        # One log line per NEW padded shape tier seen in this process: the
+        # shape triple keys the compiled FW program, so this is the
+        # breadcrumb that explains any mid-run compile stall (jax's own
+        # cache-miss log names the program but not the shapes).
+        tier = (self._P, self._E, 0 if self._dense else self._mf)
+        if tier not in _SEEN_TIERS:
+            _SEEN_TIERS.add(tier)
+            _logger.info(
+                "MAC tier first use: P=%d E=%d mf=%s (poses=%d cands=%d "
+                "fixed_loops=%d)", self._P, self._E,
+                "dense" if self._dense else self._mf, num_poses, self._m,
+                self.num_lr_fixed)
 
     def _setup_chain_lowrank(self, fixed_edges: Sequence[Edge],
                              ci: np.ndarray, cj: np.ndarray,
@@ -486,7 +517,7 @@ class MAC:
         # tier crossing recompiles the whole FW program. Round 3's floor of
         # 128 was crossed at loop 129 of the lidar e2e (132 loops total) —
         # a 105 s _woodbury_fw_loop recompile mid-run.
-        mf = _tier(max(len(lr_fixed), 1), minimum=_MF_FLOOR)
+        mf = _tier(max(len(lr_fixed), 1), minimum=self._mf_floor)
         self._mf = mf
         fi, fj, fw = _pad_edges(lr_fixed, mf)
 
