@@ -149,7 +149,7 @@ class DetectionFrontEnd:
         handle = self.lcm.add_local_global_descriptor_begin(embedding, kf_id)
         self.global_descriptors_buffer[kf_id] = GlobalDescriptor(
             keyframe_id=kf_id, robot_id=self.robot_id, descriptor=embedding)
-        self._pending_searches.append(handle)
+        self._pending_searches.append((handle, self.ctx.clock.now()))
         if not self.params.get("frontend.async_detection", True):
             self._harvest_searches()
 
@@ -183,8 +183,15 @@ class DetectionFrontEnd:
         self._log("detection_cumulative_communication")
 
     def inter_robot_matches_timer_callback(self) -> None:
-        self._flush_gossip_intake()  # matches from this cycle's intake...
-        self._harvest_searches()  # ...published this cycle, not next
+        self._flush_gossip_intake()
+        # aged handles only (async mode): a handle dispatched THIS cycle
+        # still has its device->host copy in flight — blocking on it here
+        # pays the full relay RTT the dispatch-time prefetch exists to
+        # hide (measured 36 ms/call x 2100 calls = 76 s of the round-5
+        # lidar e2e steady wall). Harvesting it next cycle finds the
+        # bytes already local (~0.3 ms); matches publish one publication
+        # period later, which the gossip protocol absorbs by design.
+        self._harvest_searches(aged_only=True)
         if not self.inter_robot_matches_buffer:
             return
         latest = max(self.inter_robot_matches_buffer.keys())
@@ -245,7 +252,7 @@ class DetectionFrontEnd:
 
     def _flush_gossip_intake(self) -> None:
         self._harvest_selection(force=False)  # only if the solve is done
-        self._harvest_searches()
+        self._harvest_searches(aged_only=True)
         if not self._gossip_intake:
             return
         pending, self._gossip_intake = self._gossip_intake, []
@@ -254,21 +261,36 @@ class DetectionFrontEnd:
         with profiling.span("lcd.gossip_search"):
             handle = self.lcm.add_other_robot_global_descriptors_begin(
                 pending)
-        self._pending_searches.append(handle)
+        self._pending_searches.append((handle, self.ctx.clock.now()))
         if not self.params.get("frontend.async_detection", True):
             self._harvest_searches()
 
-    def _harvest_searches(self) -> None:
-        """Materialize every pending cross-bank search (local-keyframe and
+    def _harvest_searches(self, aged_only: bool = False) -> None:
+        """Materialize pending cross-bank searches (local-keyframe and
         gossip-chunk) in one overlapped read burst and fold the resulting
-        matches into the gossip buffer."""
+        matches into the gossip buffer.
+
+        ``aged_only`` harvests only handles dispatched at an EARLIER sim
+        time: their dispatch-side ``device_read.prefetch`` copies have had
+        a full poll cycle to land, so the reads here are local-memory
+        copies instead of relay round-trips. Synchronous mode (and the
+        end-of-mission drain) harvests everything.
+        """
         if not self._pending_searches:
             return
-        pending, self._pending_searches = self._pending_searches, []
+        if aged_only and self.params.get("frontend.async_detection", True):
+            now = self.ctx.clock.now()
+            pending = [ht for ht in self._pending_searches if ht[1] < now]
+            if not pending:
+                return
+            self._pending_searches = [
+                ht for ht in self._pending_searches if ht[1] >= now]
+        else:
+            pending, self._pending_searches = self._pending_searches, []
         from cslam_tpu.utils import device_read
-        device_read.prefetch(a for h in pending for a in h.arrays)
+        device_read.prefetch(a for h, _ in pending for a in h.arrays)
         with profiling.span("lcd.search_harvest"):
-            for h in pending:
+            for h, _ in pending:
                 if h.keyframe_id is not None:
                     matches = self.lcm.add_local_global_descriptor_finish(h)
                 else:
@@ -290,8 +312,8 @@ class DetectionFrontEnd:
     # ------------------------------------------------------------------
 
     def detect_inter(self) -> None:
-        self._flush_gossip_intake()  # candidates must be current...
-        self._harvest_searches()  # ...including this cycle's dispatches
+        self._flush_gossip_intake()  # candidates current up to last cycle
+        self._harvest_searches(aged_only=True)
         self._harvest_selection()  # previous round applied before new offsets
         in_range, in_range_list = \
             self.neighbor_manager.check_neighbors_in_range()
