@@ -18,6 +18,7 @@ import numpy as np
 
 from cslam_tpu.models import preprocess
 from cslam_tpu.models.backbones import make_backbone
+from cslam_tpu.utils import device_read
 
 
 import functools
@@ -133,5 +134,24 @@ class CosPlace:
         the reference runs one image at a time)."""
         if not self.enable:
             return self._rng.random((images.shape[0], self.descriptor_dim))
+        return np.asarray(self._compute_device(images))
+
+    def _compute_device(self, images: np.ndarray):
         x = preprocess.preprocess(images, self.crop)
-        return np.asarray(self._forward(self.variables, x))
+        return self._forward(self.variables, x)
+
+    def compute_embedding_begin(self, keyframe: np.ndarray):
+        """Dispatch one image's descriptor inference WITHOUT the blocking
+        device read (~30-50 ms relay RTT per keyframe in the visual e2e;
+        the read itself is ``compute_embedding_finish`` one poll cycle
+        later, when the prefetched bytes are already local)."""
+        if not self.enable:
+            return self._rng.random(self.descriptor_dim)
+        out = self._compute_device(keyframe[None])
+        device_read.prefetch((out,))
+        return out
+
+    @staticmethod
+    def compute_embedding_finish(pending) -> np.ndarray:
+        return np.asarray(pending)[0] if getattr(pending, "ndim", 1) == 2 \
+            else np.asarray(pending)

@@ -153,6 +153,22 @@ class NetVLAD:
         x = preprocess.preprocess(images, self.crop)
         return np.asarray(self._forward(self.variables, x))
 
+    def compute_embedding_begin(self, keyframe: np.ndarray):
+        """Dispatch one image's descriptor WITHOUT the blocking device read
+        (see ``cosplace.CosPlaceModel.compute_embedding_begin``)."""
+        if not self.enable:
+            return self._rng.random(self.DISABLED_DIM)
+        from cslam_tpu.utils import device_read
+        x = preprocess.preprocess(keyframe[None], self.crop)
+        out = self._forward(self.variables, x)
+        device_read.prefetch((out,))
+        return out
+
+    @staticmethod
+    def compute_embedding_finish(pending) -> np.ndarray:
+        return np.asarray(pending)[0] if getattr(pending, "ndim", 1) == 2 \
+            else np.asarray(pending)
+
     def forward_preprocessed(self, x: np.ndarray) -> np.ndarray:
         """Full forward (VLAD + PCA + normalize) on already-preprocessed
         NHWC input — the checkpoint-parity harness compares this against

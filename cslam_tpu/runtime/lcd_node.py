@@ -105,6 +105,7 @@ class DetectionFrontEnd:
         # chip, the dominant per-step cost in the lidar e2e pipeline)
         self._gossip_intake: List[Any] = []
         self._pending_searches: List[Any] = []  # dispatched bank searches
+        self._pending_embeds: List[Any] = []  # dispatched descriptor nets
         self._pending_selection = None  # deferred detect_inter round
         ctx.create_timer(
             self.params.get("frontend.gossip_intake_flush_period_sec", 0.1),
@@ -130,10 +131,51 @@ class DetectionFrontEnd:
 
     def receive_keyframe(self, msg) -> None:
         data = msg.image if self.keyframe_type == "rgb" else msg.points
+        begin = getattr(self.model, "compute_embedding_begin", None)
+        if begin is not None and self.params.get("frontend.async_detection",
+                                                 True):
+            self._drain_embeds(aged_only=True)
+            with profiling.span("lcd.embed"):
+                emb = begin(data)
+            if not isinstance(emb, np.ndarray):
+                # device result: the blocking read (~30-50 ms relay RTT
+                # per keyframe — 50 s of the round-5 visual e2e steady
+                # wall) happens one poll cycle later, when the
+                # dispatch-time prefetch has landed
+                self._pending_embeds.append(
+                    (emb, msg.id, self.ctx.clock.now()))
+                return
+            with profiling.span("lcd.local_detect"):
+                self.add_global_descriptor_to_map(emb, msg.id)
+            return
         with profiling.span("lcd.embed"):
             embedding = self.model.compute_embedding(data)
         with profiling.span("lcd.local_detect"):
             self.add_global_descriptor_to_map(np.asarray(embedding), msg.id)
+
+    def _drain_embeds(self, aged_only: bool = False) -> None:
+        """Materialize deferred descriptor inferences (stamps are
+        monotonic, so the aged prefix is a simple split)."""
+        if not self._pending_embeds:
+            return
+        if aged_only:
+            now = self.ctx.clock.now()
+            n = 0
+            while (n < len(self._pending_embeds)
+                   and self._pending_embeds[n][2] < now):
+                n += 1
+            if n == 0:
+                return
+            take, self._pending_embeds = (self._pending_embeds[:n],
+                                          self._pending_embeds[n:])
+        else:
+            take, self._pending_embeds = self._pending_embeds, []
+        finish = self.model.compute_embedding_finish
+        with profiling.span("lcd.embed_harvest"):
+            for dev, kf_id, _ in take:
+                emb = finish(dev)
+                with profiling.span("lcd.local_detect"):
+                    self.add_global_descriptor_to_map(emb, kf_id)
 
     def add_global_descriptor_to_map(self, embedding: np.ndarray,
                                      kf_id: int) -> None:
@@ -252,6 +294,7 @@ class DetectionFrontEnd:
 
     def _flush_gossip_intake(self) -> None:
         self._harvest_selection(force=False)  # only if the solve is done
+        self._drain_embeds(aged_only=True)
         self._harvest_searches(aged_only=True)
         if not self._gossip_intake:
             return

@@ -46,6 +46,13 @@ def _restore_bank(bank, state: Dict[str, Any]) -> None:
 
 def snapshot_robot(detection, backend, path: str) -> None:
     """Serialize one robot's detection + back-end state."""
+    # drain the async planes first: in-flight device results (deferred
+    # embeds / searches) are not serializable, and dropping them would
+    # silently un-embed keyframes after restore
+    if hasattr(detection, "_drain_embeds"):
+        detection._drain_embeds()
+    if hasattr(detection, "_harvest_searches"):
+        detection._harvest_searches()
     sel = detection.lcm.candidate_selector
     state = {
         "robot_id": detection.robot_id,
