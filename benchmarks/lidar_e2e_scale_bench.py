@@ -129,6 +129,12 @@ def main():
         # Woodbury compiles on the serialized compile service — tier
         # crossings, not kernel speed, were the throughput ceiling.
         cfg.frontend.mac_mf_floor = 2048
+        # ...and the P axis to the mission's pose bound: solve cost is
+        # nearly P-independent with the dense-T~inv Woodbury stack
+        # (selection bench: 411 ms at P=512 dense vs 418 ms at P=8192),
+        # so one P tier = 3 total MAC programs to warm instead of 18 and
+        # no P-crossing compile when total poses pass 1024 (step ~205).
+        cfg.frontend.mac_p_floor = 2048
         if _args.sync:
             cfg.frontend.async_detection = False
             cfg.frontend.async_verification = False
@@ -220,7 +226,8 @@ def main():
         # candidates = accumulated unverified matches; the round-5 run
         # crossed E=2048, so warm one tier past that too
         for (p, e) in selection_tier_grid(
-                R * steps, 4096, e_floor=mac_kwargs["e_floor"]):
+                R * steps, 4096, e_floor=mac_kwargs["e_floor"],
+                p_floor=mac_kwargs["p_floor"]):
             task(f"mac_{p}x{e}", warmup_selection_tier, p, e,
                  max_iters=mac_iters, **mac_kwargs)
         # the elected optimizer aggregates ALL robots' subgraphs

@@ -149,6 +149,7 @@ def main():
         # pin the verified-loop (mf) MAC axis to one tier (see the lidar
         # bench: mid-run mf crossings paid 90-380 s foreground compiles)
         cfg.frontend.mac_mf_floor = 2048
+        cfg.frontend.mac_p_floor = 2048  # see the lidar bench note
         cfg.backend.pose_graph_optimization_start_period_ms = 30000
         cfg.neighbor_management.enable_neighbor_monitoring = False
         ctx = RobotContext(bus, clock, rid, cfg.flatten())
@@ -223,7 +224,8 @@ def main():
         mac_kwargs = mac_kwargs_from_params(robots[0][2].params)
         mac_iters = robots[0][2].lcm.candidate_selector.max_iters
         for (p, e) in selection_tier_grid(
-                R * steps, 4096, e_floor=mac_kwargs["e_floor"]):
+                R * steps, 4096, e_floor=mac_kwargs["e_floor"],
+                p_floor=mac_kwargs["p_floor"]):
             task(f"mac_{p}x{e}", warmup_selection_tier, p, e,
                  max_iters=mac_iters, **mac_kwargs)
         for (np_t, ne_t) in robots[0][3].warmup_tier_grid(

@@ -126,6 +126,13 @@ class FrontendConfig:
     # totals; the small defaults keep CPU tests fast.
     mac_e_floor: int = 1024
     mac_mf_floor: int = 512
+    # Pose-axis tier floor. The dense-T~inv Woodbury stack made solve
+    # cost nearly P-independent (selection bench: 411 ms at P=512 dense
+    # vs 418 ms at P=8192 Woodbury), so deployments can pin P to the
+    # mission's pose bound: ONE FW program for the whole mission and no
+    # P-crossing compiles. Default keeps the small-graph dense tiers
+    # (fastest for short missions and CPU tests).
+    mac_p_floor: int = 64
     warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
     # local-descriptor payloads ship deflate-compressed, like the
     # reference's rtabmap-compressed features (rgbd_handler.cpp:404-431)

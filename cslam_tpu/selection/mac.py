@@ -293,7 +293,8 @@ def mac_kwargs_from_params(params: dict) -> dict:
         best_rounding=bool(params.get(
             "frontend.mac_best_rounding", True)),
         e_floor=int(params.get("frontend.mac_e_floor", _E_FLOOR)),
-        mf_floor=int(params.get("frontend.mac_mf_floor", _MF_FLOOR)))
+        mf_floor=int(params.get("frontend.mac_mf_floor", _MF_FLOOR)),
+        p_floor=int(params.get("frontend.mac_p_floor", 64)))
 
 
 _PREFETCHED: set = set()
@@ -321,7 +322,7 @@ def prefetch_selection_tier_async(num_poses: int, num_candidates: int,
     global _PREFETCH_LOCK
     if _PREFETCH_LOCK is None:
         _PREFETCH_LOCK = threading.Lock()
-    p = _tier(max(num_poses, 2))
+    p = _tier(max(num_poses, 2), minimum=mac_kwargs.get("p_floor", 64))
     e = _tier(max(num_candidates, 1),
               minimum=mac_kwargs.get("e_floor", _E_FLOOR))
     mf = _tier(max(num_fixed_loops, 1),
@@ -377,12 +378,13 @@ def warmup_selection_tiers(expected_poses: int, expected_candidates: int,
         mac_kwargs = mac_kwargs_from_params({})
     for p, e in selection_tier_grid(
             expected_poses, expected_candidates,
-            e_floor=mac_kwargs.get("e_floor", _E_FLOOR)):
+            e_floor=mac_kwargs.get("e_floor", _E_FLOOR),
+            p_floor=mac_kwargs.get("p_floor", 64)):
         warmup_selection_tier(p, e, max_iters=max_iters, **mac_kwargs)
 
 
 def selection_tier_grid(expected_poses: int, expected_candidates: int,
-                        e_floor: int = _E_FLOOR):
+                        e_floor: int = _E_FLOOR, p_floor: int = 64):
     """Every (pose tier, candidate tier) pair ``warmup_selection_tiers``
     covers — exposed so callers can spread the tier compiles over a thread
     pool (the remote compile service accepts concurrent programs; a serial
@@ -393,7 +395,7 @@ def selection_tier_grid(expected_poses: int, expected_candidates: int,
     total (the round-5 lidar e2e crossed mf=512 at loop ~512 and paid two
     90-380 s mid-run Woodbury compiles)."""
     grid = []
-    p = 64
+    p = max(p_floor, 2)
     while True:
         e = e_floor
         while True:
@@ -401,7 +403,7 @@ def selection_tier_grid(expected_poses: int, expected_candidates: int,
             if e >= _tier(max(expected_candidates, 1), minimum=e_floor):
                 break
             e *= 2
-        if p >= _tier(max(expected_poses, 2)):
+        if p >= _tier(max(expected_poses, 2), minimum=max(p_floor, 2)):
             break
         p *= 2
     return grid
@@ -444,11 +446,12 @@ class MAC:
                  lobpcg_iters: int = 48, lobpcg_short_iters: int = 14,
                  fw_warm_ritz: bool = False, lobpcg_warm_iters: int = 6,
                  best_rounding: bool = False,
-                 e_floor: int = _E_FLOOR, mf_floor: int = _MF_FLOOR):
+                 e_floor: int = _E_FLOOR, mf_floor: int = _MF_FLOOR,
+                 p_floor: int = 64):
         self.num_poses = num_poses
         self._best_rounding = best_rounding
         self._mf_floor = mf_floor
-        self._P = _tier(max(num_poses, 2))
+        self._P = _tier(max(num_poses, 2), minimum=max(p_floor, 2))
         self._E = _tier(max(len(candidate_edges), 1), minimum=e_floor)
         self._m = len(candidate_edges)
         self._lobpcg_iters = lobpcg_iters

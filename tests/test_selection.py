@@ -380,3 +380,45 @@ class TestMacSolver:
         mac = MAC(fixed, candidates, 4)
         rounded, _, _ = mac.fw_subset(np.zeros(2), 1, max_iters=5)
         assert rounded.sum() == 1
+
+
+class TestTierFloors:
+    """Config-driven shape-tier floors (frontend.mac_{p,e,mf}_floor):
+    deployments pin each padded axis above the mission's expected totals
+    so a growing graph never crosses a tier mid-run (a crossing compiles
+    a fresh FW program — 90-380 s each on the remote compile service,
+    the round-5 lidar-e2e throughput ceiling)."""
+
+    def test_floors_flow_from_params(self):
+        from cslam_tpu.selection.mac import MAC, mac_kwargs_from_params
+        kw = mac_kwargs_from_params({"frontend.mac_p_floor": 1024,
+                                     "frontend.mac_e_floor": 256,
+                                     "frontend.mac_mf_floor": 64})
+        fixed = [Edge(i, i + 1, 1.0) for i in range(9)] + [Edge(0, 5, 1.0)]
+        cands = [Edge(i, (i + 4) % 10, 1.0) for i in range(6)]
+        mac = MAC(fixed, cands, 10, **kw)
+        assert (mac._P, mac._E, mac._mf) == (1024, 256, 64)
+        assert not mac._dense  # floored past _DENSE_MAX_NODES
+
+    def test_floored_woodbury_matches_dense_selection(self):
+        """The same small graph selects identically on the floored
+        (P=1024 Woodbury) tier and the default (dense eigh) tier."""
+        from cslam_tpu.selection.mac import MAC, mac_kwargs_from_params
+        fixed = [Edge(i, i + 1, 1.0) for i in range(49)] + [Edge(0, 25, 1.0)]
+        cands = [Edge(i, (i + 20) % 50, 1.0) for i in range(8)]
+        kw = mac_kwargs_from_params({"frontend.mac_p_floor": 1024,
+                                     "frontend.mac_e_floor": 256,
+                                     "frontend.mac_mf_floor": 64})
+        sel_f, _, _ = MAC(fixed, cands, 50, **kw).fw_subset(
+            np.full(8, 0.5), 3, max_iters=5)
+        sel_d, _, _ = MAC(fixed, cands, 50, **mac_kwargs_from_params({})
+                          ).fw_subset(np.full(8, 0.5), 3, max_iters=5)
+        assert np.array_equal(sel_f, sel_d)
+
+    def test_tier_grid_respects_floors(self):
+        from cslam_tpu.selection.mac import selection_tier_grid
+        grid = selection_tier_grid(300, 300, e_floor=256, p_floor=512)
+        assert grid == [(512, 256), (512, 512)]
+        # one-tier mission: floors at/above every expected count
+        grid = selection_tier_grid(1500, 3000, e_floor=4096, p_floor=2048)
+        assert grid == [(2048, 4096)]
