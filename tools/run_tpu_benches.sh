@@ -22,8 +22,6 @@ run() {
 }
 run 5400 lidar_e2e_scale       python benchmarks/lidar_e2e_scale_bench.py --dump-loops benchmarks/results/lidar_e2e_loops.txt
 run 5400 visual_e2e_scale     python benchmarks/visual_e2e_scale_bench.py
-run 3000 selection_bench       python benchmarks/selection_bench.py
-run 3000 selection_bench_full  python benchmarks/selection_bench.py --full-lobpcg
 run 3000 pgo_8x512             python benchmarks/pgo_bench.py --robots 8 --poses 512 --export-g2o benchmarks/graphs/pgo_8x512
 run 3000 pgo_headline          python benchmarks/pgo_bench.py
 run 3000 bench_headline        python bench.py
@@ -32,3 +30,5 @@ run 3000 nns_kernel_probe      python benchmarks/nns_kernel_probe.py
 run 3000 pgo_8x256             python benchmarks/pgo_bench.py --robots 8 --poses 256 --export-g2o benchmarks/graphs/pgo_8x256
 run 3000 mesh_bank             python benchmarks/mesh_bank_bench.py
 run 3000 scancontext_scale     python benchmarks/scancontext_scale_bench.py
+run 3000 selection_bench       python benchmarks/selection_bench.py
+run 3000 selection_bench_full  python benchmarks/selection_bench.py --full-lobpcg
