@@ -42,6 +42,11 @@ _ap.add_argument("--sync", action="store_true",
 _ap.add_argument("--dump-loops", default=None, metavar="PATH",
                  help="write the verified inter-robot loop set (sorted "
                       "edge keys) to PATH for cross-run diffing")
+_ap.add_argument("--dump-g2o", default=None, metavar="BASE",
+                 help="write BASE_optimized.g2o (all robots' odometry "
+                      "factors + verified inter-robot loops + the final "
+                      "estimates) for external (GTSAM) cross-checks — "
+                      "see tools/gtsam_crosscheck.md")
 _ap.add_argument("--mac-max-iters", type=int, default=None,
                  help="override the ACM Frank-Wolfe iteration budget")
 _ap.add_argument("--warmup-threads", type=int, default=6,
@@ -299,6 +304,16 @@ def main():
             for e in edges)
         with open(_args.dump_loops, "w") as f:
             f.write("\n".join(keys) + "\n")
+
+    if _args.dump_g2o:
+        from cslam_tpu.evaluation.g2o import write_g2o
+        factors = []
+        for _, _, _, be in robots:
+            factors.extend(be.local_factors)
+        for edges in be0.inter_robot_loop_closures.values():
+            factors.extend(edges)
+        write_g2o(f"{_args.dump_g2o}_optimized.g2o",
+                  dict(be0.current_pose_estimates), factors)
 
     est = {k[1]: p for k, p in be0.current_pose_estimates.items()
            if k[0] == 0}

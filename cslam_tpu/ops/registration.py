@@ -548,7 +548,7 @@ def _verify_pair_batch(src, sm, dst, dm, corr_dist, min_inliers,
     T = jnp.where(use_g[:, None, None], Tg, T0)
     inl = jnp.where(use_g, inlg, inl0)
     success = jnp.where(use_g, gate(inlg), ok0)
-    return T, inl, success
+    return T, inl, success, ok0
 
 
 class VerifyBatchHandle:
@@ -560,12 +560,12 @@ class VerifyBatchHandle:
     exposes the pending device results for ``device_read.prefetch``.
     """
 
-    __slots__ = ("p", "T_dev", "inl_dev", "ok_dev", "results")
+    __slots__ = ("p", "T_dev", "inl_dev", "ok_dev", "ok_icp_dev", "results")
 
     @property
     def arrays(self):
         if self.results is None:
-            return (self.T_dev, self.inl_dev, self.ok_dev)
+            return (self.T_dev, self.inl_dev, self.ok_dev, self.ok_icp_dev)
         return ()
 
     @property
@@ -604,12 +604,13 @@ def compute_transform_batch_begin(pairs, voxel_size: float, min_inliers: int,
         # relay RTT each (benchmarks/relay_dispatch_probe.py)
         from cslam_tpu.utils import device_read
         with profiling.span("verify.dispatch"):
-            h.T_dev, h.inl_dev, h.ok_dev = _verify_pair_batch(
+            h.T_dev, h.inl_dev, h.ok_dev, h.ok_icp_dev = _verify_pair_batch(
                 src, src_m, dst, dst_m,
                 np.float32(float(voxel_size) * 1.5),
                 np.float32(min_inliers),
                 np.float32(min_inlier_ratio))
-            device_read.prefetch((h.T_dev, h.inl_dev, h.ok_dev))
+            device_read.prefetch(
+                (h.T_dev, h.inl_dev, h.ok_dev, h.ok_icp_dev))
         handles.append(h)
     return handles
 
@@ -622,6 +623,15 @@ def compute_transform_batch_step(h: VerifyBatchHandle) -> bool:
         with profiling.span("verify.read"):
             T = np.asarray(h.T_dev, np.float64)
             ok = np.asarray(h.ok_dev)
+            ok_icp = np.asarray(h.ok_icp_dev)
+        # VERDICT-4 #6 evidence: what fraction of pairs the cheap
+        # multi-start ICP gate passes on its own (the complement is the
+        # old "global-registration fallback rate" — with the fused
+        # speculative dispatch it costs no extra round trips, but the
+        # rate still says whether the ICP gating fits the overlap
+        # distribution)
+        profiling.counter("verify.pairs", h.p)
+        profiling.counter("verify.icp_gate_pass", int(ok_icp[:h.p].sum()))
         h.results = [(np.linalg.inv(T[i]), bool(ok[i]))
                      for i in range(h.p)]
     return True

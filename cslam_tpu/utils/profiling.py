@@ -52,9 +52,25 @@ def spans() -> Dict[str, Dict[str, float]]:
         return {k: dict(v) for k, v in _registry.items()}
 
 
+_counters: Dict[str, float] = {}
+
+
+def counter(name: str, n: float = 1.0) -> None:
+    """Accumulate a named event count (rates, hit/miss tallies). Reported
+    alongside the span table; reset with :func:`reset_spans`."""
+    with _lock:
+        _counters[name] = _counters.get(name, 0.0) + n
+
+
+def counters() -> Dict[str, float]:
+    with _lock:
+        return dict(_counters)
+
+
 def reset_spans() -> None:
     with _lock:
         _registry.clear()
+        _counters.clear()
 
 
 def report(reset: bool = False) -> str:
@@ -66,6 +82,11 @@ def report(reset: bool = False) -> str:
         mean_ms = rec["total_s"] / max(rec["count"], 1) * 1e3
         lines.append(f"{name:<42} {rec['count']:>7} {rec['total_s']:>10.3f} "
                      f"{mean_ms:>9.2f} {rec['max_s'] * 1e3:>9.2f}")
+    cnts = counters()
+    if cnts:
+        lines.append(f"{'counter':<42} {'value':>7}")
+        for name in sorted(cnts):
+            lines.append(f"{name:<42} {cnts[name]:>7.0f}")
     if reset:
         reset_spans()
     return "\n".join(lines)
