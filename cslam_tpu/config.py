@@ -133,6 +133,15 @@ class FrontendConfig:
     # P-crossing compiles. Default keeps the small-graph dense tiers
     # (fastest for short missions and CPU tests).
     mac_p_floor: int = 64
+    # Skip a detection round's MAC solve when fewer than this many
+    # candidate-pool mutations (new/updated matches, verified fixes,
+    # removals) happened since the last dispatched solve — the previous
+    # round's published selection already covers the unchanged pool, and
+    # re-solving only re-spends the budget on its leftovers. 0 = solve
+    # every round (the reference's behavior,
+    # loop_closure_detection_node.py:26-27 fires detect_inter on a bare
+    # timer regardless of pool changes).
+    mac_min_new_candidates: int = 0
     warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
     # local-descriptor payloads ship deflate-compressed, like the
     # reference's rtabmap-compressed features (rgbd_handler.cpp:404-431)

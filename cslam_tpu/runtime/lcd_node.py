@@ -107,6 +107,7 @@ class DetectionFrontEnd:
         self._pending_searches: List[Any] = []  # dispatched bank searches
         self._pending_embeds: List[Any] = []  # dispatched descriptor nets
         self._pending_selection = None  # deferred detect_inter round
+        self._last_solve_mutations = None  # ACM pool state at last solve
         ctx.create_timer(
             self.params.get("frontend.gossip_intake_flush_period_sec", 0.1),
             self._flush_gossip_intake)
@@ -363,6 +364,17 @@ class DetectionFrontEnd:
         if (len(in_range_list) <= 1
                 or not self.neighbor_manager.local_robot_is_broker()):
             return
+        # round-skip: when the candidate pool barely changed since the
+        # last dispatched solve, the previous round's published selection
+        # already covers it — re-solving only re-spends the budget on its
+        # own leftovers (frontend.mac_min_new_candidates, 0 = reference
+        # behavior: solve on every timer fire)
+        min_new = self.params.get("frontend.mac_min_new_candidates", 0)
+        mutations = self.lcm.candidate_selector.pool_mutations
+        if (min_new and self._last_solve_mutations is not None
+                and mutations - self._last_solve_mutations < min_new):
+            profiling.counter("lcd.select_round_skipped")
+            return
         t0 = self.ctx.clock.now()
         with profiling.span("lcd.select_dispatch"):
             handle = self.lcm.select_candidates_begin(
@@ -370,6 +382,7 @@ class DetectionFrontEnd:
                 in_range)
         if handle is None:
             return
+        self._last_solve_mutations = mutations
         self._pending_selection = (handle, in_range_list, t0)
         if not self.params.get("frontend.async_detection", True):
             # synchronous mode: block on the solve inside this round
@@ -397,8 +410,15 @@ class DetectionFrontEnd:
                     return
         (handle, in_range_list, t0), self._pending_selection = \
             self._pending_selection, None
+        m_before = self.lcm.candidate_selector.pool_mutations
         with profiling.span("lcd.select_harvest"):
             selection = self.lcm.select_candidates_finish(handle)
+        if self._last_solve_mutations is not None:
+            # the finish itself removes the selected edges from the pool;
+            # those mutations are the solve's own doing and must not count
+            # toward re-solving (mac_min_new_candidates round-skip)
+            self._last_solve_mutations += (
+                self.lcm.candidate_selector.pool_mutations - m_before)
         vertices_info = self._edge_list_to_vertices(selection)
         broker = Broker(selection, in_range_list)
         for vertex_set in broker.brokerage(

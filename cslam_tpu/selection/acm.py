@@ -64,6 +64,11 @@ class AlgebraicConnectivityMaximization:
         # full budget — the cross-round analogue of the solver's
         # carried-TLS-weights trick
         self.last_relaxed_w: Dict[Tuple[int, int, int, int], float] = {}
+        # monotone count of candidate-pool mutations (adds, weight
+        # upgrades, removals, fixed promotions) — lets the detection
+        # plane skip a round's MAC solve when nothing changed since the
+        # last dispatched solve (``frontend.mac_min_new_candidates``)
+        self.pool_mutations = 0
 
     # ------------------------------------------------------------------
     # Edge bookkeeping
@@ -98,12 +103,15 @@ class AlgebraicConnectivityMaximization:
         for e in self.fixed_edges:
             self._track_poses(e)
             self._track_fixed_link(e)
+            self.pool_mutations += 1
         for e in candidate_edges:
             self._track_poses(e)
             self.candidate_edges[self.edge_key(e)] = e
+            self.pool_mutations += 1
 
     def add_fixed_edge(self, edge: EdgeInterRobot) -> None:
         self.fixed_edges.append(edge)
+        self.pool_mutations += 1  # the fixed graph shapes the solve too
         self._track_poses(edge)
         self._track_fixed_link(edge)
 
@@ -113,6 +121,7 @@ class AlgebraicConnectivityMaximization:
         if self.edge_key(edge) in self.already_considered_matches:
             return
         self.candidate_edges[self.edge_key(edge)] = edge
+        self.pool_mutations += 1
         self._track_poses(edge)
 
     def add_match(self, match: EdgeInterRobot) -> None:
@@ -125,7 +134,8 @@ class AlgebraicConnectivityMaximization:
     def remove_candidate_edges(self, edges: Sequence[EdgeInterRobot],
                                failed: bool = False) -> None:
         for edge in edges:
-            self.candidate_edges.pop(self.edge_key(edge), None)
+            if self.candidate_edges.pop(self.edge_key(edge), None) is not None:
+                self.pool_mutations += 1
             self.already_considered_matches.add(self.edge_key(edge))
 
     def candidate_edges_to_fixed(self, edges: List[EdgeInterRobot]) -> None:
@@ -134,6 +144,7 @@ class AlgebraicConnectivityMaximization:
         for e in promoted:
             self._track_fixed_link(e)
         self.fixed_edges.extend(promoted)
+        self.pool_mutations += len(promoted)
         self.remove_candidate_edges(edges)
 
     # ------------------------------------------------------------------

@@ -321,6 +321,18 @@ class TestEndToEndTwoRobots:
             or True  # logs disabled by default; stats still counted
         assert sim.bus.messages_delivered > 100
 
+    def test_mac_round_skip_on_quiet_pool(self):
+        """With frontend.mac_min_new_candidates set high, every detection
+        round after the first finds the pool unchanged-enough and skips
+        its MAC solve (counted as lcd.select_round_skipped)."""
+        from cslam_tpu.utils import profiling
+        profiling.reset_spans()
+        sim = overlapping_two_robot_sim(**{
+            "frontend.mac_min_new_candidates": 100000})
+        sim.run(40.0, dt=0.25)
+        assert profiling.counters().get("lcd.select_round_skipped", 0) > 0
+        profiling.reset_spans()
+
     def test_rendezvous_gating_blocks_detection(self, tmp_path):
         sched = tmp_path / "rdv.csv"
         # robot 1 never in comm range

@@ -116,6 +116,26 @@ class TestSingleRobotSelection:
         ac.add_candidate_edge(e)  # demoted permanently
         assert len(ac.candidate_edges) == 0
 
+    def test_pool_mutation_counter(self):
+        """pool_mutations drives the detection plane's MAC round-skip
+        (frontend.mac_min_new_candidates): it must tick on every change
+        that can alter a solve and stay flat on no-ops."""
+        ac = make_acm()
+        e = EdgeInterRobot(0, 1, 0, 30, 0.5)
+        m = ac.pool_mutations
+        ac.add_match(e)
+        assert ac.pool_mutations == m + 1
+        ac.add_match(e._replace(weight=0.3))  # lower weight: ignored
+        assert ac.pool_mutations == m + 1
+        ac.add_match(e._replace(weight=0.9))  # upgrade: counts
+        assert ac.pool_mutations == m + 2
+        ac.candidate_edges_to_fixed([e])      # promote + remove
+        m2 = ac.pool_mutations
+        assert m2 > m + 2
+        ac.add_candidate_edge(e)              # demoted permanently: no-op
+        ac.remove_candidate_edges([EdgeInterRobot(0, 1, 4, 1, 1.0)])
+        assert ac.pool_mutations == m2
+
     def test_candidate_to_fixed_promotion(self):
         fixed, candidates = simple_graph(100, 50, seed=8)
         ac = make_acm()
