@@ -238,7 +238,20 @@ def main():
         def run_task(t):
             label, fn, a, kw = t
             t0 = time.perf_counter()
-            fn(*a, **kw)
+            # retry transient remote-compile-service failures; a lost
+            # warmup must never kill the bench (see the lidar bench)
+            for attempt in range(3):
+                try:
+                    fn(*a, **kw)
+                    break
+                except Exception as e:
+                    print(f"#   warmup {label} attempt {attempt + 1} "
+                          f"failed: {e}", flush=True)
+                    if attempt == 2:
+                        print(f"#   warmup {label} GAVE UP — steady "
+                              f"state will compile it", flush=True)
+                    else:
+                        time.sleep(2.0)
             durations[label] = time.perf_counter() - t0
 
         with ThreadPoolExecutor(max_workers=_args.warmup_threads) as ex:

@@ -16,5 +16,5 @@ run() {
     if [ "${rc}" -eq 0 ]; then mv "${log}.tmp" "${log}"; fi
     echo "=== ${name} rc=${rc}"
 }
-run 5400 lidar_e2e_scale   python benchmarks/lidar_e2e_scale_bench.py --dump-loops benchmarks/results/lidar_e2e_loops.txt
+run 5400 lidar_e2e_scale   python benchmarks/lidar_e2e_scale_bench.py --dump-loops benchmarks/results/lidar_e2e_loops.txt --dump-g2o benchmarks/graphs/lidar_e2e
 run 5400 visual_e2e_scale  python benchmarks/visual_e2e_scale_bench.py
