@@ -141,12 +141,15 @@ def main():
         # no P-crossing compile when total poses pass 1024 (step ~205).
         cfg.frontend.mac_p_floor = 2048
         # ...and the candidate (E) axis: the first floored run still paid
-        # a ~10 min mid-run stall when the accumulated candidate pool
-        # crossed 4096 at step ~140 (first-use line: E=8192) — the one
-        # axis the floors left unpinned. Candidates only accumulate
-        # (removals rarely outpace matches at 0.7 similarity), so pin E
-        # to the mission bound too: ONE MAC program total.
-        cfg.frontend.mac_e_floor = 8192
+        # a ~15 min mid-run stall when the accumulated candidate pool
+        # crossed 4096 at step ~140 (first-use line: E=8192, an 883 s
+        # compile) — the one axis the floors left unpinned, because the
+        # pool grows without bound while the per-round budget only ever
+        # consumes ~350 edges. Bound the pool itself (weight-ordered,
+        # non-permanent eviction) at the E floor: ONE fast MAC program
+        # covers the whole mission.
+        cfg.frontend.mac_e_floor = 2048
+        cfg.frontend.max_candidate_pool = 2048
         if _args.sync:
             cfg.frontend.async_detection = False
             cfg.frontend.async_verification = False
@@ -238,7 +241,7 @@ def main():
         # candidates = accumulated unverified matches; the round-5 run
         # crossed E=2048, so warm one tier past that too
         for (p, e) in selection_tier_grid(
-                R * steps, 8192, e_floor=mac_kwargs["e_floor"],
+                R * steps, 2048, e_floor=mac_kwargs["e_floor"],
                 p_floor=mac_kwargs["p_floor"]):
             task(f"mac_{p}x{e}", warmup_selection_tier, p, e,
                  max_iters=mac_iters, **mac_kwargs)

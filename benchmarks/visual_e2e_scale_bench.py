@@ -150,7 +150,8 @@ def main():
         # bench: mid-run mf crossings paid 90-380 s foreground compiles)
         cfg.frontend.mac_mf_floor = 2048
         cfg.frontend.mac_p_floor = 2048  # see the lidar bench note
-        cfg.frontend.mac_e_floor = 8192  # one MAC tier for the mission
+        cfg.frontend.mac_e_floor = 2048  # one MAC tier for the mission
+        cfg.frontend.max_candidate_pool = 2048  # bounded pool = bounded E
         cfg.backend.pose_graph_optimization_start_period_ms = 30000
         cfg.neighbor_management.enable_neighbor_monitoring = False
         ctx = RobotContext(bus, clock, rid, cfg.flatten())
@@ -225,7 +226,7 @@ def main():
         mac_kwargs = mac_kwargs_from_params(robots[0][2].params)
         mac_iters = robots[0][2].lcm.candidate_selector.max_iters
         for (p, e) in selection_tier_grid(
-                R * steps, 8192, e_floor=mac_kwargs["e_floor"],
+                R * steps, 2048, e_floor=mac_kwargs["e_floor"],
                 p_floor=mac_kwargs["p_floor"]):
             task(f"mac_{p}x{e}", warmup_selection_tier, p, e,
                  max_iters=mac_iters, **mac_kwargs)

@@ -142,6 +142,17 @@ class FrontendConfig:
     # loop_closure_detection_node.py:26-27 fires detect_inter on a bare
     # timer regardless of pool changes).
     mac_min_new_candidates: int = 0
+    # Bound the ACM candidate pool: when it exceeds this, the
+    # lowest-weight candidates are evicted (NOT permanently — a stronger
+    # re-match re-enters them). The pool otherwise grows without bound
+    # (the reference's does too, acm.py:76-90) and every MAC solve pays
+    # for the full padded E axis: the lidar e2e accumulated 8192
+    # candidates by step ~140, compiling a 15-minute E=8192 Woodbury
+    # program mid-run and slowing every subsequent solve — while the
+    # per-round budget (5) only ever consumes ~350 of them. Capping at
+    # the e-floor keeps ONE fast MAC program for the whole mission.
+    # 0 = unbounded (reference behavior).
+    max_candidate_pool: int = 0
     warmup_verification_tiers: tuple = ()  # gnc_align_batch pair tiers to precompile
     # local-descriptor payloads ship deflate-compressed, like the
     # reference's rtabmap-compressed features (rgbd_handler.cpp:404-431)

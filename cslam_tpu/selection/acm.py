@@ -40,6 +40,12 @@ class AlgebraicConnectivityMaximization:
         self.max_iters = max_iters
         self.robot_id = robot_id
         self.max_nb_robots = max_nb_robots
+        # bounded candidate pool (frontend.max_candidate_pool, 0 = the
+        # reference's unbounded growth): evictions are weight-ordered and
+        # NON-permanent — unlike failed verification, an evicted edge
+        # re-enters whenever it is re-matched
+        self.max_pool = int(self.params.get(
+            "frontend.max_candidate_pool", 0) or 0)
 
         self.fixed_edges: List[EdgeInterRobot] = []
         self.candidate_edges: Dict[Tuple[int, int, int, int],
@@ -123,6 +129,13 @@ class AlgebraicConnectivityMaximization:
         self.candidate_edges[self.edge_key(edge)] = edge
         self.pool_mutations += 1
         self._track_poses(edge)
+        if self.max_pool and len(self.candidate_edges) > self.max_pool:
+            # evict the weakest candidate (O(pool) scan, only while at
+            # capacity). Not marked already-considered: a stronger
+            # re-match re-adds it.
+            weakest = min(self.candidate_edges,
+                          key=lambda k: self.candidate_edges[k].weight)
+            del self.candidate_edges[weakest]
 
     def add_match(self, match: EdgeInterRobot) -> None:
         """Keep the max-weight observation of a repeated match (acm.py:559-572)."""

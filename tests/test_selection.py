@@ -136,6 +136,23 @@ class TestSingleRobotSelection:
         ac.remove_candidate_edges([EdgeInterRobot(0, 1, 4, 1, 1.0)])
         assert ac.pool_mutations == m2
 
+    def test_bounded_candidate_pool(self):
+        """frontend.max_candidate_pool evicts the weakest candidate (not
+        permanently) so the MAC E axis stays on one padded tier."""
+        ac = AlgebraicConnectivityMaximization(
+            robot_id=0, max_nb_robots=2,
+            extra_params={"frontend.max_candidate_pool": 4})
+        for k in range(6):
+            ac.add_match(EdgeInterRobot(0, k, 1, k + 2, 0.1 * (k + 1)))
+        assert len(ac.candidate_edges) == 4
+        weights = sorted(e.weight for e in ac.candidate_edges.values())
+        assert weights == pytest.approx([0.3, 0.4, 0.5, 0.6])
+        # evicted edges re-enter on a stronger re-match
+        ac.add_match(EdgeInterRobot(0, 0, 1, 2, 0.9))
+        assert len(ac.candidate_edges) == 4
+        assert max(e.weight for e in ac.candidate_edges.values()) \
+            == pytest.approx(0.9)
+
     def test_candidate_to_fixed_promotion(self):
         fixed, candidates = simple_graph(100, 50, seed=8)
         ac = make_acm()
