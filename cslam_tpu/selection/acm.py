@@ -342,7 +342,13 @@ class AlgebraicConnectivityMaximization:
         # of each other, so the one-axis prefetches (nextP, curE) and
         # (curP, nextE) both landed yet the tier actually needed was
         # (nextP, nextE): a 16-45 s foreground stall per combination.
-        cand_next = (mac._E + 1 if len(candidate_edges) * 5 >= mac._E * 3
+        # A bounded pool (max_candidate_pool <= current E tier) makes the
+        # next candidate tier UNREACHABLE — prefetching it would burn the
+        # serialized compile service and starve the 1-core host for
+        # nothing (measured 103 s of bg stall in the round-5 lidar e2e).
+        cand_can_grow = not (self.max_pool and self.max_pool <= mac._E)
+        cand_next = (mac._E + 1
+                     if cand_can_grow and len(candidate_edges) * 5 >= mac._E * 3
                      else len(candidate_edges))
         pose_next = (mac._P + 1 if self.total_nb_poses * 5 >= mac._P * 3
                      else self.total_nb_poses)

@@ -153,6 +153,44 @@ class TestSingleRobotSelection:
         assert max(e.weight for e in ac.candidate_edges.values()) \
             == pytest.approx(0.9)
 
+    def test_bounded_pool_suppresses_candidate_tier_prefetch(self, monkeypatch):
+        """With max_candidate_pool <= the current E tier, the next
+        candidate tier is unreachable — the background prefetch must NOT
+        compile it (it would burn the serialized compile service; a
+        103 s bg stall was measured in the round-5 lidar e2e)."""
+        from cslam_tpu.selection import mac as mac_mod
+        calls = []
+        monkeypatch.setattr(
+            mac_mod, "prefetch_selection_tier_async",
+            lambda num_poses, num_candidates, num_fixed_loops=0, **kw:
+                calls.append((num_poses, num_candidates, num_fixed_loops)))
+        # 50 candidates on a 64-wide E tier (e_floor 16) is past the 60%
+        # watermark, so only the pool bound (50 <= 64) stands between us
+        # and a prefetch of the unreachable 128 tier.
+        rng = random.Random(9)
+        fixed = [Edge(i, i + 1, 1.0) for i in range(99)]
+        candidates = list({(a, b) for a, b in
+                           (sorted(rng.sample(range(100), 2))
+                            for _ in range(200))})[:50]
+        candidates = [Edge(a, b, 1.0) for a, b in candidates]
+        w_init = np.zeros(len(candidates))
+        ac = AlgebraicConnectivityMaximization(
+            robot_id=0, max_nb_robots=1,
+            extra_params={"frontend.mac_e_floor": 16,
+                          "frontend.max_candidate_pool": 50})
+        ac.total_nb_poses = 100
+        ac.run_mac_solver(fixed, candidates, w_init, 10)
+        assert all(c[1] <= 50 for c in calls), calls
+        # control: without the pool bound the same graph prefetches the
+        # next candidate tier
+        calls.clear()
+        ac2 = AlgebraicConnectivityMaximization(
+            robot_id=0, max_nb_robots=1,
+            extra_params={"frontend.mac_e_floor": 16})
+        ac2.total_nb_poses = 100
+        ac2.run_mac_solver(fixed, candidates, w_init, 10)
+        assert any(c[1] > 50 for c in calls), calls
+
     def test_candidate_to_fixed_promotion(self):
         fixed, candidates = simple_graph(100, 50, seed=8)
         ac = make_acm()
