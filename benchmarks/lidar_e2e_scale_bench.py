@@ -156,6 +156,12 @@ def main():
         if _args.mac_max_iters is not None:
             cfg.frontend.mac_max_iters = _args.mac_max_iters
         cfg.backend.pose_graph_optimization_start_period_ms = 30000
+        # Pin the aggregate-PGO (pose, edge) tiers to the mission bound:
+        # R*steps = 1050 poses -> 2048; ~1045 odom + <=600 verified loops
+        # + priors -> 2048 edges. ONE GNC program instead of the 6 big
+        # tiers that dominated warmup (330-433 s each).
+        cfg.backend.pgo_np_floor = 2048
+        cfg.backend.pgo_ne_floor = 2048
         cfg.neighbor_management.enable_neighbor_monitoring = False
         ctx = RobotContext(bus, clock, rid, cfg.flatten())
         robots.append((ctx, LidarFrontEnd(ctx), DetectionFrontEnd(ctx),

@@ -153,6 +153,9 @@ def main():
         cfg.frontend.mac_e_floor = 2048  # one MAC tier for the mission
         cfg.frontend.max_candidate_pool = 2048  # bounded pool = bounded E
         cfg.backend.pose_graph_optimization_start_period_ms = 30000
+        # one aggregate-GNC program for the mission (see the lidar bench)
+        cfg.backend.pgo_np_floor = 2048
+        cfg.backend.pgo_ne_floor = 2048
         cfg.neighbor_management.enable_neighbor_monitoring = False
         ctx = RobotContext(bus, clock, rid, cfg.flatten())
         robots.append((ctx, RGBDFrontEnd(ctx, CAM), DetectionFrontEnd(ctx),

@@ -196,6 +196,12 @@ class BackendConfig:
     compilation_cache_dir: str = ""   # persistent XLA cache (shared by robots)
     warmup_poses: int = 0             # precompile solver tiers at startup
     warmup_edges: int = 0
+    # Mission-bound padded-tier floors for the aggregate solve (0 = grow
+    # through power-of-two tiers). Pinning both to the mission bound makes
+    # ONE compiled GNC program cover every optimization round — no
+    # mid-mission tier-crossing recompiles (the MAC mac_*_floor design).
+    pgo_np_floor: int = 0
+    pgo_ne_floor: int = 0
 
 
 @dataclass

@@ -128,9 +128,18 @@ class FactorGraph:
 
     # ------------------------------------------------------------------
 
-    def to_arrays(self) -> PoseGraphArrays:
+    def to_arrays(self, np_floor: int = 16,
+                  ne_floor: int = 16) -> PoseGraphArrays:
+        """Pad to power-of-two (pose, edge) tiers, at least the given
+        floors. Deployments that know their mission bound pin the floors
+        (``backend.pgo_np_floor``/``pgo_ne_floor``) so ONE compiled solver
+        program covers every optimization round — same rationale as the
+        MAC ``mac_e_floor``/``mac_p_floor`` axes (a mid-mission tier
+        crossing pays a full remote compile, 330-433 s for the big GNC
+        tiers on the relay-attached chip)."""
         n, m = len(self._poses), len(self._edges)
-        Np, Ne = _tier(max(n, 1)), _tier(max(m, 1))
+        Np = _tier(max(n, 1), minimum=max(16, np_floor))
+        Ne = _tier(max(m, 1), minimum=max(16, ne_floor))
 
         poses = np.tile(np.eye(4, dtype=np.float32), (Np, 1, 1))
         if n:

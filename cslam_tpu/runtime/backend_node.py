@@ -158,6 +158,11 @@ class DecentralizedPGO:
         if cache_dir:
             import jax
             jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Mission-bound (pose, edge) tier floors: pad every aggregate
+        # graph to at least these tiers so the WHOLE mission runs on one
+        # compiled GNC program (same design as frontend.mac_e_floor).
+        self._np_floor = int(p.get("backend.pgo_np_floor", 0) or 0)
+        self._ne_floor = int(p.get("backend.pgo_ne_floor", 0) or 0)
         if p.get("backend.warmup_poses", 0) > 0:
             self.warmup(p["backend.warmup_poses"],
                         max(p.get("backend.warmup_edges", 0),
@@ -183,29 +188,36 @@ class DecentralizedPGO:
                                                       expected_edges):
             self.warmup_tier(np_tier, ne_tier)
 
-    @staticmethod
-    def warmup_tier_grid(expected_poses: int, expected_edges: int):
+    def warmup_tier_grid(self, expected_poses: int, expected_edges: int):
         """The (pose tier, edge tier) pairs :meth:`warmup` covers —
         exposed so callers can spread the tier compiles over a thread
-        pool (serial warmup pays each remote compile end to end)."""
-        from cslam_tpu.pgo.factor_graph import _tier
+        pool (serial warmup pays each remote compile end to end).
 
-        def tiers(n, minimum=16):
+        With ``backend.pgo_np_floor``/``pgo_ne_floor`` pinned to the
+        mission bound the grid collapses to the one or two programs the
+        run can actually reach (tiers below a floor never occur — every
+        graph pads up to it)."""
+        from cslam_tpu.pgo.factor_graph import _tier
+        np_floor = max(16, self._np_floor)
+        ne_floor = max(16, self._ne_floor)
+
+        def tiers(n, minimum):
             t = minimum
             while True:
                 yield t
-                if t >= _tier(max(n, 1)):
+                if t >= _tier(max(n, 1), minimum=minimum):
                     return
                 t *= 2
 
         grid = []
-        for np_tier in tiers(expected_poses):
+        for np_tier in tiers(expected_poses, np_floor):
             # realistic SLAM graphs have edges ~ nodes + loop closures:
             # warm only the (n, n) and (n, 2n) edge tiers
-            for ne_tier in {np_tier,
-                            min(2 * np_tier,
-                                max(_tier(max(expected_edges, 1)),
-                                    np_tier))}:
+            for ne_tier in {max(np_tier, ne_floor),
+                            max(min(2 * np_tier,
+                                    max(_tier(max(expected_edges, 1)),
+                                        np_tier)),
+                                ne_floor)}:
                 grid.append((np_tier, ne_tier))
         return grid
 
@@ -235,7 +247,8 @@ class DecentralizedPGO:
         g.add_prior((self.robot_id, 0), np.eye(4), self.default_sigmas)
         import jax
         import dataclasses as _dc
-        arrays = g.to_arrays()
+        arrays = g.to_arrays(np_floor=self._np_floor,
+                             ne_floor=self._ne_floor)
         for bump in (0.0, 1e-7):
             a = _dc.replace(
                 arrays, poses=arrays.poses.at[:, 0, 3].add(bump))
@@ -573,7 +586,8 @@ class DecentralizedPGO:
             ((unslot[s0], k0), (unslot[s1], k1)): wv
             for ((s0, k0), (s1, k1)), wv in dinfo.sep_weight_by_key.items()}
         # back into the aggregate graph's padded pose layout
-        arrays = graph.to_arrays()
+        arrays = graph.to_arrays(np_floor=self._np_floor,
+                                 ne_floor=self._ne_floor)
         poses = np.asarray(arrays.poses).copy()
         for key, idx in graph._index.items():
             poses[idx] = values[(slot[key[0]], key[1])]
@@ -635,7 +649,8 @@ class DecentralizedPGO:
                     self.logger.log_optimized_global_pose_graph(
                         graph, poses_d, self.robot_id)
                 return graph, poses_d
-        arrays = graph.to_arrays()
+        arrays = graph.to_arrays(np_floor=self._np_floor,
+                                 ne_floor=self._ne_floor)
         self._maybe_dump_graph(arrays)
         edge_keys = [self._edge_weight_key(e) for e in graph.edges_as_records()]
         full_every = self.params.get(

@@ -195,6 +195,46 @@ class TestGNC:
         assert np.all(inlier_w > 0.5)
 
 
+class TestTierFloors:
+
+    def test_floored_solve_matches_unfloored(self):
+        """backend.pgo_np_floor/pgo_ne_floor pad the arrays to a bigger
+        tier; the masked solver must produce the same poses (padding
+        invariance is what makes mission-bound tier pinning free)."""
+        gt = circle_trajectory(30)
+        rng = np.random.default_rng(21)
+        loops = [((0, 0), (0, 15)), ((0, 5), (0, 25))]
+        graph = build_graph(gt, rng, loops=loops,
+                            outliers=[((0, 2), (0, 20))])
+        res = gnc_optimize(graph.to_arrays())
+        res_f = gnc_optimize(graph.to_arrays(np_floor=64, ne_floor=128))
+        n = len(gt)
+        np.testing.assert_allclose(np.asarray(res.poses)[:n],
+                                   np.asarray(res_f.poses)[:n],
+                                   atol=1e-5)
+
+    def test_floors_collapse_warmup_grid(self):
+        """Pinned floors reduce the warmup grid to the reachable tiers
+        only (tiers below a floor never occur — graphs pad up to it)."""
+        from cslam_tpu.runtime.backend_node import DecentralizedPGO
+        from cslam_tpu.runtime.bus import MessageBus, RobotContext
+        from cslam_tpu.runtime.clock import VirtualClock
+        bus, clock = MessageBus(), VirtualClock()
+        be = DecentralizedPGO(RobotContext(
+            bus, clock, 0, {"robot_id": 0, "max_nb_robots": 3}))
+        assert len(be.warmup_tier_grid(1050, 2100)) > 4
+        be_pinned = DecentralizedPGO(RobotContext(
+            bus, clock, 0, {"robot_id": 0, "max_nb_robots": 3,
+                            "backend.pgo_np_floor": 2048,
+                            "backend.pgo_ne_floor": 2048}))
+        grid = be_pinned.warmup_tier_grid(1050, 2100)
+        assert grid == [(2048, 2048), (2048, 4096)] \
+            or sorted(grid) == [(2048, 2048), (2048, 4096)]
+        # floor covers the edge bound too -> exactly one program
+        grid1 = be_pinned.warmup_tier_grid(1050, 1500)
+        assert sorted(set(grid1)) == [(2048, 2048)]
+
+
 class TestAnalyticJacobians:
 
     def test_matches_jacfwd_oracle(self):
