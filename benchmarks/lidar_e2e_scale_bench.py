@@ -150,6 +150,11 @@ def main():
         # covers the whole mission.
         cfg.frontend.mac_e_floor = 2048
         cfg.frontend.max_candidate_pool = 2048
+        # defer aged harvests until the client-side future resolves (a
+        # read of a result still queued behind a MAC solve/verify batch
+        # on the serialized relay blocked ~50 ms; ready results are
+        # local-memory copies)
+        cfg.frontend.harvest_ready_gate = True
         if _args.sync:
             cfg.frontend.async_detection = False
             cfg.frontend.async_verification = False

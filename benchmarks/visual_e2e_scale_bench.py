@@ -152,6 +152,7 @@ def main():
         cfg.frontend.mac_p_floor = 2048  # see the lidar bench note
         cfg.frontend.mac_e_floor = 2048  # one MAC tier for the mission
         cfg.frontend.max_candidate_pool = 2048  # bounded pool = bounded E
+        cfg.frontend.harvest_ready_gate = True  # see the lidar bench note
         cfg.backend.pose_graph_optimization_start_period_ms = 30000
         # one aggregate-GNC program for the mission (see the lidar bench)
         cfg.backend.pgo_np_floor = 2048

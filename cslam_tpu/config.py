@@ -86,6 +86,12 @@ class FrontendConfig:
     # staged geometric verification: registration bursts dispatch now and
     # harvest one stage per sensor cycle (LidarFrontEnd._advance_verifications)
     async_verification: bool = True
+    # readiness-gated harvests (opt-in until chip-A/B'd): defer blocking
+    # reads of aged search/embed results whose device programs are still
+    # queued behind big programs on the serialized relay executor, up to
+    # harvest_max_defer_sec; a ready result reads as a local-memory copy.
+    harvest_ready_gate: bool = False
+    harvest_max_defer_sec: float = 2.0
     # MAC Woodbury-tier LOBPCG budgets: first-stage iterations before the
     # residual-gated continuation (48 disables the early exit), and the
     # opt-in Frank-Wolfe warm start that carries the Ritz block across FW

@@ -201,7 +201,11 @@ def _append_multi_bank_best(rk_banks, rk_sqs, sc_banks, starts,
         out_banks.append((rk, rksq, sc))
         idxs.append(idx[0])
         ds.append(d[0])
-    return tuple(out_banks), jnp.stack(idxs), jnp.stack(ds)
+    # (idx, dists) packed into ONE [2R] f32 array: the host harvest is a
+    # single relay read instead of two (~30 ms RTT each when the result
+    # is not yet local; bank rows < 2^24 so the f32 round-trip is exact)
+    return tuple(out_banks), jnp.concatenate(
+        [jnp.stack(idxs).astype(jnp.float32), jnp.stack(ds)])
 
 
 @functools.partial(jax.jit, static_argnames=("num_candidates",))
@@ -583,7 +587,7 @@ def multi_search_best_begin(banks: List["ScanContextBank"],
             new_rks.append(new_rk)
             new_scs.append(new_sc)
             ns_live.append(b.nb_items)
-        new_banks, idx, dists = _append_multi_bank_best(
+        new_banks, packed = _append_multi_bank_best(
             tuple(b._rk_bank for _, b in grouped),
             tuple(b._rk_sq_norms for _, b in grouped),
             tuple(b._sc_bank for _, b in grouped),
@@ -593,9 +597,9 @@ def multi_search_best_begin(banks: List["ScanContextBank"],
         for (i, b), (rk, rksq, sc) in zip(grouped, new_banks):
             b._rk_bank, b._rk_sq_norms, b._sc_bank = rk, rksq, sc
             b._device_n = b.nb_items
-        device_read.prefetch((idx, dists))  # harvest reads find them local
-        return _MultiSearchHandle(out, grouped, idx, dists)
-    return _MultiSearchHandle(out, [], None, None)
+        device_read.prefetch((packed,))  # harvest reads find it local
+        return _MultiSearchHandle(out, grouped, packed)
+    return _MultiSearchHandle(out, [], None)
 
 
 def multi_search_best_finish(handle: "_MultiSearchHandle"
@@ -604,7 +608,9 @@ def multi_search_best_finish(handle: "_MultiSearchHandle"
     out = handle.out
     if handle.grouped:
         with profiling.span("nns.multi_read"):
-            idx, dists = np.asarray(handle.idx), np.asarray(handle.dists)
+            packed = np.asarray(handle.packed)
+        r = len(handle.grouped)
+        idx, dists = packed[:r].astype(np.int64), packed[r:]
         for (i, b), j, d in zip(handle.grouped, idx, dists):
             out[i] = ((b.items[int(j)], float(1.0 - d)) if d < 1.0
                       else (b.items[0], 0.0))
@@ -614,12 +620,12 @@ def multi_search_best_finish(handle: "_MultiSearchHandle"
 class _MultiSearchHandle:
     """Pending device result of :func:`multi_search_best_begin`."""
 
-    __slots__ = ("out", "grouped", "idx", "dists")
+    __slots__ = ("out", "grouped", "packed")
 
-    def __init__(self, out, grouped, idx, dists):
+    def __init__(self, out, grouped, packed):
         self.out, self.grouped = out, grouped
-        self.idx, self.dists = idx, dists
+        self.packed = packed
 
     @property
     def arrays(self):
-        return () if self.idx is None else (self.idx, self.dists)
+        return () if self.packed is None else (self.packed,)

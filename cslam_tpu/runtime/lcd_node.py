@@ -160,11 +160,28 @@ class DetectionFrontEnd:
         if not self._pending_embeds:
             return
         if aged_only:
+            from cslam_tpu.utils import device_read
             now = self.ctx.clock.now()
+            max_defer = (self.params.get("frontend.harvest_max_defer_sec",
+                                         2.0)
+                         if self.params.get("frontend.harvest_ready_gate",
+                                            False) else 0.0)
             n = 0
             while (n < len(self._pending_embeds)
                    and self._pending_embeds[n][2] < now):
                 n += 1
+            if max_defer:
+                # stop the aged prefix at the first not-yet-ready result
+                # still inside the defer bound (keyframe order must be
+                # preserved, so the prefix split stays a prefix split)
+                m = 0
+                while m < n:
+                    dev, _, stamp = self._pending_embeds[m]
+                    if (stamp >= now - max_defer
+                            and not device_read.ready((dev,))):
+                        break
+                    m += 1
+                n = m
             if n == 0:
                 return
             take, self._pending_embeds = (self._pending_embeds[:n],
@@ -322,16 +339,34 @@ class DetectionFrontEnd:
         """
         if not self._pending_searches:
             return
+        from cslam_tpu.utils import device_read
         if aged_only and self.params.get("frontend.async_detection", True):
             now = self.ctx.clock.now()
-            pending = [ht for ht in self._pending_searches if ht[1] < now]
-            if not pending:
+            # readiness gate (opt-in): an aged handle whose program is
+            # still queued behind a big device program (MAC solve, verify
+            # batch) on the serialized relay executor would block the
+            # detection plane for the full queue delay (~50 ms/read in the
+            # round-5 lidar e2e). Defer it until the client-side future
+            # resolves, but never past the defer bound (matches must keep
+            # flowing at the gossip cadence).
+            max_defer = (self.params.get("frontend.harvest_max_defer_sec",
+                                         2.0)
+                         if self.params.get("frontend.harvest_ready_gate",
+                                            False) else 0.0)
+            take, keep = [], []
+            for ht in self._pending_searches:
+                if ht[1] >= now:
+                    keep.append(ht)
+                elif (max_defer and ht[1] >= now - max_defer
+                        and not device_read.ready(ht[0].arrays)):
+                    keep.append(ht)
+                else:
+                    take.append(ht)
+            if not take:
                 return
-            self._pending_searches = [
-                ht for ht in self._pending_searches if ht[1] >= now]
+            pending, self._pending_searches = take, keep
         else:
             pending, self._pending_searches = self._pending_searches, []
-        from cslam_tpu.utils import device_read
         device_read.prefetch(a for h, _ in pending for a in h.arrays)
         with profiling.span("lcd.search_harvest"):
             for h, _ in pending:

@@ -37,3 +37,24 @@ def fetch(arrays: Iterable) -> List[np.ndarray]:
     arrs = list(arrays)
     prefetch(arrs)
     return [np.asarray(a) for a in arrs]
+
+
+def ready(arrays: Iterable) -> bool:
+    """True when every array's computation has finished (best-effort).
+
+    ``jax.Array.is_ready()`` consults the client-side future state — no
+    device round-trip. Harvest planes use it to defer blocking reads of
+    results still queued behind big programs (MAC solves, verify batches)
+    on the serialized relay executor; a backend without the method counts
+    as ready (the age bound alone then gates the harvest).
+    """
+    for a in arrays:
+        f = getattr(a, "is_ready", None)
+        if f is None:
+            continue
+        try:
+            if not f():
+                return False
+        except Exception:  # pragma: no cover - backend quirk
+            pass
+    return True

@@ -333,6 +333,20 @@ class TestEndToEndTwoRobots:
         assert profiling.counters().get("lcd.select_round_skipped", 0) > 0
         profiling.reset_spans()
 
+    def test_ready_gated_harvest_still_detects(self):
+        """frontend.harvest_ready_gate defers aged reads until the device
+        future resolves (bounded by harvest_max_defer_sec); the pipeline
+        must still detect, verify and optimize loops."""
+        sim = overlapping_two_robot_sim(**{
+            "frontend.harvest_ready_gate": True,
+            "frontend.harvest_max_defer_sec": 1.0})
+        sim.run(40.0, dt=0.25)
+        r0 = sim.robots[0]
+        assert len(r0.detection.lcm.candidate_selector.fixed_edges) > 0
+        inter = sum(len(v) for v in
+                    r0.backend.inter_robot_loop_closures.values())
+        assert inter > 0
+
     def test_rendezvous_gating_blocks_detection(self, tmp_path):
         sched = tmp_path / "rdv.csv"
         # robot 1 never in comm range

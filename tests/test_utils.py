@@ -139,3 +139,30 @@ class TestCompression:
         assert C.payload_nbytes(raw) == 64
         assert C.payload_nbytes(None) == 0
         assert C.payload_nbytes(C.compress_array(raw)) > 0
+
+
+class TestDeviceReadReady:
+
+    def test_ready_consults_is_ready(self):
+        from cslam_tpu.utils import device_read
+
+        class Pending:
+            def is_ready(self):
+                return False
+
+        class Done:
+            def is_ready(self):
+                return True
+
+        assert device_read.ready([Done(), Done()])
+        assert not device_read.ready([Done(), Pending()])
+        # arrays without the method (numpy, exotic backends) count ready
+        assert device_read.ready([np.zeros(3)])
+        assert device_read.ready([])
+
+    def test_jax_array_ready_after_block(self):
+        import jax.numpy as jnp
+        from cslam_tpu.utils import device_read
+        a = jnp.arange(8.0) * 2.0
+        a.block_until_ready()
+        assert device_read.ready([a])
